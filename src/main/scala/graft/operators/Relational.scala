@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.sources.Num._
+
+/** Core relational operator inventory (SURVEY.md §2.12): scans,
+  * projections, filters, the full join matrix, and grouped aggregation.
+  *
+  * Design for scale (100 TB): every query is declarative DataFrame DSL so
+  * Catalyst applies pushdown/pruning; small dimension tables are
+  * explicitly `broadcast()`; fact-fact joins shuffle on their natural
+  * keys and rely on AQE for skew/coalescing. No RDDs, no UDFs, no
+  * collect() — all plans survive a 1000-executor scale-up unchanged.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 shape: pricing summary over lineitem (flagship query).
+    * One shuffle (partial+final hash agg via Catalyst); filter and
+    * 7-column projection pushed into the parquet scan.
+    */
+  val q1PricingSummary: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        prodSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q6 shape: scan-heavy filter + scalar aggregate. At scale this
+    * is pure pushdown: 4 columns read, all predicates in PushedFilters.
+    */
+  val q2FilterAgg: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.04, 0.07) && col("l_quantity") < 24)
+      .agg(prodSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n"))
+
+  /** Projection + filter returning raw rows (narrow date slice). */
+  val q3Project: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-02-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double"), 4)
+          .as("net_price"))
+
+  /** Broadcast-hash join chain: customer ⋈ nation ⋈ region (dims tiny →
+    * broadcast; zero shuffle for the joins, one for the final agg).
+    */
+  val q4JoinBroadcast: Q = (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           moneySum(col("c_acctbal")).as("sum_acctbal"))
+
+  /** Fact-fact shuffle join: orders ⋈ lineitem on orderkey. At 100 TB
+    * both sides shuffle-partition on the join key (or are bucketed on
+    * it); Catalyst picks sort-merge, AQE handles skew.
+    */
+  val q5JoinFacts: Q = (s, d) =>
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(prodSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** TPC-H Q5 shape: multi-way join, dims broadcast, facts shuffled. */
+  val q6JoinMulti: Q = (s, d) =>
+    customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+            col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(prodSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+
+  /** Left-semi join (EXISTS): customers that placed a high-value order. */
+  val q7JoinSemi: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 50000).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  val q8JoinAnti: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           moneySum(col("c_acctbal")).as("sum_acctbal"))
+
+  /** Left-outer join preserving customers without orders. */
+  val q9JoinOuter: Q = (s, d) =>
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .join(orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("o_totalprice")).as("n_orders"),
+           sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("n_childless"))
+
+  /** Full-outer join: customer-count vs supplier-count per nationkey
+    * (suppliers cover few nations → nulls on both sides possible).
+    */
+  val q10JoinFullOuter: Q = (s, d) => {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_customers"))
+    val p = supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(p, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  /** Cross join of two tiny dimensions (explicit cartesian). */
+  val q11JoinCross: Q = (s, d) =>
+    region(s, d).select(col("r_name"))
+      .crossJoin(nation(s, d).select(col("n_name")))
+      .select(col("r_name"), col("n_name"))
+
+  /** Range (theta) join: same-user event pairs within 5 minutes.
+    * Equi-part on user_id keeps the shuffle keyed; the range predicate
+    * is evaluated post-match, so the pair blow-up is bounded per user.
+    */
+  val q12JoinRange: Q = (s, d) => {
+    val a = events(s, d).select(
+      col("event_id").as("a_id"), col("user_id").as("a_user"),
+      col("ts").as("a_ts"), col("event_type").as("a_type"))
+    val b = events(s, d).select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts"), col("event_type").as("b_type"))
+    a.join(b,
+        col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** As-of join: for each purchase, the most recent prior signup by the
+    * same user. Expressed as equi-join + max_by (arg-max), which Spark
+    * executes as one shuffle + hash agg — no custom operator needed.
+    */
+  val q13JoinAsOf: Q = (s, d) => {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val g = events(s, d).filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(g, col("p_user") === col("s_user") && col("s_ts") <= col("p_ts"))
+      .groupBy(col("p_id"))
+      .agg(max_by(col("s_id"), col("s_ts")).as("asof_signup_id"))
+  }
+
+  /** Grouped aggregation battery: count/min/max/sum/avg per group. */
+  val q14AggStats: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        moneySum(col("o_totalprice")).as("sum_price"),
+        moneyAvg(col("o_totalprice")).as("avg_price"))
+
+  /** Exact distinct-count (expand + two-phase agg in Catalyst). */
+  val q15CountDistinct: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+           count(lit(1)).as("n_orders"))
+
+  /** ROLLUP hierarchy: region → nation subtotals + grand total. */
+  val q16Rollup: Q = (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** CUBE over lineitem flags. */
+  val q17Cube: Q = (s, d) =>
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n"))
+
+  /** GROUPING SETS (explicit sets, not the rollup/cube shorthand). */
+  val q18GroupingSets: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_filter_agg" -> q2FilterAgg,
+    "q3_project" -> q3Project,
+    "q4_join_broadcast" -> q4JoinBroadcast,
+    "q5_join_facts" -> q5JoinFacts,
+    "q6_join_multi" -> q6JoinMulti,
+    "q7_join_semi" -> q7JoinSemi,
+    "q8_join_anti" -> q8JoinAnti,
+    "q9_join_outer" -> q9JoinOuter,
+    "q10_join_full_outer" -> q10JoinFullOuter,
+    "q11_join_cross" -> q11JoinCross,
+    "q12_join_range" -> q12JoinRange,
+    "q13_join_asof" -> q13JoinAsOf,
+    "q14_agg_stats" -> q14AggStats,
+    "q15_count_distinct" -> q15CountDistinct,
+    "q16_rollup" -> q16Rollup,
+    "q17_cube" -> q17Cube,
+    "q18_grouping_sets" -> q18GroupingSets,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${sqlMoneySum("l_quantity")} AS sum_qty,
+         | ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+         | ${sqlProdSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         | ${sqlMoneyAvg("l_quantity")} AS avg_qty,
+         | ${sqlMoneyAvg("l_extendedprice")} AS avg_price,
+         | count(1) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_agg" ->
+      s"""SELECT ${sqlProdSum("l_extendedprice * l_discount")} AS revenue, count(1) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)) AS DOUBLE), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-02-01'""".stripMargin,
+    "q4_join_broadcast" ->
+      s"""SELECT r_name, count(1) AS n_customers, ${sqlMoneySum("c_acctbal")} AS sum_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin,
+    "q5_join_facts" ->
+      s"""SELECT o_orderpriority,
+         | ${sqlProdSum("l_extendedprice * (1 - l_discount)")} AS revenue, count(1) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q6_join_multi" ->
+      s"""SELECT n_name, ${sqlProdSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "q7_join_semi" ->
+      """SELECT c_mktsegment, count(1) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q8_join_anti" ->
+      s"""SELECT c_mktsegment, count(1) AS n_customers, ${sqlMoneySum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_mktsegment""".stripMargin,
+    "q9_join_outer" ->
+      """SELECT c_mktsegment, count(1) AS n_rows, count(o_totalprice) AS n_orders,
+        | sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_childless
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q10_join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(1) AS n_customers FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, count(1) AS n_suppliers FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |       coalesce(n_customers, 0) AS n_customers,
+        |       coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin,
+    "q11_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q12_join_range" ->
+      """SELECT a.event_type AS a_type, b.event_type AS b_type, count(1) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.event_type, b.event_type""".stripMargin,
+    "q13_join_asof" ->
+      """SELECT p.event_id AS p_id, arg_max(s.event_id, s.ts) AS asof_signup_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+        |GROUP BY p.event_id""".stripMargin,
+    "q14_agg_stats" ->
+      s"""SELECT o_orderpriority, count(1) AS n_orders,
+         | round(min(o_totalprice), 2) AS min_price,
+         | round(max(o_totalprice), 2) AS max_price,
+         | ${sqlMoneySum("o_totalprice")} AS sum_price,
+         | ${sqlMoneyAvg("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q15_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs, count(1) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q16_rollup" ->
+      """SELECT r_name, n_name, count(1) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q17_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, ${sqlMoneySum("l_quantity")} AS sum_qty, count(1) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q18_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+  )
+}

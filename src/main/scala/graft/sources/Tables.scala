@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (see /root/repo/TESTDATA.md). All relational queries read through
+  * here so the scan path (vectorized parquet, pushdown, pruning) is
+  * uniform. At 100 TB these would be partitioned/bucketed external
+  * tables; the API (dir + name) stays identical.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for. Read it as a nanos long (legacy conf) and surface a
+    * microsecond TimestampType column — integer `div` keeps full int64
+    * precision (a double round-trip would corrupt epoch-nanos).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Numeric helpers shared by every oracle-checked query.
+  *
+  * The driver hash-compares Spark output against DuckDB output, so any
+  * double aggregation must be bit-identical across engines. Doubles are
+  * summed through exact DECIMAL arithmetic (no float association order)
+  * and only then cast back to double — both engines produce the same
+  * exact decimal, hence the same double. See SURVEY.md §5.
+  */
+object Num {
+  /** Exact cents: cast a money-like double to DECIMAL(18,2). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact 4-decimal cast for products like price*(1-discount). */
+  def dec4(c: Column): Column = c.cast(DecimalType(22, 4))
+
+  /** Order-independent exact sum of a money column, surfaced as double. */
+  def moneySum(c: Column): Column = round(sum(dec2(c)).cast(DoubleType), 2)
+
+  /** Exact sum of a 4-decimal product, surfaced as double. */
+  def prodSum(c: Column): Column = round(sum(dec4(c)).cast(DoubleType), 4)
+
+  /** Deterministic average: exact decimal sum, double division, round. */
+  def moneyAvg(c: Column): Column =
+    round(sum(dec2(c)).cast(DoubleType) / count(c), 4)
+
+  // DuckDB-side SQL fragments mirroring the helpers above.
+  def sqlMoneySum(e: String): String =
+    s"round(CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE), 2)"
+  def sqlProdSum(e: String): String =
+    s"round(CAST(sum(CAST($e AS DECIMAL(22,4))) AS DOUBLE), 4)"
+  def sqlMoneyAvg(e: String): String =
+    s"round(CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE) / count($e), 4)"
+}

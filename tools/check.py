@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reads each <outDir>/<name>/ parquet written by graft.Verify, runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
+tables, and compares (columns sorted by name, rows sorted, exact value
+equality; small report of diffs). Mirrors the driver contract in
+SURVEY.md §5 so mismatches are caught before the round gate runs.
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        # normalize arrow lists/objects to tuples for sorting
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        try:
+            got = pq.read_table(qdir).to_pandas()
+        except Exception as e:
+            results[name] = f"READ-FAIL {e}"
+            continue
+        if name not in oracles:
+            results[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {type(e).__name__}: {e}"
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
+        elif len(g) != len(e):
+            results[name] = f"ROWS-MISMATCH spark={len(g)} duck={len(e)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                              check_exact=True)
+                results[name] = f"PASS rows={len(g)}"
+            except AssertionError as ex:
+                msg = str(ex).replace("\n", " | ")[:300]
+                results[name] = f"VALUE-MISMATCH {msg}"
+    npass = sum(1 for v in results.values() if v.startswith("PASS"))
+    nora = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
+    for k, v in sorted(results.items()):
+        print(f"{'OK ' if v.startswith('PASS') else '** '}{k}: {v}")
+    print(f"\n{npass}/{len(results)} pass ({nora} rows-only)")
+    return 0 if npass + nora == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
