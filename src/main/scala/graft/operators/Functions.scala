@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.sources.Tables._
+import graft.sources.Num._
+
+/** Scalar-function battery (SURVEY.md §2.10 + §2.12): string, date,
+  * JSON, array/higher-order, math, conditional, null-handling. All are
+  * codegen'd Catalyst built-ins — no UDFs in any hot path.
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** String functions: regexp_extract, split, upper, length,
+    * format_string, concat_ws (parity: §2.10 printf-style `%015d`).
+    */
+  val f1String: Q = (s, d) =>
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        upper(element_at(split(col("p_name"), " "), -1)).as("last_word_up"),
+        length(col("p_name")).as("name_len"),
+        format_string("%015d", col("p_partkey")).as("padded_key"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Date functions: date_format, unix_timestamp, datediff-style month
+    * bucketing (parity: §2.10 `%Y%m%d%H%M%S` dump-id format).
+    */
+  val f2Date: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(unix_timestamp(col("o_orderdate"))).as("min_epoch"),
+        max(date_format(col("o_orderdate"), "yyyyMMddHHmmss")).as("max_dump_id"))
+
+  /** JSON extraction from events.props (Spark: get_json_object). */
+  val f3Json: Q = (s, d) =>
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+              col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+
+  /** Array / higher-order functions over embeddings: size, transform,
+    * aggregate (fold), array_max — the zip_with/aggregate dot-product
+    * idiom that similarity search builds on.
+    */
+  val f4Array: Q = (s, d) =>
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(transform(col("embedding"), e => e.cast(DoubleType) * e.cast(DoubleType)),
+                             lit(0.0), (acc, x) => acc + x)), 3).as("l2_norm"),
+        round(array_max(col("embedding")).cast(DoubleType), 4).as("max_elem"))
+
+  /** Math: ceil/floor/greatest/least/abs (IEEE-exact only — no libm). */
+  val f5Math: Q = (s, d) =>
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        ceil(col("l_quantity") / 7).cast(LongType).as("qty_bucket"),
+        round(greatest(col("l_discount"), col("l_tax")), 2).as("max_rate"),
+        round(least(col("l_discount"), col("l_tax")), 2).as("min_rate"),
+        abs(col("l_quantity") - lit(25.0)).as("qty_dev"))
+      .filter(col("l_orderkey") % 50 === 0)
+
+  /** Hashing + encode: md5 over utf-8 text (parity: §2.10 encode). */
+  val f6Hash: Q = (s, d) =>
+    documents(s, d)
+      .groupBy(substring(md5(col("text")), 1, 1).as("md5_prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(octet_length(col("text"))).as("total_bytes"))
+
+  /** CASE WHEN tiering. */
+  val f7Case: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(
+        when(col("o_totalprice") > 150000, "high")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("low").as("tier"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+
+  /** Null handling: nullif / coalesce / null-aware counts. */
+  val f8Null: Q = (s, d) =>
+    lineitem(s, d)
+      .select(nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+              col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("disc_or_null")).as("n_discounted"),
+           moneySum(coalesce(col("disc_or_null"), lit(0.0))).as("sum_disc"))
+
+  val queries: Map[String, Q] = Map(
+    "f1_string" -> f1String,
+    "f2_date" -> f2Date,
+    "f3_json" -> f3Json,
+    "f4_array" -> f4Array,
+    "f5_math" -> f5Math,
+    "f6_hash" -> f6Hash,
+    "f7_case" -> f7Case,
+    "f8_null" -> f8Null,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f1_string" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        | upper(split_part(p_name, ' ', -1)) AS last_word_up,
+        | length(p_name) AS name_len,
+        | printf('%015d', p_partkey) AS padded_key,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin,
+    "f2_date" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        | count(1) AS n_orders,
+        | min(CAST(epoch(o_orderdate) AS BIGINT)) AS min_epoch,
+        | max(strftime(o_orderdate, '%Y%m%d%H%M%S')) AS max_dump_id
+        |FROM orders GROUP BY 1""".stripMargin,
+    "f3_json" ->
+      s"""SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_mod,
+         | count(1) AS n, ${sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "f4_array" ->
+      """SELECT vec_id, length(embedding) AS dim,
+        | round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 3) AS l2_norm,
+        | round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem
+        |FROM embeddings""".stripMargin,
+    "f5_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket,
+        | round(greatest(l_discount, l_tax), 2) AS max_rate,
+        | round(least(l_discount, l_tax), 2) AS min_rate,
+        | abs(l_quantity - 25.0) AS qty_dev
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+    "f6_hash" ->
+      """SELECT substring(md5(text), 1, 1) AS md5_prefix,
+        | count(1) AS n_docs, sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "f7_case" ->
+      s"""SELECT CASE WHEN o_totalprice > 150000 THEN 'high'
+         |            WHEN o_totalprice > 50000 THEN 'mid'
+         |            ELSE 'low' END AS tier,
+         | count(1) AS n, ${sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1""".stripMargin,
+    "f8_null" ->
+      s"""SELECT l_returnflag, count(1) AS n_rows,
+         | count(nullif(l_discount, 0.0)) AS n_discounted,
+         | ${sqlMoneySum("coalesce(nullif(l_discount, 0.0), 0.0)")} AS sum_disc
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  )
+}

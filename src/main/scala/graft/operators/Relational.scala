@@ -100,10 +100,13 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no urgent order
+    * (all-orders anti is empty in this data — keep it non-trivial).
+    */
   val q8JoinAnti: Q = (s, d) =>
     customer(s, d)
-      .join(orders(s, d).select(col("o_custkey")),
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
@@ -284,7 +287,8 @@ object Relational {
     "q8_join_anti" ->
       s"""SELECT c_mktsegment, count(1) AS n_customers, ${sqlMoneySum("c_acctbal")} AS sum_acctbal
          |FROM customer
-         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          |GROUP BY c_mktsegment""".stripMargin,
     "q9_join_outer" ->
       """SELECT c_mktsegment, count(1) AS n_rows, count(o_totalprice) AS n_orders,

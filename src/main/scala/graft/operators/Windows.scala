@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.sources.Tables._
+import graft.sources.Num._
+
+/** Window functions, sorts, top-k and set operations (SURVEY.md §2.12).
+  *
+  * Every window is partitioned on a real key so the sort is per-group
+  * and scales horizontally; the only global sorts are bounded top-k
+  * (`orderBy.limit`), which Spark executes as per-partition top-k +
+  * single-reduce merge (TakeOrderedAndProject) — no full global sort.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** rank() top-3 orders per priority (deterministic tie-break). */
+  val w1Rank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("price"), col("rnk"))
+  }
+
+  /** lag/lead: per-customer order-to-order price delta. */
+  val w2LagLead: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("prev_price").isNotNull)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(dec2(col("o_totalprice")) - dec2(col("prev_price")), 2)
+          .cast(DoubleType).as("price_delta"),
+        col("next_key"))
+  }
+
+  /** Running sum over a rowsBetween frame (exact decimal arithmetic). */
+  val w3Running: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              sum(dec2(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+  }
+
+  /** rangeBetween frame: rolling 10-minute sum of event value per user.
+    * Ordering key is epoch millis (int64) so Spark (µs) and the oracle
+    * (ns) floor to identical values.
+    */
+  val w4RangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-600000L, 0L)
+    events(s, d)
+      .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      .select(col("user_id"), col("event_id"),
+              sum(dec2(col("value"))).over(w).cast(DoubleType).as("rolling_value"))
+  }
+
+  /** dense_rank + ntile quartiles of customers by account balance. */
+  val w5NtileDense: Q = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, d)
+      .select(col("c_custkey"),
+              dense_rank().over(w).as("drnk"),
+              ntile(4).over(w).as("quartile"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject, not a full sort. */
+  val w6TopKGlobal: Q = (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  /** Per-group top-k via row_number. */
+  val w7TopKGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+              round(col("c_acctbal"), 2).as("acctbal"))
+  }
+
+  /** first_value / last_value over a full-partition frame. */
+  val w8FirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_orderpriority"),
+              first(col("o_orderkey")).over(w).as("first_key"),
+              last(col("o_orderkey")).over(w).as("last_key"))
+      .distinct()
+  }
+
+  /** UNION ALL keeps duplicates. */
+  val s1UnionAll: Q = (s, d) => {
+    val a = orders(s, d).filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey"))
+    val b = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    a.union(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+  }
+
+  /** UNION (distinct) of two key sets. */
+  val s2UnionDistinct: Q = (s, d) => {
+    val a = orders(s, d).filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("k"))
+    val b = customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("k"))
+    a.union(b).distinct()
+  }
+
+  val s3Intersect: Q = (s, d) => {
+    val a = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("k"))
+    val b = orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("k"))
+    a.intersect(b)
+  }
+
+  val s4Except: Q = (s, d) => {
+    val a = customer(s, d).select(col("c_custkey").as("k"))
+    val b = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    a.except(b)
+  }
+
+  val s5Distinct: Q = (s, d) =>
+    orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+
+  val queries: Map[String, Q] = Map(
+    "w1_rank" -> w1Rank,
+    "w2_lag_lead" -> w2LagLead,
+    "w3_running_sum" -> w3Running,
+    "w4_range_frame" -> w4RangeFrame,
+    "w5_ntile_dense" -> w5NtileDense,
+    "w6_topk_global" -> w6TopKGlobal,
+    "w7_topk_group" -> w7TopKGroup,
+    "w8_first_last" -> w8FirstLast,
+    "s1_union_all" -> s1UnionAll,
+    "s2_union_distinct" -> s2UnionDistinct,
+    "s3_intersect" -> s3Intersect,
+    "s4_except" -> s4Except,
+    "s5_distinct" -> s5Distinct,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_rank" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rnk
+        |FROM (SELECT *, rank() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    "w2_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(prev_price AS DECIMAL(18,2)) AS DOUBLE) AS price_delta,
+        | next_key
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        lag(o_totalprice, 1) OVER w AS prev_price,
+        |        lead(o_orderkey, 1) OVER w AS next_key
+        |      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE prev_price IS NOT NULL""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+    "w4_range_frame" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+        |FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events)""".stripMargin,
+    "w5_ntile_dense" ->
+      """SELECT c_custkey,
+        | dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "w6_topk_global" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "w7_topk_group" ->
+      """SELECT c_mktsegment, rn, c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+        |WHERE rn <= 2""".stripMargin,
+    "w8_first_last" ->
+      """SELECT DISTINCT o_orderpriority,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | last_value(o_orderkey) OVER w AS last_key
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "s1_union_all" ->
+      """SELECT o_custkey, count(1) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) GROUP BY o_custkey""".stripMargin,
+    "s2_union_distinct" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+        |UNION
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000""".stripMargin,
+    "s3_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000""".stripMargin,
+    "s4_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "s5_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+  )
+}
