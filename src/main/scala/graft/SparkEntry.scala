@@ -17,7 +17,11 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.Windows.queries ++
     operators.Functions.queries ++
-    operators.Parity.queries
+    operators.Parity.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries ++
+    operators.TextAnalysis.queries ++
+    operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +29,9 @@ object SparkEntry {
     operators.Relational.oracles ++
     operators.Windows.oracles ++
     operators.Functions.oracles ++
-    operators.Parity.oracles
+    operators.Parity.oracles ++
+    operators.Dedup.oracles ++
+    operators.Similarity.oracles ++
+    operators.TextAnalysis.oracles ++
+    operators.Multimodal.oracles
 }

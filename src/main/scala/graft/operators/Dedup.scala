@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.functions.DeterministicHash._
+
+/** Deduplication operators for LLM-training-data pipelines: exact
+  * (hash-groupBy), MinHash banding (shingle → minhash → band →
+  * bucket-join), SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design: every variant is a pure shuffle-on-key plan.
+  * - exact/fingerprint dedup shuffles on a 128-bit content hash —
+  *   uniform keys, no skew, map-side partial aggregation.
+  * - MinHash banding turns all-pairs O(n²) into groupBy(band) — only
+  *   docs sharing a band collide, so the shuffle volume is n × bands
+  *   rows regardless of corpus size.
+  * - blocked Jaccard bounds the pair join by (lang, source, length
+  *   band) blocking keys — the cartesian term is per-block only.
+  * All hashes are md5-derived (DeterministicHash) so the DuckDB oracle
+  * replays them exactly; swap to xxhash64 for the non-oracled fast path.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenized documents: ws = whitespace tokens of trimmed text. */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+
+  private val sqlDocs =
+    "SELECT *, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents"
+
+  /** Exact dedup: group on content hash, count collapsed duplicates. */
+  val d1Exact: Q = (s, d) =>
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_unique"),
+           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+
+  /** MinHash signatures: 8 permutations approximated by seeded md5
+    * hashes over 3-word shingles; min per seed. Output one signature
+    * string per doc (oracle-checked exactly).
+    */
+  val d2MinhashSig: Q = (s, d) => {
+    val shingles =
+      """if(size(ws) < 3, array(concat_ws(' ', ws)),
+        |   transform(sequence(1, size(ws) - 2),
+        |             i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))""".stripMargin
+    val sig = (0 until 8).map { j =>
+      s"array_min(transform(sh, x -> cast(conv(substring(md5(concat('$j:', x)), 1, 8), 16, 10) as bigint)))"
+    }.mkString("concat_ws('-', ", ", ", ")")
+    docs(s, d)
+      .withColumn("sh", expr(shingles))
+      .select(col("doc_id"), expr(sig).as("minhash_sig"))
+  }
+
+  /** MinHash LSH banding: 4 bands × 2 rows; docs sharing any band are
+    * candidate near-dups. groupBy(band) — no all-pairs join; shuffle
+    * volume is 4 rows/doc at any corpus size.
+    */
+  val d3MinhashBuckets: Q = (s, d) => {
+    val shingles =
+      """if(size(ws) < 3, array(concat_ws(' ', ws)),
+        |   transform(sequence(1, size(ws) - 2),
+        |             i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))""".stripMargin
+    val mh = (j: Int) =>
+      s"array_min(transform(sh, x -> cast(conv(substring(md5(concat('$j:', x)), 1, 8), 16, 10) as bigint)))"
+    val bands = (0 until 4).map { b =>
+      s"concat('$b:', ${mh(2 * b)}, '-', ${mh(2 * b + 1)})"
+    }.mkString("array(", ", ", ")")
+    docs(s, d)
+      .withColumn("sh", expr(shingles))
+      .select(col("doc_id"), explode(expr(bands)).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_candidate_pairs"),
+           max(col("n_docs")).as("max_bucket"))
+  }
+
+  /** SimHash: 16-bit signature from per-token hash bit votes. */
+  val d4Simhash: Q = (s, d) => {
+    val simhash =
+      """aggregate(sequence(0, 15), cast(0 as bigint), (acc, b) -> acc +
+        |  if(aggregate(transform(ws, t -> (shiftright(cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint), b) & 1) * 2 - 1),
+        |              cast(0 as bigint), (a, x) -> a + x) > 0,
+        |     shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin
+    docs(s, d).select(col("doc_id"), col("lang"), expr(simhash).as("simhash"))
+  }
+
+  /** Blocked n-gram Jaccard: token-set similarity of doc pairs inside
+    * (lang, source, length-band) blocks; report pair counts per
+    * 0.1-wide Jaccard band (counts only → float-rounding-proof).
+    */
+  val d5Jaccard: Q = (s, d) => {
+    val t = docs(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("n_chars") - col("n_chars") % 100).as("len_band"),
+      array_sort(array_distinct(col("ws"))).as("toks"))
+    val a = t.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                     col("len_band"), col("toks").as("a_toks"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                     col("source").as("b_source"), col("len_band").as("b_band"),
+                     col("toks").as("b_toks"))
+    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+              col("len_band") === col("b_band") && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("uni", size(col("a_toks")) + size(col("b_toks")) - col("inter"))
+      .withColumn("j_band", floor(col("inter") * 10.0 / col("uni")).cast("long"))
+      .filter(col("j_band") >= 5)
+      .groupBy(col("lang"), col("j_band"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d1_dedup_exact" -> d1Exact,
+    "d2_minhash_sig" -> d2MinhashSig,
+    "d3_minhash_buckets" -> d3MinhashBuckets,
+    "d4_simhash" -> d4Simhash,
+    "d5_jaccard_blocked" -> d5Jaccard,
+  )
+
+  private val sqlShingles =
+    """CASE WHEN length(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |     ELSE list_transform(range(1, length(ws) - 1),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END""".stripMargin
+
+  private def sqlMh(j: Int) =
+    s"list_min(list_transform(sh, x -> ('0x' || substr(md5('$j:' || x), 1, 8))::BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT lang, count(1) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        | count(1) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents GROUP BY lang""".stripMargin,
+    "d2_minhash_sig" -> {
+      val sig = (0 until 8).map(sqlMh).mkString("concat_ws('-', ", ", ", ")")
+      s"""WITH t AS ($sqlDocs),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
+         |SELECT doc_id, $sig AS minhash_sig FROM s""".stripMargin
+    },
+    "d3_minhash_buckets" -> {
+      val bands = (0 until 4).map { b =>
+        s"('$b:' || ${sqlMh(2 * b)} || '-' || ${sqlMh(2 * b + 1)})"
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS ($sqlDocs),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+         |e AS (SELECT doc_id, unnest($bands) AS band FROM s),
+         |g AS (SELECT band, count(1) AS n_docs FROM e GROUP BY band)
+         |SELECT count(1) AS n_buckets,
+         |  CAST(sum(n_docs * (n_docs - 1) / 2) AS BIGINT) AS n_candidate_pairs,
+         |  max(n_docs) AS max_bucket
+         |FROM g WHERE n_docs > 1""".stripMargin
+    },
+    "d4_simhash" ->
+      s"""WITH t AS ($sqlDocs)
+         |SELECT doc_id, lang,
+         |  list_sum(list_transform(range(0, 16), b ->
+         |    CASE WHEN list_sum(list_transform(ws, tk ->
+         |           ((('0x' || substr(md5(tk), 1, 4))::BIGINT >> b) & 1) * 2 - 1)) > 0
+         |         THEN (1::BIGINT << b) ELSE 0 END)) AS simhash
+         |FROM t""".stripMargin,
+    "d5_jaccard_blocked" ->
+      s"""WITH t0 AS ($sqlDocs),
+         |t AS (SELECT doc_id, lang, source, n_chars - n_chars % 100 AS len_band,
+         |             list_sort(list_distinct(ws)) AS toks FROM t0),
+         |p AS (SELECT a.lang, length(list_intersect(a.toks, b.toks)) AS inter,
+         |             length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks)) AS uni
+         |      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+         |        AND a.len_band = b.len_band AND a.doc_id < b.doc_id)
+         |SELECT lang, CAST(floor(inter * 10.0 / uni) AS BIGINT) AS j_band, count(1) AS n_pairs
+         |FROM p WHERE floor(inter * 10.0 / uni) >= 5
+         |GROUP BY lang, j_band""".stripMargin,
+  )
+}

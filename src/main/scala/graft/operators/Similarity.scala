@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.DeterministicHash.h32Local
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two paths (SURVEY.md §2.12 / BASELINE.json north star):
+  * - n1: brute-force cosine top-k — the correctness baseline. Scales as
+  *   |Q|×|C|; fine when the query set is small and broadcast.
+  * - n2: random-hyperplane LSH (SimHash for vectors): 4 deterministic
+  *   hyperplanes → 16 buckets; candidates only within a bucket. At
+  *   100 TB the bucket id becomes the shuffle/partition key, turning
+  *   ANN into a groupBy — the bucketing cost is one map pass.
+  *
+  * Dot products fold left-to-right in doubles on both engines, so the
+  * oracle comparison is exact (no float-order nondeterminism).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic pseudo-random hyperplanes via the shared md5-prefix
+    * hash — reproducible in SQL, no RNG.
+    */
+  private[operators] def plane(j: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(i => (h32Local(s"$j:$i") % 2001 - 1000) / 1000.0)
+
+  private val dims = 64
+  private val nPlanes = 4
+
+  /** Sequential-fold double dot product of two float arrays. */
+  private def dotCol(a: String, b: String): Column =
+    aggregate(
+      zip_with(col(a), col(b), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normCol(a: String): Column =
+    sqrt(aggregate(transform(col(a), x => x.cast(DoubleType) * x.cast(DoubleType)),
+                   lit(0.0), (acc, x) => acc + x))
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 8). */
+  val n1BruteTopK: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    q.join(broadcast(c), col("qid") =!= col("cid"))
+      .withColumn("sim", round(dotCol("qe", "ce") / (normCol("qe") * normCol("ce")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), col("sim"), col("rnk"))
+  }
+
+  /** LSH bucketing: sign-bit bucket id per vector + bucket histogram. */
+  val n2LshBuckets: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val bucket = (0 until nPlanes).map { j =>
+      val p = typedLit(plane(j, dims))
+      when(aggregate(zip_with(col("embedding"), p,
+                              (x, y) => x.cast(DoubleType) * y),
+                     lit(0.0), (acc, x) => acc + x) > 0,
+           lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+  }
+
+  /** LSH ANN: top-3 cosine neighbors per query, candidates restricted
+    * to the query's bucket (the scale path: bucket = join key).
+    */
+  val n3LshTopK: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val bucket = (0 until nPlanes).map { j =>
+      val p = typedLit(plane(j, dims))
+      when(aggregate(zip_with(col("embedding"), p,
+                              (x, y) => x.cast(DoubleType) * y),
+                     lit(0.0), (acc, x) => acc + x) > 0,
+           lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val withB = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val q = withB.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val c = withB.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                         col("bucket").as("c_bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    q.join(c, col("bucket") === col("c_bucket") && col("qid") =!= col("cid"))
+      .withColumn("sim", round(dotCol("qe", "ce") / (normCol("qe") * normCol("ce")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("bucket"), col("cid"), col("sim"), col("rnk"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "n1_cosine_brute_topk" -> n1BruteTopK,
+    "n2_lsh_buckets" -> n2LshBuckets,
+    "n3_lsh_topk" -> n3LshTopK,
+  )
+
+  // ---- oracle SQL ----
+
+  /** DuckDB double dot product with the same left fold. */
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2]))"
+
+  private def sqlNorm(a: String) =
+    s"sqrt(list_sum(list_transform($a::DOUBLE[], x -> x * x)))"
+
+  private def sqlPlane(j: Int): String =
+    plane(j, dims).mkString("[", ", ", "]::DOUBLE[]")
+
+  private val sqlBucket: String = (0 until nPlanes).map { j =>
+    s"(CASE WHEN ${sqlDot("embedding", sqlPlane(j))} > 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "n1_cosine_brute_topk" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p)
+         |SELECT qid, cid, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "n2_lsh_buckets" ->
+      s"""WITH b AS (SELECT vec_id, $sqlBucket AS bucket FROM embeddings)
+         |SELECT bucket, count(1) AS n_vecs, min(vec_id) AS min_vec
+         |FROM b GROUP BY bucket""".stripMargin,
+    "n3_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $sqlBucket AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS qid, q.bucket AS bucket, c.vec_id AS cid,
+         |    round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS sim
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p)
+         |SELECT qid, bucket, cid, sim, rnk FROM r WHERE rnk <= 3""".stripMargin,
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Text analysis for training-data pipelines: language/topic ID,
+  * quality scoring, token counting, document fingerprinting.
+  * All map-side (no shuffle except the final aggregation) — at 100 TB
+  * these run as a single scan pass with whole-stage codegen.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+
+  private val sqlDocs =
+    "SELECT *, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents"
+
+  /** Marker-profile classifier (the n-gram language-ID shape: score
+    * each profile by marker hits, argmax with a fixed tie order). The
+    * corpus is synthetic tech text, so profiles are topic profiles;
+    * the operator structure is identical to real language ID.
+    */
+  val t1LangId: Q = (s, d) => {
+    val profiles = Seq(
+      "article" -> Seq("the", "a"),
+      "storage" -> Seq("table", "scan", "merge", "part"),
+      "compute" -> Seq("spark", "stream", "batch", "query"),
+      "shape"   -> Seq("row", "window", "group", "sort"))
+    var df = docs(s, d)
+    for ((name, markers) <- profiles) {
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      df = df.withColumn(s"c_$name",
+        expr(s"size(filter(ws, t -> t IN ($set)))"))
+    }
+    val Seq(a, b, c2, e) = profiles.map(p => col(s"c_${p._1}"))
+    df.withColumn("pred",
+        when(a >= b && a >= c2 && a >= e, "article")
+          .when(b >= c2 && b >= e, "storage")
+          .when(c2 >= e, "compute")
+          .otherwise("shape"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Quality scoring: length/token/distinct-ratio heuristics → tier. */
+  val t2Quality: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))))
+      .withColumn("len_ok", (col("n_chars") >= 100 && col("n_chars") <= 800).cast("int"))
+      .withColumn("diversity_pct",
+        floor(col("n_distinct") * 100.0 / col("n_words")).cast("long"))
+      .withColumn("tier",
+        when(col("len_ok") === 1 && col("diversity_pct") >= 80, "high")
+          .when(col("diversity_pct") >= 60, "mid")
+          .otherwise("low"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).cast("long").as("total_words"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (word pieces and punctuation as separate tokens) + char count.
+    */
+  val t3TokenCount: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("ws_tokens", size(col("ws")))
+      .withColumn("bpe_tokens", expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws_tokens")).as("sum_ws_tokens"),
+           sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+           sum(length(col("text"))).as("sum_chars"))
+
+  /** Canonical fingerprint: md5 of the sorted distinct token set —
+    * catches reordered/duplicated-word docs. Output: dup clusters.
+    */
+  val t4Fingerprint: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(col("ws"))), " ")))
+      .groupBy(col("lang"), col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("n_docs")).as("n_clustered_docs"))
+
+  val queries: Map[String, Q] = Map(
+    "t1_lang_id" -> t1LangId,
+    "t2_quality" -> t2Quality,
+    "t3_token_count" -> t3TokenCount,
+    "t4_fingerprint" -> t4Fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" ->
+      s"""WITH t AS ($sqlDocs),
+         |c AS (SELECT lang,
+         |  length(list_filter(ws, t -> t IN ('the', 'a'))) AS c_article,
+         |  length(list_filter(ws, t -> t IN ('table', 'scan', 'merge', 'part'))) AS c_storage,
+         |  length(list_filter(ws, t -> t IN ('spark', 'stream', 'batch', 'query'))) AS c_compute,
+         |  length(list_filter(ws, t -> t IN ('row', 'window', 'group', 'sort'))) AS c_shape
+         |FROM t)
+         |SELECT lang,
+         |  CASE WHEN c_article >= c_storage AND c_article >= c_compute AND c_article >= c_shape THEN 'article'
+         |       WHEN c_storage >= c_compute AND c_storage >= c_shape THEN 'storage'
+         |       WHEN c_compute >= c_shape THEN 'compute'
+         |       ELSE 'shape' END AS pred,
+         |  count(1) AS n_docs
+         |FROM c GROUP BY lang, pred""".stripMargin,
+    "t2_quality" ->
+      s"""WITH t AS ($sqlDocs),
+         |q AS (SELECT lang, length(ws) AS n_words,
+         |        CASE WHEN n_chars BETWEEN 100 AND 800 THEN 1 ELSE 0 END AS len_ok,
+         |        CAST(floor(length(list_distinct(ws)) * 100.0 / length(ws)) AS BIGINT) AS diversity_pct
+         |      FROM t)
+         |SELECT lang,
+         |  CASE WHEN len_ok = 1 AND diversity_pct >= 80 THEN 'high'
+         |       WHEN diversity_pct >= 60 THEN 'mid' ELSE 'low' END AS tier,
+         |  count(1) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
+         |FROM q GROUP BY 1, 2""".stripMargin,
+    "t3_token_count" ->
+      s"""WITH t AS ($sqlDocs)
+         |SELECT source, count(1) AS n_docs,
+         |  sum(length(ws)) AS sum_ws_tokens,
+         |  sum(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS sum_bpe_tokens,
+         |  sum(length(text)) AS sum_chars
+         |FROM t GROUP BY source""".stripMargin,
+    "t4_fingerprint" ->
+      s"""WITH t AS ($sqlDocs),
+         |f AS (SELECT lang, md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp,
+         |             count(1) AS n_docs
+         |      FROM t GROUP BY lang, fp)
+         |SELECT lang, count(1) AS n_clusters, sum(n_docs) AS n_clustered_docs
+         |FROM f WHERE n_docs > 1 GROUP BY lang""".stripMargin,
+  )
+}
