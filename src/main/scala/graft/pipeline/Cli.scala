@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI surface mirroring the reference's two subcommands (main.py:14-84):
+  *
+  *   dump   --input <records.parquet> --dest <root> [--dump-id ID]
+  *          [--max-per-file N]
+  *   reload --dest <root> --topic <t> --sink <dir>
+  *          [--dump-id ID | latest] [--transformer FQCN]
+  *
+  * `--input` here is any parquet of (key binary, value binary,
+  * partition int, offset long) records — in a brokered deployment the
+  * same flow starts from KafkaIO.boundedRead instead (the connector
+  * jar is not in this container). `--dry-run` semantics (local files,
+  * no upload, kafka_client.py:250-253) are the default: dest is any
+  * Hadoop-FS path, s3a:// included.
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.drop(1))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[4]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.headOption.getOrElse(""), opts)
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, cmd: String, opts: Map[String, String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    cmd match {
+      case "dump" =>
+        val dumpId = opts.getOrElse("dump-id", DumpCatalog.newDumpId())
+        val records = spark.read.parquet(req(opts, "input"))
+        val names = new Dumper(spark).dump(
+          records, req(opts, "dest"), dumpId,
+          opts.getOrElse("max-per-file", "100000").toInt)
+        println(s"dumped ${names.size} files under ${req(opts, "dest")}/$dumpId")
+        names.foreach(n => println(s"  $n"))
+
+      case "reload" =>
+        val root = req(opts, "dest")
+        val cat = new DumpCatalog(root, conf)
+        val dumpId = opts.get("dump-id").filter(_ != "latest")
+          .orElse(cat.latestDumpId())
+          .getOrElse(sys.error(s"no dumps under $root"))
+        val transformer = Transformer.load(
+          opts.getOrElse("transformer", classOf[IdentityTransformer].getName))
+        val store = new FileStateStore(opts.getOrElse("state-dir", s"$root/_state"))
+        val sink = new ParquetRecordSink(spark, req(opts, "sink"))
+        val result = new Reloader(spark, store)
+          .reload(req(opts, "topic"), cat.dumpPath(dumpId), dumpId, transformer, sink)
+        result match {
+          case HotReload(offsets) =>
+            println(s"hot reload: reset consumer group to $offsets (no data moved)")
+          case Reloaded(rows, state) =>
+            println(s"reloaded $rows rows; state saved: ${state.toJson}")
+        }
+
+      case other =>
+        System.err.println(s"unknown command '$other'; expected dump|reload")
+        sys.exit(2)
+    }
+  }
+
+  private def req(opts: Map[String, String], k: String): String =
+    opts.getOrElse(k, sys.error(s"missing required --$k"))
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+}
