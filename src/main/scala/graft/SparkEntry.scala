@@ -21,7 +21,10 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.TextAnalysis.queries ++
-    operators.Multimodal.queries
+    operators.Multimodal.queries ++
+    operators.AggregatesPlus.queries ++
+    operators.WindowsBatch.queries ++
+    operators.UdfSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +36,8 @@ object SparkEntry {
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
     operators.TextAnalysis.oracles ++
-    operators.Multimodal.oracles
+    operators.Multimodal.oracles ++
+    operators.AggregatesPlus.oracles ++
+    operators.WindowsBatch.oracles ++
+    operators.UdfSurface.oracles
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.sources.Num._
+
+/** Batch analogs of the streaming window operators (SURVEY.md §2.11 /
+  * M3): tumbling window(), sliding window(), session_window(), and
+  * dropDuplicates — the exact expressions graft.streaming.Streams runs
+  * under a watermark, here verified against plain-SQL oracles
+  * (session windows via gaps-and-islands).
+  *
+  * Window starts are surfaced as epoch seconds (bigint) — timestamp
+  * columns don't hash identically across engines (µs vs ns).
+  */
+object WindowsBatch {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows per event type. */
+  val wb1Tumbling: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 15 minutes (each event in 4 windows). */
+  val wb2Sliding: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events_x4"),
+           min(unix_timestamp(col("w.start"))).as("first_window"))
+
+  /** Session windows: 30-minute inactivity gap per user. Oracle:
+    * gaps-and-islands (lag + cumulative gap count).
+    */
+  val wb3Session: Q = (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           max(col("n")).as("max_session_events"),
+           sum(col("n")).as("n_events"))
+
+  /** Batch dropDuplicates == streaming dedup within watermark. */
+  val wb4Dedup: Q = (s, d) =>
+    events(s, d)
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
+  val queries: Map[String, Q] = Map(
+    "wb1_tumbling" -> wb1Tumbling,
+    "wb2_sliding" -> wb2Sliding,
+    "wb3_session" -> wb3Session,
+    "wb4_dedup" -> wb4Dedup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "wb1_tumbling" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         | event_type, count(1) AS n, ${sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "wb2_sliding" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ms(ts) // 900000) * 900 - k.k AS window_start
+        |  FROM events, (SELECT unnest([0, 900, 1800, 2700]) AS k) k),
+        |w AS (SELECT user_id, window_start, count(1) AS n FROM e GROUP BY 1, 2)
+        |SELECT user_id, count(1) AS n_windows, sum(n) AS n_events_x4,
+        |       min(window_start) AS first_window
+        |FROM w GROUP BY user_id""".stripMargin,
+    "wb3_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    -- Spark session [start, last+gap): an event exactly at
+        |    -- prev+gap starts a NEW session, hence >= not >
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM o),
+        |g AS (SELECT user_id, session_id, count(1) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(1) AS n_sessions, max(n) AS max_session_events,
+        |       sum(n) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "wb4_dedup" ->
+      """SELECT event_type, count(1) AS n_users
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type""".stripMargin,
+  )
+}

@@ -23,9 +23,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-        # normalize arrow lists/objects to tuples for sorting
+        # normalize arrow lists/ndarrays to tuples for sorting
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) else v)
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple))
+                or type(v).__name__ == "ndarray" else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
