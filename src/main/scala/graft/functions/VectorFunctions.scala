@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftnative.{Bridge, CosineSimilarity}
+
+/** User-facing API for the native vector expressions. */
+object VectorFunctions {
+  /** Column API: fused single-pass cosine similarity (codegen'd). */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** SQL registration: SELECT cosine_sim(a, b) ... (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+}

@@ -31,15 +31,18 @@ object Similarity {
   private val dims = 64
   private val nPlanes = 4
 
-  /** Sequential-fold double dot product of two float arrays. */
+  /** Pair similarities use the native codegen'd CosineSimilarity
+    * expression (one fused pass, no intermediate arrays — see
+    * graft.functions.CosineSimilarity); the fold order matches these
+    * HOF forms exactly, so either computes bit-identical doubles.
+    * The HOF fold is kept for the hyperplane projections, whose plane
+    * side is a double-array literal (and runs once per vector, not per
+    * pair).
+    */
   private def dotCol(a: String, b: String): Column =
     aggregate(
       zip_with(col(a), col(b), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
-
-  private def normCol(a: String): Column =
-    sqrt(aggregate(transform(col(a), x => x.cast(DoubleType) * x.cast(DoubleType)),
-                   lit(0.0), (acc, x) => acc + x))
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 8). */
   val n1BruteTopK: Q = (s, d) => {
@@ -48,8 +51,11 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    q.join(broadcast(c), col("qid") =!= col("cid"))
-      .withColumn("sim", round(dotCol("qe", "ce") / (normCol("qe") * normCol("ce")), 6))
+    // broadcast the (small, fixed) query set and stream the corpus —
+    // the build side must be the one that does NOT grow with the data
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("cid"), col("sim"), col("rnk"))
@@ -88,8 +94,9 @@ object Similarity {
     val c = withB.select(col("vec_id").as("cid"), col("embedding").as("ce"),
                          col("bucket").as("c_bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    q.join(c, col("bucket") === col("c_bucket") && col("qid") =!= col("cid"))
-      .withColumn("sim", round(dotCol("qe", "ce") / (normCol("qe") * normCol("ce")), 6))
+    c.join(broadcast(q), col("bucket") === col("c_bucket") && col("qid") =!= col("cid"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("bucket"), col("cid"), col("sim"), col("rnk"))

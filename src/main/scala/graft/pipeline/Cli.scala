@@ -63,8 +63,19 @@ object Cli {
             println(s"reloaded $rows rows; state saved: ${state.toJson}")
         }
 
+      case "explain" =>
+        // explain <queryName> [sfDir]: formatted physical plan of a
+        // registered SparkEntry query — the plan-iteration loop
+        val name = req(opts, "query")
+        val sf = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+        graft.SparkEntry.queries.get(name) match {
+          case Some(fn) => println(fn(spark, sf).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          case None => sys.error(s"unknown query '$name'")
+        }
+
       case other =>
-        System.err.println(s"unknown command '$other'; expected dump|reload")
+        System.err.println(s"unknown command '$other'; expected dump|reload|explain")
         sys.exit(2)
     }
   }
