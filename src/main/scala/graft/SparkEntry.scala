@@ -24,7 +24,8 @@ object SparkEntry {
     operators.Multimodal.queries ++
     operators.AggregatesPlus.queries ++
     operators.WindowsBatch.queries ++
-    operators.UdfSurface.queries
+    operators.UdfSurface.queries ++
+    operators.Coverage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     operators.Multimodal.oracles ++
     operators.AggregatesPlus.oracles ++
     operators.WindowsBatch.oracles ++
-    operators.UdfSurface.oracles
+    operators.UdfSurface.oracles ++
+    operators.Coverage.oracles
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.sources.Num._
+
+/** Remaining SURVEY.md §2.12 inventory: arg-max aggregates, join
+  * strategy hints, unionByName, date arithmetic.
+  */
+object Coverage {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** max_by / min_by (A2 parity shape, per group). */
+  val c1ArgMax: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+             .as("dearest_key"),
+           min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+             .as("cheapest_key"))
+
+  /** Explicit shuffle-hash join hint (vs the planner's sort-merge
+    * default for fact-fact): skips both sort passes when one side
+    * builds a hash map per partition.
+    */
+  val c2ShuffleHashHint: Q = (s, d) =>
+    orders(s, d).hint("shuffle_hash")
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** unionByName: schema aligned by column NAME, not position. */
+  val c3UnionByName: Q = (s, d) => {
+    val a = customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val b = supplier(s, d)
+      .select(col("s_acctbal").as("bal"), col("s_suppkey").as("k")) // reversed on purpose
+    a.unionByName(b)
+      .agg(count(lit(1)).as("n"), moneySum(col("bal")).as("sum_bal"))
+  }
+
+  /** Date arithmetic: datediff / date_add / last_day / extract. */
+  val c4DateArithmetic: Q = (s, d) =>
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("age_days"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("due_date"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .filter(col("o_orderkey") % 37 === 0)
+
+  val queries: Map[String, Q] = Map(
+    "c1_arg_max" -> c1ArgMax,
+    "c2_shuffle_hash_hint" -> c2ShuffleHashHint,
+    "c3_union_by_name" -> c3UnionByName,
+    "c4_date_arithmetic" -> c4DateArithmetic,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // struct-ordered arg-max has no direct DuckDB form → window oracle
+    "c1_arg_max" ->
+      """WITH mx AS (SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT a.o_orderpriority, a.o_orderkey AS dearest_key, b.o_orderkey AS cheapest_key
+        |FROM mx a JOIN mx b ON a.o_orderpriority = b.o_orderpriority
+        |WHERE a.rmax = 1 AND b.rmin = 1""".stripMargin,
+    "c2_shuffle_hash_hint" ->
+      s"""SELECT o_orderstatus, ${sqlMoneySum("l_quantity")} AS sum_qty, count(1) AS n
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
+    "c3_union_by_name" ->
+      s"""SELECT count(1) AS n, ${sqlMoneySum("bal")} AS sum_bal FROM (
+         |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier)""".stripMargin,
+    "c4_date_arithmetic" ->
+      """SELECT o_orderkey,
+        | date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS age_days,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr
+        |FROM orders WHERE o_orderkey % 37 = 0""".stripMargin,
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-tactic specs: salted aggregation equivalence and bucketed
+  * co-located joins (no shuffle exchange in the bucketed plan).
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted sum/count == plain groupBy on a skewed key") {
+    // 90% of rows share one key — the salted plan spreads them
+    val df = (0 until 20000).map { i =>
+      (if (i % 10 == 0) s"k${i % 50}" else "hot", i.toLong)
+    }.toDF("k", "v")
+    val salted = Scale.saltedSumCount(df, col("k"), col("v"), nSalts = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("count_v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$warehouse/orders_b").saveAsTable("graft_orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$warehouse/lineitem_b").saveAsTable("graft_lineitem_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tiny tables would otherwise broadcast; force the shuffle-join
+      // path so bucketing's no-Exchange property is what's on display
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"),
+              col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ; plan:\n$plan")
+      // and it still computes the right thing
+      assert(joined.count() ==
+        o.join(l, col("o_orderkey") === col("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+}
