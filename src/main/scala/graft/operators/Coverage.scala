@@ -53,11 +53,35 @@ object Coverage {
         quarter(col("o_orderdate")).as("qtr"))
       .filter(col("o_orderkey") % 37 === 0)
 
+  /** Right-outer join (left outer is q9): all orders kept, nation
+    * enrich may be null-side when the customer filter drops the row.
+    */
+  val c5RightOuter: Q = (s, d) =>
+    customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+            col("c_custkey") === col("o_custkey"), "right_outer")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           count(col("c_custkey")).as("n_rich_customer_orders"))
+
+  /** encode → decode round-trip (§2.10 str↔bytes coercion, both ways). */
+  val c6Decode: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("bytes", encode(col("text"), "UTF-8"))
+      .withColumn("back", decode(col("bytes"), "UTF-8"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+           sum((col("back") === col("text")).cast("long")).as("n_roundtrip_ok"),
+           sum(octet_length(col("bytes"))).as("total_bytes"))
+
   val queries: Map[String, Q] = Map(
     "c1_arg_max" -> c1ArgMax,
     "c2_shuffle_hash_hint" -> c2ShuffleHashHint,
     "c3_union_by_name" -> c3UnionByName,
     "c4_date_arithmetic" -> c4DateArithmetic,
+    "c5_right_outer" -> c5RightOuter,
+    "c6_decode" -> c6Decode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,5 +112,16 @@ object Coverage {
         | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
         | year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr
         |FROM orders WHERE o_orderkey % 37 = 0""".stripMargin,
+    "c5_right_outer" ->
+      """SELECT o_orderstatus, count(1) AS n_orders,
+        | count(c_custkey) AS n_rich_customer_orders
+        |FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000) c
+        |RIGHT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "c6_decode" ->
+      """SELECT lang, count(1) AS n,
+        | count(1) AS n_roundtrip_ok,
+        | sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+        |FROM documents GROUP BY lang""".stripMargin,
   )
 }

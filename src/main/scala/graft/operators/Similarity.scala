@@ -102,10 +102,44 @@ object Similarity {
       .select(col("qid"), col("bucket"), col("cid"), col("sim"), col("rnk"))
   }
 
+  /** IVF-style ANN: a fixed centroid table (16 "trained" centroids —
+    * here vectors 100..115, deterministic stand-ins for k-means
+    * output), every vector assigned to its nearest centroid by cosine;
+    * queries are MULTI-PROBE (their top-2 cells — the recall/cost knob
+    * of IVF). At 100 TB the cell id is the partition key: assignment
+    * is one broadcast-join map pass, search shuffles only within
+    * probed cells.
+    */
+  val n4IvfTopK: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("csim", graft.functions.VectorFunctions.cosineSim(col("embedding"), col("cent_e")))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val q = ranked.filter(col("crn") <= 2 && col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("cent_id").as("cell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                            col("cell").as("c_cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q), col("cell") === col("c_cell") && col("qid") =!= col("cid"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("sim"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "n1_cosine_brute_topk" -> n1BruteTopK,
     "n2_lsh_buckets" -> n2LshBuckets,
     "n3_lsh_topk" -> n3LshTopK,
+    "n4_ivf_topk" -> n4IvfTopK,
   )
 
   // ---- oracle SQL ----
@@ -146,5 +180,26 @@ object Similarity {
          |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p)
          |SELECT qid, bucket, cid, sim, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "n4_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_e FROM embeddings
+         |  WHERE vec_id >= 100 AND vec_id < 116),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.embedding", "c.cent_e")} /
+         |               (${sqlNorm("e.embedding")} * ${sqlNorm("c.cent_e")}) DESC,
+         |      c.cent_id) AS crn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE crn = 1),
+         |probes AS (SELECT vec_id, embedding, cent_id AS cell FROM asg
+         |           WHERE crn <= 2 AND vec_id < 8),
+         |p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS sim
+         |  FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p)
+         |SELECT qid, cid, sim, rnk FROM r WHERE rnk <= 3""".stripMargin,
   )
 }
