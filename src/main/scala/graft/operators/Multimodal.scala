@@ -38,11 +38,12 @@ object Multimodal {
       payload_bytes = b.payload.length)
   }
 
-  /** Decode pass over the binary column via typed mapPartitions —
+  /** Blob extraction + decode pass via typed mapPartitions —
     * batch-shaped (iterator in/out, one decoder init per partition),
-    * exactly how a native decoder would be driven at scale.
+    * exactly how a native decoder would be driven at scale. Shared by
+    * m1 and m3 so their decode semantics cannot drift apart.
     */
-  val m1DecodeMeta: Q = (s, d) => {
+  private def decoded(s: SparkSession, d: String) = {
     import s.implicits._
     graft.sources.Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
@@ -52,12 +53,15 @@ object Multimodal {
         // per-partition decoder init would go here (codec handle, etc.)
         it.map(fakeDecode)
       }
+  }
+
+  val m1DecodeMeta: Q = (s, d) =>
+    decoded(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_blobs"),
            sum(col("width")).as("sum_width"),
            sum(col("height")).as("sum_height"),
            sum(col("payload_bytes")).as("sum_bytes"))
-  }
 
   /** Frame sampling: every 2nd frame index of each "video" exploded to
     * one row per frame — the batch shape of video-frame extraction.
@@ -73,19 +77,13 @@ object Multimodal {
   /** Resize planning: target dims halved with a floor of 16 — pure
     * metadata arithmetic over the decoded struct (no shuffle).
     */
-  val m3ResizePlan: Q = (s, d) => {
-    import s.implicits._
-    graft.sources.Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-              col("source"), col("n_chars"))
-      .as[Blob]
-      .mapPartitions(_.map(fakeDecode))
+  val m3ResizePlan: Q = (s, d) =>
+    decoded(s, d)
       .select(col("doc_id"),
               greatest(lit(16), (col("width") / 2).cast("int")).as("target_w"),
               greatest(lit(16), (col("height") / 2).cast("int")).as("target_h"))
       .groupBy(col("target_w"), col("target_h"))
       .agg(count(lit(1)).as("n_blobs"))
-  }
 
   val queries: Map[String, Q] = Map(
     "m1_decode_meta" -> m1DecodeMeta,

@@ -72,7 +72,10 @@ object Parity {
   /** K1 deterministic file naming: `{dump_id}-{cumulative:015d}.parquet`
     * (kafka_client.py:242-243) — chunk rows into ≤100-row files in
     * offset order, name by cumulative count, lexicographic sort == scan
-    * order invariant.
+    * order invariant. The global row_number here is the RELATIONAL
+    * statement of the semantics (single-task window); the production
+    * Dumper computes the same names scalably via range partition +
+    * per-file footer counts.
     */
   val p4FileNames: Q = (s, d) =>
     topic(s, d)

@@ -329,12 +329,19 @@ object Relational {
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |GROUP BY a.event_type, b.event_type""".stripMargin,
+    // mirrors the Spark window exactly (incl. the event_id tie-break)
+    // — arg_max would pick an arbitrary row among same-ts signups
     "q13_join_asof" ->
-      """SELECT p.event_id AS p_id, arg_max(s.event_id, s.ts) AS asof_signup_id
-        |FROM events p JOIN events s
-        |  ON p.user_id = s.user_id AND s.ts <= p.ts
-        |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
-        |GROUP BY p.event_id""".stripMargin,
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'signup')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+        |  FROM e)
+        |SELECT event_id AS p_id, asof_signup_id
+        |FROM o WHERE event_type = 'purchase' AND asof_signup_id IS NOT NULL""".stripMargin,
     "q14_agg_stats" ->
       s"""SELECT o_orderpriority, count(1) AS n_orders,
          | round(min(o_totalprice), 2) AS min_price,

@@ -61,34 +61,32 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rnk"))
   }
 
+  /** Sign-bit LSH bucket id of the `embedding` column — ONE definition
+    * shared by n2 and n3 (and mirrored by sqlBucket): the two queries'
+    * bucket ids must stay bit-identical or n3's candidate sets silently
+    * diverge from n2's published histogram.
+    */
+  private def bucketCol: Column = (0 until nPlanes).map { j =>
+    val p = typedLit(plane(j, dims))
+    when(aggregate(zip_with(col("embedding"), p,
+                            (x, y) => x.cast(DoubleType) * y),
+                   lit(0.0), (acc, x) => acc + x) > 0,
+         lit(1 << j)).otherwise(lit(0))
+  }.reduce(_ + _)
+
   /** LSH bucketing: sign-bit bucket id per vector + bucket histogram. */
-  val n2LshBuckets: Q = (s, d) => {
-    val e = graft.sources.Tables.embeddings(s, d)
-    val bucket = (0 until nPlanes).map { j =>
-      val p = typedLit(plane(j, dims))
-      when(aggregate(zip_with(col("embedding"), p,
-                              (x, y) => x.cast(DoubleType) * y),
-                     lit(0.0), (acc, x) => acc + x) > 0,
-           lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    e.select(col("vec_id"), bucket.as("bucket"))
+  val n2LshBuckets: Q = (s, d) =>
+    graft.sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), bucketCol.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
-  }
 
   /** LSH ANN: top-3 cosine neighbors per query, candidates restricted
     * to the query's bucket (the scale path: bucket = join key).
     */
   val n3LshTopK: Q = (s, d) => {
     val e = graft.sources.Tables.embeddings(s, d)
-    val bucket = (0 until nPlanes).map { j =>
-      val p = typedLit(plane(j, dims))
-      when(aggregate(zip_with(col("embedding"), p,
-                              (x, y) => x.cast(DoubleType) * y),
-                     lit(0.0), (acc, x) => acc + x) > 0,
-           lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val withB = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val withB = e.select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
     val q = withB.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
     val c = withB.select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -116,12 +114,17 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("csim", graft.functions.VectorFunctions.cosineSim(col("embedding"), col("cent_e")))
-      .withColumn("crn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("crn") === 1)
+    def rankedAgainstCentroids(vecs: org.apache.spark.sql.DataFrame) =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("csim", graft.functions.VectorFunctions.cosineSim(col("embedding"), col("cent_e")))
+        .withColumn("crn", row_number().over(wAssign))
+    // assignment over the corpus runs ONCE; the probe ranking is a
+    // separate 8-vector plan — a shared `ranked` consumed twice would
+    // recompute the N×16 assignment in both join branches
+    val assigned = rankedAgainstCentroids(e).filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val q = ranked.filter(col("crn") <= 2 && col("vec_id") < 8)
+    val q = rankedAgainstCentroids(e.filter(col("vec_id") < 8))
+      .filter(col("crn") <= 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               col("cent_id").as("cell"))
     val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),

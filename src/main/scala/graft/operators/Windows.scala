@@ -9,10 +9,11 @@ import graft.sources.Num._
 
 /** Window functions, sorts, top-k and set operations (SURVEY.md §2.12).
   *
-  * Every window is partitioned on a real key so the sort is per-group
-  * and scales horizontally; the only global sorts are bounded top-k
-  * (`orderBy.limit`), which Spark executes as per-partition top-k +
-  * single-reduce merge (TakeOrderedAndProject) — no full global sort.
+  * Windows are partitioned on a real key so the sort is per-group and
+  * scales horizontally — except w5, whose semantics (global quartiles)
+  * are inherently total-order; see its note. Bounded top-k
+  * (`orderBy.limit`) runs as per-partition top-k + single-reduce merge
+  * (TakeOrderedAndProject) — no full global sort.
   */
 object Windows {
   type Q = (SparkSession, String) => DataFrame
@@ -66,7 +67,12 @@ object Windows {
               sum(dec2(col("value"))).over(w).cast(DoubleType).as("rolling_value"))
   }
 
-  /** dense_rank + ntile quartiles of customers by account balance. */
+  /** dense_rank + ntile quartiles of customers by account balance.
+    * Deliberately a GLOBAL window (single-task sort): quartiles over
+    * the whole table have no partition key. Fine for a dimension-sized
+    * table; at fact scale this becomes two passes — range-partitioned
+    * sort, then per-range offsets merged on the driver.
+    */
   val w5NtileDense: Q = (s, d) => {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     customer(s, d)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   *          [--max-per-file N]
   *   reload --dest <root> --topic <t> --sink <dir>
   *          [--dump-id ID | latest] [--transformer FQCN]
+  *   explain --query <name> [--sf-dir <dir>]
   *
   * `--input` here is any parquet of (key binary, value binary,
   * partition int, offset long) records — in a brokered deployment the
@@ -64,8 +65,8 @@ object Cli {
         }
 
       case "explain" =>
-        // explain <queryName> [sfDir]: formatted physical plan of a
-        // registered SparkEntry query — the plan-iteration loop
+        // explain --query <name> [--sf-dir <dir>]: formatted physical
+        // plan of a registered SparkEntry query — the plan-iteration loop
         val name = req(opts, "query")
         val sf = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
         graft.SparkEntry.queries.get(name) match {

@@ -57,7 +57,11 @@ class Dumper(spark: SparkSession) {
     var cumulative = 0L
     val names = for (f <- parts) yield {
       val name = f"$dumpId-$cumulative%015d.parquet"
-      fs.rename(f.getPath, new HPath(dir, name))
+      // FileSystem.rename reports failure by RETURNING false, not
+      // throwing — a silently-kept part-* name would corrupt the
+      // lexicographic-order contract
+      if (!fs.rename(f.getPath, new HPath(dir, name)))
+        throw new java.io.IOException(s"rename failed: ${f.getPath} -> $dir/$name")
       cumulative += footerRowCount(fs, new HPath(dir, name))
       name
     }

@@ -20,9 +20,14 @@ class ParquetRecordSink(spark: SparkSession, dir: String) extends RecordSink {
     else Map(0 -> spark.read.parquet(dir).count())
   }
 
+  /** Single execution: write, then derive the row delta from parquet
+    * footers. A count()-then-write would run the (possibly
+    * non-deterministic) transformer twice and could report a count
+    * that differs from the rows actually persisted.
+    */
   override def write(records: Dataset[KafkaRecord]): Long = {
-    val n = records.count()
+    val before = endOffsets(0)
     records.toDF().write.mode("append").parquet(dir)
-    n
+    endOffsets(0) - before
   }
 }

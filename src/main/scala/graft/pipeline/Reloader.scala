@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
 class Reloader(spark: SparkSession, store: StateStore) {
 
   /** Read a dump directory in the reference's order: lexicographic
-    * file sort == consumption order (kafka_client.py:291). Exposed as
-    * key/value columns.
+    * file sort == consumption order (kafka_client.py:291). The sort
+    * key includes the in-file row index — a file bigger than one scan
+    * split would otherwise have its rows tie on file name alone and
+    * land in nondeterministic shuffle-fetch order.
     */
   def read(dumpDir: String): DataFrame =
     spark.read.parquet(dumpDir)
-      .withColumn("_file", input_file_name())
-      .orderBy(col("_file"))
+      .orderBy(col("_metadata.file_path"), col("_metadata.row_index"))
       .select(col("0").as("key"), col("1").as("value"))
 
   /** Transformer application as a typed flatMap (SURVEY.md §2.9 U1). */

@@ -38,7 +38,11 @@ object StatefulSessions {
           val closed = Seq.newBuilder[ClosedSession]
           var st = state.getOption.orNull
           for (e <- sorted) {
-            if (st == null) {
+            if (st != null && e.ts_ms < st.lastMs) {
+              // cross-batch late event: without a watermark it would
+              // rewind lastMs and make the next on-time event falsely
+              // close the session — drop-late is the explicit policy
+            } else if (st == null) {
               st = SessionState(e.ts_ms, e.ts_ms, 1, e.value)
             } else if (e.ts_ms - st.lastMs >= gapMs) {
               closed += ClosedSession(userId, st.startMs, st.lastMs, st.n, st.sum)
