@@ -75,6 +75,38 @@ object Coverage {
            sum((col("back") === col("text")).cast("long")).as("n_roundtrip_ok"),
            sum(octet_length(col("bytes"))).as("total_bytes"))
 
+  /** HAVING: post-aggregation filter (Catalyst folds it into the agg). */
+  val c7Having: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("sum_price"))
+      .filter(col("n_orders") >= 15)
+
+  /** PIVOT: returnflag columns per linestatus (explicit value list so
+    * the output schema is static — at scale an implicit pivot would
+    * trigger a distinct-scan planning job first).
+    */
+  val c8Pivot: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(moneySum(col("l_quantity")))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+
+  /** Map-type functions: build a map from parsed JSON, interrogate it. */
+  val c9MapFunctions: Q = (s, d) =>
+    events(s, d)
+      .withColumn("m", map(
+        lit("k"), get_json_object(col("props"), "$.k").cast("bigint"),
+        lit("uid"), col("user_id")))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).getItem(0).as("first_key"),
+        element_at(col("m"), "k").as("k_value"),
+        size(col("m")).as("m_size"))
+      .filter(col("k_value") % 25 === 3)
+
   val queries: Map[String, Q] = Map(
     "c1_arg_max" -> c1ArgMax,
     "c2_shuffle_hash_hint" -> c2ShuffleHashHint,
@@ -82,6 +114,9 @@ object Coverage {
     "c4_date_arithmetic" -> c4DateArithmetic,
     "c5_right_outer" -> c5RightOuter,
     "c6_decode" -> c6Decode,
+    "c7_having" -> c7Having,
+    "c8_pivot" -> c8Pivot,
+    "c9_map_functions" -> c9MapFunctions,
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +158,20 @@ object Coverage {
         | count(1) AS n_roundtrip_ok,
         | sum(octet_length(CAST(text AS BLOB))) AS total_bytes
         |FROM documents GROUP BY lang""".stripMargin,
+    "c7_having" ->
+      s"""SELECT o_custkey, count(1) AS n_orders, ${sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_custkey HAVING count(1) >= 15""".stripMargin,
+    "c8_pivot" ->
+      s"""SELECT l_linestatus,
+         | ${sqlMoneySum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+         | ${sqlMoneySum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+         | ${sqlMoneySum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "c9_map_functions" ->
+      """SELECT event_id, 'k' AS first_key,
+        | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_value,
+        | 2 AS m_size
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 25 = 3""".stripMargin,
   )
 }
