@@ -54,7 +54,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(names.map(_.drop("20240101000000-".length).take(15).toLong) == cum)
   }
 
-  test("reload round-trips the corpus under Identity, in order") {
+  test("reload round-trips the corpus under Identity, in EXACT order") {
     val dir = Files.createTempDirectory("graft-dump").toString
     new Dumper(spark).dump(corpus(), dir, "d1", maxPerFile = 64)
     val store = new FileStateStore(Files.createTempDirectory("graft-state").toString)
@@ -63,8 +63,29 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => new String(r.value, "UTF-8"))
     val want = corpus().orderBy($"partition", $"offset")
       .collect().map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
-    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // exact sequence equality — a sorted compare would hide
+    // consumption-order regressions (the invariant under test)
+    assert(got.toSeq == want.toSeq)
     assert(got.length == 350)
+  }
+
+  test("reload order survives a dump file spanning multiple scan splits") {
+    val dir = Files.createTempDirectory("graft-dump").toString
+    // one big file: every row in a single parquet, then force tiny
+    // scan splits so the file is read as many input partitions —
+    // ordering must come from _metadata.row_index, not split luck
+    new Dumper(spark).dump(corpus(), dir, "dbig", maxPerFile = 1000000)
+    val store = new FileStateStore(Files.createTempDirectory("graft-state").toString)
+    val rel = new Reloader(spark, store)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val got = try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      rel.transformed(s"$dir/dbig", new IdentityTransformer)
+        .collect().map(r => new String(r.value, "UTF-8"))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    val want = corpus().orderBy($"partition", $"offset")
+      .collect().map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+    assert(got.toSeq == want.toSeq)
   }
 
   test("splitting transformer doubles the row count") {
