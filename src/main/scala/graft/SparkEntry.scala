@@ -25,7 +25,8 @@ object SparkEntry {
     operators.AggregatesPlus.queries ++
     operators.WindowsBatch.queries ++
     operators.UdfSurface.queries ++
-    operators.Coverage.queries
+    operators.Coverage.queries ++
+    operators.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     operators.AggregatesPlus.oracles ++
     operators.WindowsBatch.oracles ++
     operators.UdfSurface.oracles ++
-    operators.Coverage.oracles
+    operators.Coverage.oracles ++
+    operators.SqlSurface.oracles
 }
