@@ -123,12 +123,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Embedding-cosine near-dup: vector pairs above a similarity
+    * threshold, blocked on label (the cluster id a real pipeline
+    * would block on) — count per label band. Uses the native fused
+    * cosine expression.
+    */
+  val d6EmbeddingDup: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+                     col("label"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+                     col("label").as("b_label"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("a_e"), col("b_e")), 6))
+      .filter(col("sim") > 0.5)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_neardup_pairs"),
+           min(col("a_id")).as("min_a"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_dedup_exact" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
     "d3_minhash_buckets" -> d3MinhashBuckets,
     "d4_simhash" -> d4Simhash,
     "d5_jaccard_blocked" -> d5Jaccard,
+    "d6_embedding_dup" -> d6EmbeddingDup,
   )
 
   private val sqlShingles =
@@ -188,5 +209,15 @@ object Dedup {
          |SELECT lang, CAST(floor(inter * 10.0 / uni) AS BIGINT) AS j_band, count(1) AS n_pairs
          |FROM p WHERE floor(inter * 10.0 / uni) >= 5
          |GROUP BY lang, j_band""".stripMargin,
+    "d6_embedding_dup" ->
+      """WITH p AS (
+        |  SELECT a.label,  a.vec_id AS a_id,
+        |    round(list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), z -> z[1] * z[2])) /
+        |          (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x))) *
+        |           sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, count(1) AS n_neardup_pairs, min(a_id) AS min_a
+        |FROM p WHERE sim > 0.5 GROUP BY label""".stripMargin,
   )
 }
