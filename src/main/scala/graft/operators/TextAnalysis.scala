@@ -87,11 +87,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_clusters"),
            sum(col("n_docs")).as("n_clustered_docs"))
 
+  /** Polynomial rolling hash (Karp-Rabin shape) over the first 64
+    * chars: h = fold (h*31 + c) mod p — the incremental-hash primitive
+    * behind shingle fingerprinting, computed per doc in one codegen'd
+    * fold (no string materialization beyond char codes).
+    */
+  val t5RollingHash: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("rh", expr(
+        """aggregate(
+          |  transform(sequence(1, least(length(text), 64)),
+          |            i -> cast(ascii(substring(text, i, 1)) as bigint)),
+          |  cast(0 as bigint),
+          |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin))
+      .groupBy((col("rh") % 16).as("rh_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("rh")).as("n_distinct_hashes"))
+
   val queries: Map[String, Q] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
+    "t5_rolling_hash" -> t5RollingHash,
   )
 
   val oracles: Map[String, String] = Map(
@@ -135,5 +153,16 @@ object TextAnalysis {
          |      FROM t GROUP BY lang, fp)
          |SELECT lang, count(1) AS n_clusters, sum(n_docs) AS n_clustered_docs
          |FROM f WHERE n_docs > 1 GROUP BY lang""".stripMargin,
+    "t5_rolling_hash" ->
+      """WITH h AS (
+        |  SELECT list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(range(1, least(length(text), 64) + 1),
+        |                     i -> ascii(substring(text, i, 1))::BIGINT)),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS rh
+        |  FROM documents)
+        |SELECT rh % 16 AS rh_bucket, count(1) AS n_docs,
+        |       count(DISTINCT rh) AS n_distinct_hashes
+        |FROM h GROUP BY 1""".stripMargin,
   )
 }
