@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
+import graft.sources.Num.dec2
 
 /** Remaining aggregate surface (SURVEY.md §2.12): exact percentiles,
   * ordered collect_list, HLL approx-distinct, JSON construction.
@@ -53,11 +54,59 @@ object AggregatesPlus {
       .select(col("event_id"),
               to_json(struct(col("k"), col("event_type"))).as("doc"))
 
+  /** Population variance from exact decimal moments: Σx and Σx² are
+    * summed as decimals (order-independent), the E[x²]−E[x]² formula
+    * then runs in doubles on identical inputs — deterministic across
+    * engines, unlike the built-in var_pop's engine-specific
+    * accumulation order.
+    */
+  val a5Variance: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec2(col("o_totalprice"))).cast("double").as("sx"),
+           sum(dec2(col("o_totalprice")) * dec2(col("o_totalprice"))).cast("double").as("sxx"))
+      // explicit (sx/n)*(sx/n), NOT pow(): libm pow isn't bit-stable
+      // across engines, a plain double multiply is
+      .select(col("o_orderstatus"), col("n"),
+              round(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")), 2)
+                .as("var_pop"))
+
+  /** Pearson correlation from exact decimal moments (same recipe). */
+  val a6Corr: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum(dec2(col("l_extendedprice"))).cast("double").as("sx"),
+           sum(dec2(col("l_quantity"))).cast("double").as("sy"),
+           sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).cast("double").as("sxy"),
+           sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).cast("double").as("sxx"),
+           sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+              round((col("sxy") * col("n") - col("sx") * col("sy"))
+                    / (sqrt(col("sxx") * col("n") - col("sx") * col("sx"))
+                       * sqrt(col("syy") * col("n") - col("sy") * col("sy"))), 6)
+                .as("corr_price_qty"))
+
+  /** The salted-aggregation scale tactic through the oracle gate:
+    * identical result to a plain GROUP BY (which is the oracle), but
+    * planned as partial-on-(key,salt) → final-on-key.
+    */
+  val a7SaltedAgg: Q = (s, d) =>
+    Scale.saltedSumCount(
+        lineitem(s, d), col("l_suppkey"), dec2(col("l_quantity")), nSalts = 8)
+      .select(col("k").as("l_suppkey"),
+              col("sum_v").cast("double").as("sum_qty"),
+              col("count_v"))
+
   val queries: Map[String, Q] = Map(
     "a1_percentile" -> a1Percentile,
     "a2_collect_list" -> a2CollectList,
     "a3_approx_distinct" -> a3ApproxDistinct,
     "a4_json_roundtrip" -> a4JsonRoundtrip,
+    "a5_variance" -> a5Variance,
+    "a6_corr" -> a6Corr,
+    "a7_salted_agg" -> a7SaltedAgg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +121,30 @@ object AggregatesPlus {
         | array_to_string((list_sort(list(o_orderkey)))[1:5], ',') AS first_keys, count(1) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // a3_approx_distinct intentionally omitted (sketch, not portable)
+    "a5_variance" ->
+      """WITH m AS (SELECT o_orderstatus, count(1) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n, round(sxx / n - (sx / n) * (sx / n), 2) AS var_pop
+        |FROM m""".stripMargin,
+    "a6_corr" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(1) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((sxy * n - sx * sy) /
+        |        (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 6) AS corr_price_qty
+        |FROM m""".stripMargin,
+    "a7_salted_agg" ->
+      """SELECT l_suppkey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(1) AS count_v
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
     "a4_json_roundtrip" ->
       """SELECT event_id,
         | '{"k":' || k || ',"event_type":"' || event_type || '"}' AS doc
