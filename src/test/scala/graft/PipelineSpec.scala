@@ -52,6 +52,20 @@ class PipelineSpec extends AnyFunSuite {
     val counts = names.map(n => spark.read.parquet(s"$dir/20240101000000/$n").count())
     val cum = counts.scanLeft(0L)(_ + _).init
     assert(names.map(_.drop("20240101000000-".length).take(15).toLong) == cum)
+    // gzip codec is a pinned parity detail (kafka_client.py:181) —
+    // read it from the actual parquet footer
+    val codecs = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/20240101000000/${names.head}"), conf))
+      try r.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+      finally r.close()
+    }
+    assert(codecs == Set("GZIP"), s"expected gzip, got $codecs")
   }
 
   test("reload round-trips the corpus under Identity, in EXACT order") {
