@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   *   reload --dest <root> --topic <t> --sink <dir>
   *          [--dump-id ID | latest] [--transformer FQCN]
   *   explain --query <name> [--sf-dir <dir>]
+  *   stream-dump --input <dir> --dest <root> [--dump-id ID]
+  *          [--max-per-file N] [--checkpoint DIR]
   *
   * `--input` here is any parquet of (key binary, value binary,
   * partition int, offset long) records — in a brokered deployment the
@@ -62,6 +64,28 @@ object Cli {
             println(s"hot reload: reset consumer group to $offsets (no data moved)")
           case Reloaded(rows, state) =>
             println(s"reloaded $rows rows; state saved: ${state.toJson}")
+        }
+
+      case "stream-dump" =>
+        // continuous dump: drain the input directory as a stream into
+        // the dump-catalog layout (AvailableNow → drains and stops)
+        val in = req(opts, "input")
+        val dumpId = opts.getOrElse("dump-id", DumpCatalog.newDumpId())
+        val q = graft.streaming.Streams.streamingDumpToCatalog(
+          spark, spark.read.parquet(in).schema, in,
+          req(opts, "dest"), dumpId,
+          opts.getOrElse("max-per-file", "100000").toInt,
+          opts.getOrElse("checkpoint", s"${req(opts, "dest")}/_checkpoint-$dumpId"))
+        q.awaitTermination()
+        val cat = new DumpCatalog(req(opts, "dest"), conf)
+        val dumps = cat.dumpIds().filter(_.startsWith(dumpId)).sorted
+        if (dumps.isEmpty)
+          System.err.println(
+            s"warning: no dumps produced — --input must be a DIRECTORY of " +
+            s"parquet files (file streams don't match single-file paths), " +
+            s"and an existing checkpoint means data was already processed")
+        dumps.foreach { id =>
+          println(s"dump $id: ${cat.dumpFiles(id).size} files")
         }
 
       case "explain" =>

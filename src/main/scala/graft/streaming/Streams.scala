@@ -74,4 +74,34 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+
+  /** Continuous dump INTO the reference catalog layout: each
+    * micro-batch lands as its own dump (`{dumpId}-b{batch}`) with the
+    * cumulative-named gzip files the batch Dumper produces —
+    * foreachBatch is the bridge for sinks the streaming engine has no
+    * native writer for. Checkpointing makes batch ids stable across
+    * restarts, so reprocessing overwrites the same dump dir instead of
+    * duplicating (effectively exactly-once at dump granularity).
+    */
+  def streamingDumpToCatalog(
+      spark: SparkSession,
+      schema: StructType,
+      srcDir: String,
+      destRoot: String,
+      dumpId: String,
+      maxPerFile: Int,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        new graft.pipeline.Dumper(batch.sparkSession)
+          .dump(batch, destRoot, f"$dumpId-b$batchId%03d", maxPerFile)
+        ()
+      }
+      .start()
 }

@@ -75,6 +75,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("foreachBatch streams into the reference dump-catalog layout") {
+    import graft.pipeline.DumpCatalog
+    val src = Files.createTempDirectory("graft-fb-src").toString
+    val dst = Files.createTempDirectory("graft-fb-dst").toString
+    val ckp = Files.createTempDirectory("graft-fb-ckp").toString
+    val rows = (0 until 300).map { i =>
+      (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"), i % 3, (i / 3).toLong)
+    }
+    rows.toDF("key", "value", "partition", "offset")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Streams.streamingDumpToCatalog(
+      spark, schema, src, dst, "sd01", maxPerFile = 50, ckp)
+    q.awaitTermination(120000)
+    val cat = new DumpCatalog(dst, spark.sparkContext.hadoopConfiguration)
+    val dumps = cat.dumpIds().sorted
+    assert(dumps.nonEmpty && dumps.forall(_.startsWith("sd01-b")))
+    // every batch-dump obeys the naming + order contract and the
+    // union of all dumps is the full corpus, exactly once
+    val total = dumps.map { id =>
+      val files = cat.dumpFiles(id)
+      assert(files == files.sorted)
+      assert(files.forall(_.matches(s"$id-\\d{15}\\.parquet")))
+      spark.read.parquet(cat.dumpPath(id)).count()
+    }.sum
+    assert(total == 300)
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     val src = Files.createTempDirectory("graft-ss-src4").toString
     eventsFixture(src)
