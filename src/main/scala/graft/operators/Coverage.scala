@@ -156,7 +156,7 @@ object Coverage {
     "c6_decode" ->
       """SELECT lang, count(1) AS n,
         | count(1) AS n_roundtrip_ok,
-        | sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+        | CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY lang""".stripMargin,
     "c7_having" ->
       s"""SELECT o_custkey, count(1) AS n_orders, ${sqlMoneySum("o_totalprice")} AS sum_price

@@ -193,10 +193,10 @@ object Dedup {
     "d4_simhash" ->
       s"""WITH t AS ($sqlDocs)
          |SELECT doc_id, lang,
-         |  list_sum(list_transform(range(0, 16), b ->
+         |  CAST(list_sum(list_transform(range(0, 16), b ->
          |    CASE WHEN list_sum(list_transform(ws, tk ->
          |           ((('0x' || substr(md5(tk), 1, 4))::BIGINT >> b) & 1) * 2 - 1)) > 0
-         |         THEN (1::BIGINT << b) ELSE 0 END)) AS simhash
+         |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM t""".stripMargin,
     "d5_jaccard_blocked" ->
       s"""WITH t0 AS ($sqlDocs),

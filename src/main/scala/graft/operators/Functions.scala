@@ -139,7 +139,7 @@ object Functions {
         |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
     "f6_hash" ->
       """SELECT substring(md5(text), 1, 1) AS md5_prefix,
-        | count(1) AS n_docs, sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+        | count(1) AS n_docs, CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
     "f7_case" ->
       s"""SELECT CASE WHEN o_totalprice > 150000 THEN 'high'

@@ -96,9 +96,9 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m1_decode_meta" ->
       """SELECT source, count(1) AS n_blobs,
-        | sum(16 + octet_length(CAST(text AS BLOB)) % 64) AS sum_width,
-        | sum(16 + ascii(substring(text, 1, 1)) % 64) AS sum_height,
-        | sum(octet_length(CAST(text AS BLOB))) AS sum_bytes
+        | CAST(sum(16 + octet_length(CAST(text AS BLOB)) % 64) AS BIGINT) AS sum_width,
+        | CAST(sum(16 + ascii(substring(text, 1, 1)) % 64) AS BIGINT) AS sum_height,
+        | CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY source""".stripMargin,
     "m2_frame_sample" ->
       """SELECT source, count(1) AS n_sampled_frames, max(frame_idx) AS max_frame_idx

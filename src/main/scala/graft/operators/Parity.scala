@@ -147,8 +147,8 @@ object Parity {
     "p6_kv_project" ->
       s"""WITH t AS ($topicSql)
          |SELECT partition, count(1) AS n,
-         | sum(octet_length(CAST(event_type AS BLOB))) AS sum_key_bytes,
-         | sum(octet_length(CAST(props AS BLOB))) AS sum_value_bytes
+         | CAST(sum(octet_length(CAST(event_type AS BLOB))) AS BIGINT) AS sum_key_bytes,
+         | CAST(sum(octet_length(CAST(props AS BLOB))) AS BIGINT) AS sum_value_bytes
          |FROM t GROUP BY partition""".stripMargin,
   )
 }

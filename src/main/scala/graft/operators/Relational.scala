@@ -311,7 +311,7 @@ object Relational {
          |GROUP BY c_mktsegment""".stripMargin,
     "q9_join_outer" ->
       """SELECT c_mktsegment, count(1) AS n_rows, count(o_totalprice) AS n_orders,
-        | sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_childless
+        | CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q10_join_full_outer" ->

@@ -142,16 +142,16 @@ object TextAnalysis {
     "t3_token_count" ->
       s"""WITH t AS ($sqlDocs)
          |SELECT source, count(1) AS n_docs,
-         |  sum(length(ws)) AS sum_ws_tokens,
-         |  sum(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS sum_bpe_tokens,
-         |  sum(length(text)) AS sum_chars
+         |  CAST(sum(length(ws)) AS BIGINT) AS sum_ws_tokens,
+         |  CAST(sum(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
          |FROM t GROUP BY source""".stripMargin,
     "t4_fingerprint" ->
       s"""WITH t AS ($sqlDocs),
          |f AS (SELECT lang, md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp,
          |             count(1) AS n_docs
          |      FROM t GROUP BY lang, fp)
-         |SELECT lang, count(1) AS n_clusters, sum(n_docs) AS n_clustered_docs
+         |SELECT lang, count(1) AS n_clusters, CAST(sum(n_docs) AS BIGINT) AS n_clustered_docs
          |FROM f WHERE n_docs > 1 GROUP BY lang""".stripMargin,
     "t5_rolling_hash" ->
       """WITH h AS (

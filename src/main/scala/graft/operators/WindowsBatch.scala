@@ -70,7 +70,7 @@ object WindowsBatch {
         |  SELECT user_id, (epoch_ms(ts) // 900000) * 900 - k.k AS window_start
         |  FROM events, (SELECT unnest([0, 900, 1800, 2700]) AS k) k),
         |w AS (SELECT user_id, window_start, count(1) AS n FROM e GROUP BY 1, 2)
-        |SELECT user_id, count(1) AS n_windows, sum(n) AS n_events_x4,
+        |SELECT user_id, count(1) AS n_windows, CAST(sum(n) AS BIGINT) AS n_events_x4,
         |       min(window_start) AS first_window
         |FROM w GROUP BY user_id""".stripMargin,
     "wb3_session" ->
@@ -89,7 +89,7 @@ object WindowsBatch {
         |      FROM o),
         |g AS (SELECT user_id, session_id, count(1) AS n FROM s GROUP BY 1, 2)
         |SELECT user_id, count(1) AS n_sessions, max(n) AS max_session_events,
-        |       sum(n) AS n_events
+        |       CAST(sum(n) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
     "wb4_dedup" ->
       """SELECT event_type, count(1) AS n_users

@@ -100,7 +100,8 @@ object Cli {
         }
 
       case other =>
-        System.err.println(s"unknown command '$other'; expected dump|reload|explain")
+        System.err.println(
+          s"unknown command '$other'; expected dump|reload|stream-dump|explain")
         sys.exit(2)
     }
   }
@@ -108,8 +109,12 @@ object Cli {
   private def req(opts: Map[String, String], k: String): String =
     opts.getOrElse(k, sys.error(s"missing required --$k"))
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    if (args.length % 2 != 0)
+      sys.error(s"flag '${args.last}' is missing a value (flags are --key value pairs)")
+    args.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case Array(k, _) => sys.error(s"expected a --flag, got '$k'")
     }.toMap
+  }
 }

@@ -64,6 +64,21 @@ def main(sf_dir, out_dir):
         elif len(g) != len(e):
             results[name] = f"ROWS-MISMATCH spark={len(g)} duck={len(e)}"
         else:
+            # The driver hashes rendered values, so int64 12345 vs DuckDB
+            # HUGEINT-as-float64 12345.0 is a driver FAIL even when the
+            # numbers are equal. Mirror that: numeric "kind" must agree
+            # (int-vs-float drift fails here, not just at the round gate).
+            kind_drift = [
+                c for c in g.columns
+                if {g[c].dtype.kind, e[c].dtype.kind} == {"i", "f"}
+                or {g[c].dtype.kind, e[c].dtype.kind} == {"u", "f"}
+            ]
+            if kind_drift:
+                results[name] = (
+                    "DTYPE-MISMATCH "
+                    + ", ".join(f"{c}: spark={g[c].dtype} duck={e[c].dtype}"
+                                for c in kind_drift))
+                continue
             try:
                 pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                               check_exact=True)
