@@ -3,15 +3,21 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftnative.CosineSimilarity
+import org.apache.spark.sql.graftnative.{
+  AsOfJoinStrategy, CosineSimilarity, PushFilterThroughAsOfJoin}
 
-/** SparkSessionExtensions entry point: registers the native functions
-  * permanently for a session built with
+/** SparkSessionExtensions entry point: registers the engine's native
+  * surface permanently for a session built with
   * `.withExtensions(new GraftExtensions)` or via
-  * `spark.sql.extensions=graft.functions.GraftExtensions` — the
-  * injection surface a custom Rule/Strategy would also use
-  * (SURVEY.md §4: none are needed for this engine's semantics; the
-  * function injection is the only extension point in use).
+  * `spark.sql.extensions=graft.functions.GraftExtensions`:
+  *
+  *   - `cosine_sim` codegen expression (function injection);
+  *   - the native as-of join's planner strategy + filter-pushdown
+  *     optimizer rule (plan injection) — the full custom-operator
+  *     stack (`org.apache.spark.sql.graftnative.AsOfJoin*`).
+  *
+  * Sessions not built with extensions (the driver's Verify/Bench)
+  * get the as-of pieces lazily via `AsOfJoinApi.ensureRegistered`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -19,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
   }
 }

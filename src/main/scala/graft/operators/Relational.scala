@@ -237,6 +237,29 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
+  /** Same as-of semantics as q13, through the NATIVE operator
+    * (graft.plans.AsOf → custom LogicalPlan/Rule/Strategy/Exec):
+    * purchases matched to the latest signup at-or-before them per
+    * user. Unlike q13's union+window (one shuffle + one big sort over
+    * BOTH event types together), the native plan co-partitions the two
+    * filtered sides, sorts each independently, and streams a
+    * per-partition merge with O(1) state.
+    */
+  val q19AsOfNative: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    graft.plans.AsOf.join(
+        purchases, signups,
+        leftOn = Seq("user_id"), rightOn = Seq("s_user"),
+        leftTimeCol = "ts", rightTimeCol = "s_ts",
+        rightTieBreakCols = Seq("s_id"))
+      .select(col("p_id"), col("s_id").as("asof_signup_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_agg" -> q2FilterAgg,
@@ -256,6 +279,7 @@ object Relational {
     "q16_rollup" -> q16Rollup,
     "q17_cube" -> q17Cube,
     "q18_grouping_sets" -> q18GroupingSets,
+    "q19_asof_native" -> q19AsOfNative,
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +356,18 @@ object Relational {
     // mirrors the Spark window exactly (incl. the event_id tie-break)
     // — arg_max would pick an arbitrary row among same-ts signups
     "q13_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'signup')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+        |  FROM e)
+        |SELECT event_id AS p_id, asof_signup_id
+        |FROM o WHERE event_type = 'purchase' AND asof_signup_id IS NOT NULL""".stripMargin,
+    // native operator, same semantics as q13 → same oracle shape
+    "q19_asof_native" ->
       """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
         |           WHERE event_type IN ('purchase', 'signup')),
         |o AS (SELECT *,

@@ -1,0 +1,238 @@
+// Lives in an org.apache.spark.sql subpackage to reach private[sql]
+// surfaces (classic.Dataset.ofRows) — same pattern as CosineSimilarity.
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, Ascending, Attribute, BindReferences, Expression, JoinedRow,
+  NamedExpression, NullsFirst, PredicateHelper, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native backward as-of join (SURVEY.md §2.4, §2.12): for every left
+  * row, the single right row with the same key and the greatest
+  * `rightTime <= leftTime` (ties broken by `rightTieBreak`, greatest
+  * wins); left rows with no match are dropped (inner semantics).
+  *
+  * This is the whole-operator escalation path the build plan reserves
+  * for semantics Spark's built-ins can't express as ONE operator
+  * (composed forms: union+window in `q13_join_asof`, or join+argmax —
+  * both materialize/sort the union of the two streams). The custom
+  * plan instead:
+  *
+  *   - declares `ClusteredDistribution` on the join keys for BOTH
+  *     children, so EnsureRequirements co-partitions the two sides
+  *     exactly like a shuffle join (and reuses existing partitioning
+  *     when an upstream already hashed on the key — zero extra
+  *     exchange in that case);
+  *   - declares per-child `(key, time)` sort orders, so each side is
+  *     sorted independently (two smaller sorts instead of one big
+  *     union sort);
+  *   - merges the two sorted streams per partition in ONE forward
+  *     pass holding O(1) state (the latest matching right row) —
+  *     no window buffer, no per-key grouping, spill-free.
+  *
+  * At 100 TB this is the plan you want: both sides shuffle once on the
+  * key (or not at all if bucketed), and the probe is a pipelined merge.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression])
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule exemplar: deterministic predicates over left-side
+  * attributes commute with the as-of join (it never duplicates or
+  * alters left rows, only drops non-matches), so push them below the
+  * join — the filter then runs BEFORE the shuffle instead of after.
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+/** Physical strategy: AsOfJoinPlan → AsOfJoinExec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // Co-partition both sides on the join keys; EnsureRequirements
+  // inserts (or reuses) hash exchanges and makes the specs compatible,
+  // exactly as it does for shuffle joins / CoGroupExec.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // Each side sorted by (key, time) — right additionally by the tie
+  // break so "last row consumed" is deterministic under equal times.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending, NullsFirst, Seq.empty)),
+    (rightKeys ++ (rightTime +: rightTieBreak))
+      .map(SortOrder(_, Ascending, NullsFirst, Seq.empty)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lOut = left.output
+    val rOut = right.output
+    val lTime = leftTime
+    val rTime = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
+      val lTimeEval = BindReferences.bindReference(lTime, lOut)
+      val rTimeEval = BindReferences.bindReference(rTime, rOut)
+      val timeOrd =
+        TypeUtils.getInterpretedOrdering(rTime.dataType)
+      val rBuf = rIter.buffered
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var held: UnsafeRow = null       // latest matching right row
+        private var heldKey: UnsafeRow = null    // its key (copied)
+        private var pending: InternalRow = null
+
+        private def computeNext(): InternalRow = {
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            if (!lk.anyNull) {
+              val lt = lTimeEval.eval(l)
+              if (lt != null) {
+                // Advance right: consume rows whose key sorts before
+                // lk, and same-key rows with time <= lt (keeping the
+                // last = greatest (time, tieBreak) thanks to the sort).
+                var scan = true
+                while (scan && rBuf.hasNext) {
+                  val r = rBuf.head
+                  val rk = rKeyProj(r)
+                  val cmp = keyOrd.compare(rk, lk)
+                  if (cmp < 0) rBuf.next()
+                  else if (cmp == 0) {
+                    val rt = rTimeEval.eval(r)
+                    if (rt == null) rBuf.next() // null time never matches
+                    else if (timeOrd.asInstanceOf[Ordering[Any]].lteq(rt, lt)) {
+                      held = rBuf.next().asInstanceOf[UnsafeRow].copy()
+                      heldKey = lk.copy()
+                    } else scan = false
+                  } else scan = false
+                }
+                if (held != null && keyOrd.compare(heldKey, lk) == 0) {
+                  return joined(l, held)
+                }
+              }
+            }
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (pending == null) pending = computeNext()
+          pending != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-name-based construction API (graft.plans.AsOf re-exports).
+  *
+  * The right side is re-aliased through a fresh Project so a self-join
+  * (both sides scanning the same table) gets distinct expression ids.
+  */
+object AsOfJoinApi {
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: Seq[String],
+      rightOn: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTieBreakCols: Seq[String] = Nil): DataFrame = {
+    val session = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ensureRegistered(session)
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    // fresh exprIds for the right side (self-join safety)
+    val rAliases: Seq[NamedExpression] =
+      rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' in [${out.map(_.name).mkString(", ")}]"))
+    val plan = AsOfJoinPlan(
+      lPlan, rPlan,
+      leftOn.map(attr(lPlan.output, _)),
+      rightOn.map(attr(rPlan.output, _)),
+      attr(lPlan.output, leftTimeCol),
+      attr(rPlan.output, rightTimeCol),
+      rightTieBreakCols.map(attr(rPlan.output, _)))
+    org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
+  }
+
+  /** Idempotently register strategy + rule on sessions not built with
+    * GraftExtensions (the driver's Verify/Bench sessions).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
+}

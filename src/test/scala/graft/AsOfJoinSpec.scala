@@ -1,0 +1,110 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native as-of join: semantics (backward match, ties, no-match,
+  * null time), the filter-pushdown rule, and the physical plan shape
+  * (AsOfJoinExec with co-partitioned children, brute-force oracle
+  * equivalence on random data).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def quotes = Seq(
+    // (q_id, sym, q_ts)
+    (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 20L), (4L, "A", 30L),
+    (5L, "B", 15L),
+    (6L, "C", 99L)
+  ).toDF("q_id", "sym", "q_ts")
+
+  private def trades = Seq(
+    // (t_id, t_sym, t_ts)
+    (100L, "A", 5L),   // before any A quote → dropped
+    (101L, "A", 10L),  // matches q1 (equal ts)
+    (102L, "A", 25L),  // matches max of the ts=20 tie → q3
+    (103L, "A", 99L),  // matches q4
+    (104L, "B", 15L),  // equal-ts match q5
+    (105L, "D", 50L)   // key with no quotes → dropped
+  ).toDF("t_id", "t_sym", "t_ts")
+
+  test("backward as-of semantics: latest at-or-before, ties by tiebreak") {
+    val out = AsOf.join(trades, quotes,
+        leftOn = Seq("t_sym"), rightOn = Seq("sym"),
+        leftTimeCol = "t_ts", rightTimeCol = "q_ts",
+        rightTieBreakCols = Seq("q_id"))
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((101L, 1L), (102L, 3L), (103L, 4L), (104L, 5L)))
+  }
+
+  test("null right time never matches; null keys drop") {
+    val q = Seq((1L, Option("A"), Option(10L)), (2L, Option("A"), None),
+                (3L, None, Option(5L)))
+      .toDF("q_id", "sym", "q_ts")
+    val t = Seq((100L, Option("A"), Option(50L)), (101L, None, Option(50L)))
+      .toDF("t_id", "t_sym", "t_ts")
+    val out = AsOf.join(t, q, Seq("t_sym"), Seq("sym"), "t_ts", "q_ts", Seq("q_id"))
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((100L, 1L))) // null-ts quote 2 skipped, null-key rows gone
+  }
+
+  test("matches brute-force oracle on random data") {
+    val rng = new scala.util.Random(42)
+    val left = (0 until 2000).map(i =>
+      (i.toLong, s"k${rng.nextInt(20)}", rng.nextInt(1000).toLong))
+      .toDF("l_id", "l_k", "l_t")
+    val right = (0 until 1000).map(i =>
+      (i.toLong, s"k${rng.nextInt(25)}", rng.nextInt(1000).toLong))
+      .toDF("r_id", "r_k", "r_t")
+    val native = AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
+        rightTieBreakCols = Seq("r_id"))
+      .select($"l_id", $"r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // oracle: plain join + argmax by (r_t, r_id)
+    val oracle = left.join(right, $"l_k" === $"r_k" && $"r_t" <= $"l_t")
+      .groupBy($"l_id")
+      .agg(max_by($"r_id", struct($"r_t", $"r_id")).as("r_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(native == oracle)
+  }
+
+  test("plan shape: AsOfJoinExec present, filter pushed below the join") {
+    val joined = AsOf.join(trades, quotes, Seq("t_sym"), Seq("sym"),
+      "t_ts", "q_ts", Seq("q_id"))
+    val filtered = joined.filter($"t_id" > 101L)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the left-only predicate must sit BELOW AsOfJoinPlan after the rule
+    import org.apache.spark.sql.graftnative.AsOfJoinPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val joinNode = optimized.collectFirst { case a: AsOfJoinPlan => a }
+    assert(joinNode.isDefined, s"no AsOfJoinPlan in:\n$optimized")
+    assert(optimized.collectFirst { case f: LFilter
+             if f.condition.references.map(_.name).toSet == Set("t_id") &&
+                joinNode.get.left.exists(_ eq f) => f }.isDefined ||
+           joinNode.get.left.collectFirst { case f: LFilter => f }.isDefined,
+           s"left filter not pushed below as-of join:\n$optimized")
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), s"no AsOfJoinExec in:\n$phys")
+    // result still correct after pushdown
+    val out = filtered.select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((102L, 3L), (103L, 4L), (104L, 5L)))
+  }
+
+  test("self-join on the same source gets distinct expr ids") {
+    val e = Seq((1L, "u1", 10L, "signup"), (2L, "u1", 20L, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts")
+    val sgn = e.filter($"event_type" === "signup")
+      .select($"event_id".as("s_id"), $"user_id".as("s_user"), $"ts".as("s_ts"))
+    val out = AsOf.join(p, sgn, Seq("user_id"), Seq("s_user"), "ts", "s_ts",
+        Seq("s_id"))
+      .select($"p_id", $"s_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 1L)))
+  }
+}
