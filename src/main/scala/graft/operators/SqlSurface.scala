@@ -21,6 +21,9 @@ object SqlSurface {
     orders(s, d).createOrReplaceTempView("orders")
     lineitem(s, d).createOrReplaceTempView("lineitem")
     nation(s, d).createOrReplaceTempView("nation")
+    supplier(s, d).createOrReplaceTempView("supplier")
+    region(s, d).createOrReplaceTempView("region")
+    part(s, d).createOrReplaceTempView("part")
   }
 
   private val moneySum4 =
@@ -87,12 +90,107 @@ object SqlSurface {
 
   val x5Exists: Q = (s, d) => { views(s, d); s.sql(existsSql) }
 
+  /** TPC-H Q5 shape: local-supplier volume — 6-way join where the
+    * customer's and supplier's nation must coincide, revenue per
+    * nation inside one region. Dims (nation, region, supplier)
+    * broadcast; the fact-fact chain shuffles on its keys.
+    */
+  private val q5Sql =
+    s"""SELECT n_name, $moneySum4 AS revenue, count(1) AS n_items
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  val x6TpchQ5: Q = (s, d) => { views(s, d); s.sql(q5Sql) }
+
+  /** TPC-H Q12 shape: priority-class line counts per linestatus in a
+    * ship-year (the testdata lineitem has no shipmode column, so
+    * linestatus plays its grouping role).
+    */
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus""".stripMargin
+
+  val x7TpchQ12: Q = (s, d) => { views(s, d); s.sql(q12Sql) }
+
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation
+    * ratio over a month of shipments (exact decimal sums on both
+    * numerator and denominator, double division, fixed rounding).
+    */
+  private val q14Sql =
+    """SELECT
+      |  round(100.0 *
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+      |                  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE),
+      |    6) AS promo_revenue_pct,
+      |  count(1) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  val x8TpchQ14: Q = (s, d) => { views(s, d); s.sql(q14Sql) }
+
+  /** TPC-H Q19 shape: disjunction of brand/size/quantity bands — the
+    * OR-of-ANDs predicate Catalyst must keep partially pushable.
+    */
+  private val q19Sql =
+    s"""SELECT $moneySum4 AS revenue, count(1) AS n_items
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity >= 1 AND l_quantity <= 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity >= 10 AND l_quantity <= 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  val x9TpchQ19: Q = (s, d) => { views(s, d); s.sql(q19Sql) }
+
+  /** TPC-H Q22 shape: positive-balance customers inactive since 1999
+    * (every synthetic customer has SOME order, so "inactive" is
+    * date-bounded like Q22's 7-year window) — uncorrelated scalar
+    * subquery (exact-decimal average) + NOT EXISTS anti join, grouped
+    * by nation.
+    */
+  private val q22Sql =
+    """SELECT c_nationkey, count(1) AS numcust,
+      | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(1)
+      |  FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey""".stripMargin
+
+  val x10TpchQ22: Q = (s, d) => { views(s, d); s.sql(q22Sql) }
+
   val queries: Map[String, Q] = Map(
     "x1_tpch_q3" -> x1TpchQ3,
     "x2_tpch_q10" -> x2TpchQ10,
     "x3_tpch_q18" -> x3TpchQ18,
     "x4_correlated_scalar" -> x4Correlated,
     "x5_exists_subquery" -> x5Exists,
+    "x6_tpch_q5" -> x6TpchQ5,
+    "x7_tpch_q12" -> x7TpchQ12,
+    "x8_tpch_q14" -> x8TpchQ14,
+    "x9_tpch_q19" -> x9TpchQ19,
+    "x10_tpch_q22" -> x10TpchQ22,
   )
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
@@ -102,5 +200,10 @@ object SqlSurface {
     "x3_tpch_q18" -> q18Sql,
     "x4_correlated_scalar" -> corrSql,
     "x5_exists_subquery" -> existsSql,
+    "x6_tpch_q5" -> q5Sql,
+    "x7_tpch_q12" -> q12Sql,
+    "x8_tpch_q14" -> q14Sql,
+    "x9_tpch_q19" -> q19Sql,
+    "x10_tpch_q22" -> q22Sql,
   )
 }
