@@ -138,11 +138,72 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rnk"))
   }
 
+  /** IVF with TRAINED centroids: 2 deterministic Lloyd iterations of
+    * k-means (K=8, seeds = vectors 0..7, cosine assignment, exact
+    * decimal element-means so the update is order-independent), then
+    * the same multi-probe search as n4 against the trained cells.
+    *
+    * Every step is distributed and 100 TB-shaped: assignment is a
+    * broadcast cross join (centroid table is K rows — never grows
+    * with data), the centroid update is posexplode + two-level hash
+    * aggregation (map-side partials, no data to the driver), and the
+    * final search shuffles only probed cells. Iteration count is a
+    * fixed hyperparameter, so the lineage stays a static DAG.
+    */
+  val n5IvfKmeans: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    import org.apache.spark.sql.types.DecimalType
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+                lit(0.0), (acc, x) => acc + x)
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+    var cents: DataFrame = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+              transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    for (_ <- 1 to 2) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim", cos(col("embedding"), col("ce")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("cell"), col("embedding"))
+      // element-wise mean via exact decimal sums (order-independent);
+      // rebuild the array by position
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast(DoubleType).cast(DecimalType(30, 12)))
+                .cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                       x => x.getField("m")).as("ce"))
+    }
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("csim", cos(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(wAssign))
+    val cells = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce2"),
+              col("cell").as("c_cell"))
+    val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cells.join(broadcast(probes),
+               col("cell") === col("c_cell") && col("qid") =!= col("cid"))
+      .withColumn("sim", round(cos(col("qe"), col("ce2")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("sim"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "n1_cosine_brute_topk" -> n1BruteTopK,
     "n2_lsh_buckets" -> n2LshBuckets,
     "n3_lsh_topk" -> n3LshTopK,
     "n4_ivf_topk" -> n4IvfTopK,
+    "n5_ivf_kmeans" -> n5IvfKmeans,
   )
 
   // ---- oracle SQL ----
@@ -204,5 +265,42 @@ object Similarity {
          |  FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p)
          |SELECT qid, cid, sim, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "n5_ivf_kmeans" -> {
+      // one Lloyd assignment pass against centroid CTE `cents`
+      def asg(cents: String) =
+        s"""SELECT e.vec_id, e.emb, c.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${sqlDot("e.emb", "c.ce")} /
+           |               (${sqlNorm("e.emb")} * ${sqlNorm("c.ce")}) DESC,
+           |        c.cell) AS rn
+           |  FROM e CROSS JOIN $cents c"""
+      // centroid update: exact decimal element-means of rn=1 members
+      // (zipped unnests pair value with position; list(... ORDER BY)
+      // rebuilds the array)
+      def upd(a: String) =
+        s"""SELECT cell, list(m ORDER BY pos) AS ce FROM (
+           |  SELECT cell, pos,
+           |         CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(1) AS m
+           |  FROM (SELECT cell, unnest(emb) AS v,
+           |               unnest(range(1, length(emb) + 1)) AS pos
+           |        FROM $a WHERE rn = 1)
+           |  GROUP BY cell, pos) GROUP BY cell"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 8),
+         |a0 AS (${asg("c0")}),
+         |c1 AS (${upd("a0")}),
+         |a1 AS (${asg("c1")}),
+         |c2 AS (${upd("a1")}),
+         |fin AS (${asg("c2")}),
+         |cells AS (SELECT vec_id AS cid, emb AS ce2, cell FROM fin WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, emb AS qe, cell FROM fin
+         |           WHERE rn <= 2 AND vec_id < 8),
+         |p AS (SELECT q.qid, c.cid,
+         |  round(${sqlDot("q.qe", "c.ce2")} /
+         |        (${sqlNorm("q.qe")} * ${sqlNorm("c.ce2")}), 6) AS sim
+         |  FROM probes q JOIN cells c ON q.cell = c.cell AND q.qid <> c.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p)
+         |SELECT qid, cid, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+    },
   )
 }
