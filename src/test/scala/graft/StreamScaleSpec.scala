@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.{StatefulSessions, StreamScale}
+import graft.streaming.StatefulSessions.Event
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stateful sessionizer running on the RocksDB state store — the
+  * 100 TB configuration (off-heap state, changelog checkpointing) —
+  * must produce the same sessions as the default heap store, and the
+  * checkpoint must actually be RocksDB-format.
+  */
+class StreamScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionizer on RocksDB state store: same results, rocksdb checkpoint") {
+    val src = Files.createTempDirectory("graft-rocks-src").toString
+    val ckpt = Files.createTempDirectory("graft-rocks-ckpt").toString
+    val gap = StatefulSessions.gapMs
+    val rows = Seq(
+      Event(1, 1000L, 1.0), Event(1, 2000L, 2.0), Event(1, 3000L, 3.0),
+      Event(1, 3000L + gap, 10.0), Event(1, 4000L + gap, 20.0),
+      Event(2, 500L, 7.0))
+    rows.toDF().write.mode("overwrite").parquet(src)
+
+    val prev = StreamScale.enableRocksDb(spark)
+    try {
+      val stream = spark.readStream.schema(rows.toDF().schema).parquet(src).as[Event]
+      val q = StatefulSessions.sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_rocks")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val closed = spark.table("graft_rocks")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+                   r.getAs[Double]("sum_value")))
+        .sortBy(x => (x._1, x._2))
+      assert(closed.toSeq == Seq((1L, 3L, 6.0)))
+
+      // the state dir must contain RocksDB artifacts (sst/changelog/zip),
+      // not the heap store's .delta files
+      val stateFiles = {
+        val dir = java.nio.file.Paths.get(ckpt, "state")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.getFileName.toString).toList
+      }
+      assert(stateFiles.exists(f => f.endsWith(".changelog") || f.endsWith(".zip")),
+             s"no RocksDB checkpoint artifacts in $stateFiles")
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+             s"heap-store .delta files present: $stateFiles")
+    } finally StreamScale.restore(spark, prev)
+  }
+}
