@@ -95,6 +95,21 @@ object Functions {
            count(col("disc_or_null")).as("n_discounted"),
            moneySum(coalesce(col("disc_or_null"), lit(0.0))).as("sum_disc"))
 
+  /** Bitwise family: and/or/xor/shift/popcount on the key column
+    * (NB the DuckDB oracle spells xor as xor() — its ^ is POWER).
+    */
+  val f9Bitwise: Q = (s, d) =>
+    orders(s, d)
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+        col("o_orderkey").bitwiseXOR(lit(1023L)).as("k_xor"),
+        shiftleft(col("o_orderkey"), 3).as("k_shl"),
+        shiftright(col("o_orderkey"), 2).as("k_shr"),
+        bit_count(col("o_orderkey")).cast(LongType).as("k_bits"))
+
   val queries: Map[String, Q] = Map(
     "f1_string" -> f1String,
     "f2_date" -> f2Date,
@@ -104,6 +119,7 @@ object Functions {
     "f6_hash" -> f6Hash,
     "f7_case" -> f7Case,
     "f8_null" -> f8Null,
+    "f9_bitwise" -> f9Bitwise,
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,5 +168,14 @@ object Functions {
          | count(nullif(l_discount, 0.0)) AS n_discounted,
          | ${sqlMoneySum("coalesce(nullif(l_discount, 0.0), 0.0)")} AS sum_disc
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "f9_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS k_and,
+        | o_orderkey | 4096 AS k_or,
+        | xor(o_orderkey, 1023) AS k_xor,
+        | o_orderkey << 3 AS k_shl,
+        | o_orderkey >> 2 AS k_shr,
+        | CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
   )
 }

@@ -147,6 +147,20 @@ object Windows {
   val s5Distinct: Q = (s, d) =>
     orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
 
+  /** Distribution window functions: percent_rank / cume_dist (unique
+    * total order inside each partition → deterministic doubles; the
+    * division of identical ints is IEEE-identical across engines).
+    */
+  val w9RankDistribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              round(percent_rank().over(w), 8).as("pct_rank"),
+              round(cume_dist().over(w), 8).as("cume"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w1_rank" -> w1Rank,
     "w2_lag_lead" -> w2LagLead,
@@ -161,9 +175,17 @@ object Windows {
     "s3_intersect" -> s3Intersect,
     "s4_except" -> s4Except,
     "s5_distinct" -> s5Distinct,
+    "w9_rank_distribution" -> w9RankDistribution,
   )
 
   val oracles: Map[String, String] = Map(
+    "w9_rank_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | round(percent_rank() OVER w, 8) AS pct_rank,
+        | round(cume_dist() OVER w, 8) AS cume
+        |FROM orders WHERE o_orderkey % 25 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "w1_rank" ->
       """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rnk
         |FROM (SELECT *, rank() OVER (PARTITION BY o_orderpriority

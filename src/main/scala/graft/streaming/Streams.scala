@@ -75,6 +75,25 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join: purchases attributed to the signup
+    * that happened up to `horizon` BEFORE them, per user. Both sides
+    * carry watermarks and the join condition time-bounds the match,
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the interval — bounded state at any scale (the
+    * unbounded-state stream join is the classic 100 TB OOM).
+    */
+  def purchaseAttribution(
+      purchases: DataFrame,   // (p_id, user_id, ts)
+      signups: DataFrame,     // (s_id, s_user, s_ts)
+      horizon: String = "1 hour"): DataFrame =
+    purchases.withWatermark("ts", "10 minutes")
+      .join(
+        signups.withWatermark("s_ts", "10 minutes"),
+        expr(s"""user_id = s_user
+                |AND ts >= s_ts
+                |AND ts <= s_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("p_id"), col("user_id"), col("s_id"), col("ts"), col("s_ts"))
+
   /** Continuous dump INTO the reference catalog layout: each
     * micro-batch lands as its own dump (`{dumpId}-b{batch}`) with the
     * cumulative-named gzip files the batch Dumper produces —

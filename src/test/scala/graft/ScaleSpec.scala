@@ -53,4 +53,23 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
     }
   }
+
+  test("year-partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/orders_part"
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("o_year") === 1996)
+    val scan = q.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty, "o_year filter not a partition filter")
+    // only the 1996 directory survives pruning (7 year partitions exist)
+    val pruned = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(pruned.length == 1, s"expected 1 pruned partition, got ${pruned.length}")
+    // and data predicates must NOT appear: the filter is partition-only
+    assert(scan.dataFilters.isEmpty)
+    // correctness vs the unpartitioned scan
+    assert(q.count() == o.filter(year(col("o_orderdate")) === 1996).count())
+  }
 }

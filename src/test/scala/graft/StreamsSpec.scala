@@ -116,4 +116,30 @@ class StreamsSpec extends AnyFunSuite {
     // 7 users × 2 event types
     assert(spark.table("graft_dedup").count() == 14)
   }
+
+  test("stream-stream interval join attributes purchases to signups") {
+    val pSrc = Files.createTempDirectory("graft-ssj-p").toString
+    val sSrc = Files.createTempDirectory("graft-ssj-s").toString
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    // signups: user 1 at t+0, user 2 at t+5
+    Seq((10L, 1L, ts(0)), (11L, 2L, ts(5)))
+      .toDF("s_id", "s_user", "s_ts").write.mode("overwrite").parquet(sSrc)
+    // purchases: u1 in-horizon (t+30), u1 out-of-horizon (t+90),
+    // u2 before signup (t+2), u3 no signup
+    Seq((100L, 1L, ts(30)), (101L, 1L, ts(90)), (102L, 2L, ts(2)),
+        (103L, 3L, ts(40)))
+      .toDF("p_id", "user_id", "ts").write.mode("overwrite").parquet(pSrc)
+    val p = spark.readStream.schema(spark.read.parquet(pSrc).schema).parquet(pSrc)
+    val sgn = spark.readStream.schema(spark.read.parquet(sSrc).schema).parquet(sSrc)
+    val q = Streams.purchaseAttribution(p, sgn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssj")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("graft_ssj")
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("s_id"))).sorted
+    assert(got.toSeq == Seq((100L, 10L)))
+  }
 }
