@@ -143,12 +143,15 @@ object Similarity {
     * decimal element-means so the update is order-independent), then
     * the same multi-probe search as n4 against the trained cells.
     *
-    * Every step is distributed and 100 TB-shaped: assignment is a
-    * broadcast cross join (centroid table is K rows — never grows
-    * with data), the centroid update is posexplode + two-level hash
-    * aggregation (map-side partials, no data to the driver), and the
-    * final search shuffles only probed cells. Iteration count is a
-    * fixed hyperparameter, so the lineage stays a static DAG.
+    * 100 TB-shaped the way iterative ML actually runs on Spark: the
+    * K×64-double centroid table is DRIVER-HELD (collected after each
+    * distributed mean — K rows, never grows with data) and folded into
+    * the next pass as literal arrays, so assignment is a pure MAP over
+    * the corpus (argmax across K expressions — no cross join, no
+    * per-vector window shuffle), and each iteration is its own job
+    * instead of one ever-deepening lineage that AQE would re-execute.
+    * The centroid update stays a distributed two-level hash agg; the
+    * final search shuffles only probed cells.
     */
   val n5IvfKmeans: Q = (s, d) => {
     val e = graft.sources.Tables.embeddings(s, d)
@@ -156,22 +159,41 @@ object Similarity {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
                 lit(0.0), (acc, x) => acc + x)
-    def cos(a: Column, b: Column): Column =
-      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-    var cents: DataFrame = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"),
-              transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell"))
+    // driver-held centroids (cell id → double vector); norms use the
+    // same left-fold-of-squares as the oracle's list_sum
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1).toSeq
+
+    // K-row broadcast table (cell, centroid, norm) rebuilt from the
+    // driver-held centroids each pass; norms use the same
+    // left-fold-of-squares as the oracle's list_sum
+    def centsDf: DataFrame = {
+      import s.implicits._
+      cents.map { case (cid, ce) =>
+        (cid, ce, math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x)))
+      }.toDF("cell", "ce", "cnorm")
+    }
+    // corpus × K with the raw cosine; argmax by (csim, -cell) matches
+    // the oracle's ORDER BY cos DESC, cell — as a HASH AGG (map-side
+    // partials), not a per-vector window sort
+    def scored: DataFrame = e
+      .withColumn("norm_e", sqrt(dot(col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(centsDf))
+      .withColumn("csim",
+        dot(col("embedding"), col("ce")) / (col("norm_e") * col("cnorm")))
+    def assigned: DataFrame = scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+           first(col("embedding")).as("embedding"))
+
     for (_ <- 1 to 2) {
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim", cos(col("embedding"), col("ce")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("cell"), col("embedding"))
       // element-wise mean via exact decimal sums (order-independent);
-      // rebuild the array by position
+      // rebuild the array by position, bring K tiny rows to the driver
       cents = assigned
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
@@ -180,16 +202,37 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
                        x => x.getField("m")).as("ce"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1).toSeq
     }
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cos(col("embedding"), col("ce")))
-      .withColumn("crn", row_number().over(wAssign))
-    val cells = ranked.filter(col("crn") === 1)
+
+    val cells = assigned
       .select(col("vec_id").as("cid"), col("embedding").as("ce2"),
               col("cell").as("c_cell"))
-    val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    // probe set = 8 query vectors: their top-2 cells are 8×K dots —
+    // computed on the driver with the SAME left-fold double arithmetic
+    // and (csim desc, cell asc) order, then inlined as a literal table
+    // (saves a full corpus pass; the query side never grows with data)
+    val probes = {
+      import s.implicits._
+      val qvecs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .sortBy(_._1)
+      qvecs.flatMap { case (qid, qe) =>
+        val qnorm = math.sqrt(qe.foldLeft(0.0)((a, x) => a + x * x))
+        cents.map { case (cid, ce) =>
+          val dotv = qe.zip(ce).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+          val cnorm = math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x))
+          (qid, qe.map(_.toFloat), cid, dotv / (qnorm * cnorm))
+        }.sortBy { case (_, _, cid, csim) => (-csim, cid) }.take(2)
+      }.toSeq.toDF("qid", "qe", "cell", "csim")
+        .select(col("qid"), col("qe"), col("cell"))
+    }
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
     cells.join(broadcast(probes),
                col("cell") === col("c_cell") && col("qid") =!= col("cid"))
       .withColumn("sim", round(cos(col("qe"), col("ce2")), 6))
