@@ -99,6 +99,20 @@ object Dedup {
     docs(s, d).select(col("doc_id"), col("lang"), expr(simhash).as("simhash"))
   }
 
+  /** Shingling through the NATIVE Generator (UDTF surface,
+    * org.apache.spark.sql.graftnative.Shingles): same semantics as
+    * the composed shinglesExpr, but as a table function planned into
+    * a pipelined Generate node. Counts per language pin the rowset.
+    */
+  val d7ShingleGenerator: Q = (s, d) => {
+    org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
+    documents(s, d)
+      .select(col("lang"), expr("shingles(text, 3)").as("shingle"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shingles"),
+           countDistinct(col("shingle")).as("n_distinct"))
+  }
+
   /** Blocked n-gram Jaccard: token-set similarity of doc pairs inside
     * (lang, source, length-band) blocks; report pair counts per
     * 0.1-wide Jaccard band (counts only → float-rounding-proof).
@@ -150,6 +164,7 @@ object Dedup {
     "d4_simhash" -> d4Simhash,
     "d5_jaccard_blocked" -> d5Jaccard,
     "d6_embedding_dup" -> d6EmbeddingDup,
+    "d7_shingle_generator" -> d7ShingleGenerator,
   )
 
   private val sqlShingles =
@@ -209,6 +224,12 @@ object Dedup {
          |SELECT lang, CAST(floor(inter * 10.0 / uni) AS BIGINT) AS j_band, count(1) AS n_pairs
          |FROM p WHERE floor(inter * 10.0 / uni) >= 5
          |GROUP BY lang, j_band""".stripMargin,
+    "d7_shingle_generator" ->
+      s"""WITH t AS ($sqlDocs),
+         |sh AS (SELECT lang, unnest($sqlShingles) AS shingle FROM t)
+         |SELECT lang, count(1) AS n_shingles,
+         |  count(DISTINCT shingle) AS n_distinct
+         |FROM sh GROUP BY lang""".stripMargin,
     "d6_embedding_dup" ->
       """WITH p AS (
         |  SELECT a.label,  a.vec_id AS a_id,

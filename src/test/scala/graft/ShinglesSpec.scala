@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.ShinglesApi
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native shingles Generator: values match the composed HOF form,
+  * short/empty/null inputs, and the plan is a Generate node.
+  */
+class ShinglesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val composed =
+    """if(size(ws) < 3, array(concat_ws(' ', ws)),
+      |   transform(sequence(1, size(ws) - 2),
+      |             i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))""".stripMargin
+
+  test("generator output matches the composed HOF shingles") {
+    ShinglesApi.ensureRegistered(spark)
+    val df = Seq(
+      "the quick brown fox jumps",
+      "one two",
+      "single",
+      "  spaced   out   tokens  here ").toDF("text")
+    val native = df.select(expr("shingles(text, 3)").as("shingle"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val hof = df.withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+      .select(explode(expr(composed)).as("shingle"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(native == hof)
+    assert(native.contains("the quick brown"))
+    assert(native.contains("one two"))
+  }
+
+  test("null text emits no rows; plan is a Generate node") {
+    ShinglesApi.ensureRegistered(spark)
+    val df = Seq(Option("a b c d"), None).toDF("text")
+    val out = df.select(expr("shingles(text, 3)").as("shingle"))
+    assert(out.count() == 2) // only the non-null doc's 2 shingles
+    assert(out.queryExecution.executedPlan.toString.contains("Generate"),
+           s"expected Generate in:\n${out.queryExecution.executedPlan}")
+  }
+
+}
