@@ -260,6 +260,24 @@ object Relational {
       .select(col("p_id"), col("s_id").as("asof_signup_id"))
   }
 
+  /** Left-outer variant of the native as-of join: purchases with no
+    * preceding signup survive with a null attribution.
+    */
+  val q20AsOfOuter: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    graft.plans.AsOf.join(
+        purchases, signups,
+        leftOn = Seq("user_id"), rightOn = Seq("s_user"),
+        leftTimeCol = "ts", rightTimeCol = "s_ts",
+        rightTieBreakCols = Seq("s_id"), joinType = "left_outer")
+      .select(col("p_id"), col("s_id").as("asof_signup_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_agg" -> q2FilterAgg,
@@ -280,6 +298,7 @@ object Relational {
     "q17_cube" -> q17Cube,
     "q18_grouping_sets" -> q18GroupingSets,
     "q19_asof_native" -> q19AsOfNative,
+    "q20_asof_outer" -> q20AsOfOuter,
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,6 +397,18 @@ object Relational {
         |  FROM e)
         |SELECT event_id AS p_id, asof_signup_id
         |FROM o WHERE event_type = 'purchase' AND asof_signup_id IS NOT NULL""".stripMargin,
+    // outer variant: unmatched purchases kept with NULL attribution
+    "q20_asof_outer" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'signup')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+        |  FROM e)
+        |SELECT event_id AS p_id, asof_signup_id
+        |FROM o WHERE event_type = 'purchase'""".stripMargin,
     "q14_agg_stats" ->
       s"""SELECT o_orderpriority, count(1) AS n_orders,
          | round(min(o_totalprice), 2) AS min_price,

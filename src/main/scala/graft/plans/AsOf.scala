@@ -12,9 +12,10 @@ import org.apache.spark.sql.graftnative.AsOfJoinApi
 object AsOf {
   /** Backward as-of join: each left row paired with the right row
     * sharing its key that has the greatest `rightTimeCol <=
-    * leftTimeCol` (ties: greatest `rightTieBreakCols`). Inner
-    * semantics — unmatched left rows are dropped. Output columns:
-    * left's then right's (pre-rename for distinct names).
+    * leftTimeCol` (ties: greatest `rightTieBreakCols`). `joinType`
+    * "inner" drops unmatched left rows; "left_outer" keeps them with
+    * a null-padded right side. Output columns: left's then right's
+    * (pre-rename for distinct names).
     */
   def join(
       left: DataFrame,
@@ -23,7 +24,8 @@ object AsOf {
       rightOn: Seq[String],
       leftTimeCol: String,
       rightTimeCol: String,
-      rightTieBreakCols: Seq[String] = Nil): DataFrame =
+      rightTieBreakCols: Seq[String] = Nil,
+      joinType: String = "inner"): DataFrame =
     AsOfJoinApi.join(left, right, leftOn, rightOn, leftTimeCol,
-                     rightTimeCol, rightTieBreakCols)
+                     rightTimeCol, rightTieBreakCols, joinType)
 }

@@ -50,9 +50,13 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression])
+    rightTieBreak: Seq[Expression],
+    outer: Boolean = false)
   extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // left-outer: unmatched left rows are kept, right side null-padded
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -79,8 +83,8 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** Physical strategy: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -91,11 +95,14 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
 
   // Co-partition both sides on the join keys; EnsureRequirements
   // inserts (or reuses) hash exchanges and makes the specs compatible,
@@ -132,6 +139,9 @@ case class AsOfJoinExec(
         TypeUtils.getInterpretedOrdering(rTime.dataType)
       val rBuf = rIter.buffered
       val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rOut.size)
+      val isOuter = outer
 
       new Iterator[InternalRow] {
         private var held: UnsafeRow = null       // latest matching right row
@@ -142,6 +152,7 @@ case class AsOfJoinExec(
           while (lIter.hasNext) {
             val l = lIter.next()
             val lk = lKeyProj(l)
+            var matched: InternalRow = null
             if (!lk.anyNull) {
               val lt = lTimeEval.eval(l)
               if (lt != null) {
@@ -164,10 +175,12 @@ case class AsOfJoinExec(
                   } else scan = false
                 }
                 if (held != null && keyOrd.compare(heldKey, lk) == 0) {
-                  return joined(l, held)
+                  matched = held
                 }
               }
             }
+            if (matched != null) return joined(l, matched)
+            else if (isOuter) return joined(l, nullRight)
           }
           null
         }
@@ -202,7 +215,14 @@ object AsOfJoinApi {
       rightOn: Seq[String],
       leftTimeCol: String,
       rightTimeCol: String,
-      rightTieBreakCols: Seq[String] = Nil): DataFrame = {
+      rightTieBreakCols: Seq[String] = Nil,
+      joinType: String = "inner"): DataFrame = {
+    val outer = joinType match {
+      case "inner" => false
+      case "left" | "left_outer" | "leftouter" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of joinType must be inner or left_outer, got '$other'")
+    }
     val session = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ensureRegistered(session)
     val lPlan = left.queryExecution.analyzed
@@ -221,7 +241,8 @@ object AsOfJoinApi {
       rightOn.map(attr(rPlan.output, _)),
       attr(lPlan.output, leftTimeCol),
       attr(rPlan.output, rightTimeCol),
-      rightTieBreakCols.map(attr(rPlan.output, _)))
+      rightTieBreakCols.map(attr(rPlan.output, _)),
+      outer)
     org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
   }
 

@@ -95,6 +95,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Seq((102L, 3L), (103L, 4L), (104L, 5L)))
   }
 
+  test("left-outer variant keeps unmatched left rows null-padded") {
+    val out = AsOf.join(trades, quotes,
+        leftOn = Seq("t_sym"), rightOn = Seq("sym"),
+        leftTimeCol = "t_ts", rightTimeCol = "q_ts",
+        rightTieBreakCols = Seq("q_id"), joinType = "left_outer")
+      .select($"t_id", $"q_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted
+    // 100 (before any A quote) and 105 (no D quotes) survive with null
+    assert(out.toSeq == Seq((100L, -1L), (101L, 1L), (102L, 3L),
+                            (103L, 4L), (104L, 5L), (105L, -1L)))
+  }
+
+  test("outer matches brute-force left-join oracle on random data") {
+    val rng = new scala.util.Random(7)
+    val left = (0 until 1500).map(i =>
+      (i.toLong, s"k${rng.nextInt(30)}", rng.nextInt(500).toLong))
+      .toDF("l_id", "l_k", "l_t")
+    val right = (0 until 700).map(i =>
+      (i.toLong, s"k${rng.nextInt(40)}", rng.nextInt(500).toLong))
+      .toDF("r_id", "r_k", "r_t")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    val native = AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
+        rightTieBreakCols = Seq("r_id"), joinType = "left_outer")
+      .select($"l_id", $"r_id")
+      .collect().map(norm).sorted.toSeq
+    val oracle = left.join(right, $"l_k" === $"r_k" && $"r_t" <= $"l_t", "left_outer")
+      .groupBy($"l_id")
+      .agg(max_by($"r_id", struct($"r_t", $"r_id")).as("r_id"))
+      .collect().map(norm).sorted.toSeq
+    assert(native == oracle)
+  }
+
   test("self-join on the same source gets distinct expr ids") {
     val e = Seq((1L, "u1", 10L, "signup"), (2L, "u1", 20L, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
