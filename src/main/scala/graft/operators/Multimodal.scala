@@ -85,10 +85,42 @@ object Multimodal {
       .groupBy(col("target_w"), col("target_h"))
       .agg(count(lit(1)).as("n_blobs"))
 
+  case class Features(doc_id: Long, source: String,
+                      h0: Int, h1: Int, h2: Int, h3: Int, char_sum: Long)
+
+  /** Feature extraction pass: a fixed-size feature vector per blob
+    * (4-bucket codepoint histogram + codepoint sum over the first 64
+    * chars — the deterministic stand-in for an embedding model or
+    * spectral features), computed in the same typed mapPartitions
+    * batch shape as the decoder. Aggregated per source for the pin.
+    */
+  val m4FeatureExtract: Q = (s, d) => {
+    import s.implicits._
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        // per-partition model/extractor init would go here
+        it.map { case (id, text, src) =>
+          val cs = text.take(64).map(_.toInt)
+          Features(id, src,
+            cs.count(_ % 4 == 0), cs.count(_ % 4 == 1),
+            cs.count(_ % 4 == 2), cs.count(_ % 4 == 3),
+            cs.foldLeft(0L)(_ + _))
+        }
+      }
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+           sum(col("h0")).as("sum_h0"), sum(col("h1")).as("sum_h1"),
+           sum(col("h2")).as("sum_h2"), sum(col("h3")).as("sum_h3"),
+           sum(col("char_sum")).as("sum_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan,
+    "m4_feature_extract" -> m4FeatureExtract,
   )
 
   // The fake decode is pure byte arithmetic, so the oracle can replay
@@ -110,5 +142,19 @@ object Multimodal {
         |       greatest(16, (16 + ascii(substring(text, 1, 1)) % 64) // 2) AS target_h,
         |       count(1) AS n_blobs
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the fake feature extractor is pure codepoint arithmetic over the
+    // first 64 chars (ASCII corpus), so the oracle replays it in SQL
+    "m4_feature_extract" ->
+      """WITH f AS (SELECT source,
+        |  list_transform(range(1, least(length(text), 64) + 1),
+        |                 i -> ascii(substring(text, i, 1))) AS cs
+        |  FROM documents)
+        |SELECT source, count(1) AS n_blobs,
+        |  CAST(sum(length(list_filter(cs, c -> c % 4 = 0))) AS BIGINT) AS sum_h0,
+        |  CAST(sum(length(list_filter(cs, c -> c % 4 = 1))) AS BIGINT) AS sum_h1,
+        |  CAST(sum(length(list_filter(cs, c -> c % 4 = 2))) AS BIGINT) AS sum_h2,
+        |  CAST(sum(length(list_filter(cs, c -> c % 4 = 3))) AS BIGINT) AS sum_h3,
+        |  CAST(sum(list_sum(list_transform(cs, c -> c::BIGINT))) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY source""".stripMargin,
   )
 }
