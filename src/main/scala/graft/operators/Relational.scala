@@ -278,6 +278,25 @@ object Relational {
       .select(col("p_id"), col("s_id").as("asof_signup_id"))
   }
 
+  /** Forward as-of through the native operator: each purchase matched
+    * to the EARLIEST signup at-or-after it per user (ties: smallest
+    * signup id) — the "next event" direction of the same merge.
+    */
+  val q21AsOfForward: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    graft.plans.AsOf.join(
+        purchases, signups,
+        leftOn = Seq("user_id"), rightOn = Seq("s_user"),
+        leftTimeCol = "ts", rightTimeCol = "s_ts",
+        rightTieBreakCols = Seq("s_id"), direction = "forward")
+      .select(col("p_id"), col("s_id").as("next_signup_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_agg" -> q2FilterAgg,
@@ -299,6 +318,7 @@ object Relational {
     "q18_grouping_sets" -> q18GroupingSets,
     "q19_asof_native" -> q19AsOfNative,
     "q20_asof_outer" -> q20AsOfOuter,
+    "q21_asof_forward" -> q21AsOfForward,
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +429,19 @@ object Relational {
         |  FROM e)
         |SELECT event_id AS p_id, asof_signup_id
         |FROM o WHERE event_type = 'purchase'""".stripMargin,
+    // forward direction: FIRST following signup (purchases sort before
+    // same-ts signups, so rt >= lt is inclusive; ties → min event_id)
+    "q21_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'signup')),
+        |o AS (SELECT *,
+        |    first_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_id
+        |  FROM e)
+        |SELECT event_id AS p_id, next_signup_id
+        |FROM o WHERE event_type = 'purchase' AND next_signup_id IS NOT NULL""".stripMargin,
     "q14_agg_stats" ->
       s"""SELECT o_orderpriority, count(1) AS n_orders,
          | round(min(o_totalprice), 2) AS min_price,

@@ -10,12 +10,15 @@ import org.apache.spark.sql.graftnative.AsOfJoinApi
   * package namespace.
   */
 object AsOf {
-  /** Backward as-of join: each left row paired with the right row
-    * sharing its key that has the greatest `rightTimeCol <=
-    * leftTimeCol` (ties: greatest `rightTieBreakCols`). `joinType`
-    * "inner" drops unmatched left rows; "left_outer" keeps them with
-    * a null-padded right side. Output columns: left's then right's
-    * (pre-rename for distinct names).
+  /** As-of join: each left row paired with the single right row
+    * sharing its key that is nearest in time on the chosen side —
+    * `direction` "backward" (default): greatest `rightTimeCol <=
+    * leftTimeCol`, ties to the greatest `rightTieBreakCols`;
+    * "forward": smallest `rightTimeCol >= leftTimeCol`, ties to the
+    * smallest tie-break. `joinType` "inner" drops unmatched left
+    * rows; "left_outer" keeps them with a null-padded right side.
+    * Output columns: left's then right's (pre-rename for distinct
+    * names).
     */
   def join(
       left: DataFrame,
@@ -25,7 +28,8 @@ object AsOf {
       leftTimeCol: String,
       rightTimeCol: String,
       rightTieBreakCols: Seq[String] = Nil,
-      joinType: String = "inner"): DataFrame =
+      joinType: String = "inner",
+      direction: String = "backward"): DataFrame =
     AsOfJoinApi.join(left, right, leftOn, rightOn, leftTimeCol,
-                     rightTimeCol, rightTieBreakCols, joinType)
+                     rightTimeCol, rightTieBreakCols, joinType, direction)
 }

@@ -51,7 +51,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    outer: Boolean = false)
+    outer: Boolean = false,
+    forward: Boolean = false)
   extends BinaryNode {
   // left-outer: unmatched left rows are kept, right side null-padded
   override def output: Seq[Attribute] =
@@ -83,8 +84,9 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** Physical strategy: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, fwd,
+                   planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -96,6 +98,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     outer: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -155,10 +158,10 @@ case class AsOfJoinExec(
             var matched: InternalRow = null
             if (!lk.anyNull) {
               val lt = lTimeEval.eval(l)
-              if (lt != null) {
-                // Advance right: consume rows whose key sorts before
-                // lk, and same-key rows with time <= lt (keeping the
-                // last = greatest (time, tieBreak) thanks to the sort).
+              if (lt != null && !forward) {
+                // BACKWARD: consume rows whose key sorts before lk,
+                // and same-key rows with time <= lt (keeping the last
+                // = greatest (time, tieBreak) thanks to the sort).
                 var scan = true
                 while (scan && rBuf.hasNext) {
                   val r = rBuf.head
@@ -176,6 +179,28 @@ case class AsOfJoinExec(
                 }
                 if (held != null && keyOrd.compare(heldKey, lk) == 0) {
                   matched = held
+                }
+              } else if (lt != null) {
+                // FORWARD: discard rows whose key sorts before lk or
+                // whose time < lt; the head is then the earliest
+                // (time, tieBreak) at-or-after lt — match WITHOUT
+                // consuming (later, larger-lt lefts may match it too).
+                var scan = true
+                while (scan && rBuf.hasNext) {
+                  val r = rBuf.head
+                  val rk = rKeyProj(r)
+                  val cmp = keyOrd.compare(rk, lk)
+                  if (cmp < 0) rBuf.next()
+                  else if (cmp == 0) {
+                    val rt = rTimeEval.eval(r)
+                    if (rt == null ||
+                        timeOrd.asInstanceOf[Ordering[Any]].lt(rt, lt)) rBuf.next()
+                    else scan = false
+                  } else scan = false
+                }
+                if (rBuf.hasNext &&
+                    keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+                  matched = rBuf.head
                 }
               }
             }
@@ -216,12 +241,19 @@ object AsOfJoinApi {
       leftTimeCol: String,
       rightTimeCol: String,
       rightTieBreakCols: Seq[String] = Nil,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      direction: String = "backward"): DataFrame = {
     val outer = joinType match {
       case "inner" => false
       case "left" | "left_outer" | "leftouter" => true
       case other => throw new IllegalArgumentException(
         s"as-of joinType must be inner or left_outer, got '$other'")
+    }
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be backward or forward, got '$other'")
     }
     val session = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ensureRegistered(session)
@@ -242,7 +274,7 @@ object AsOfJoinApi {
       attr(lPlan.output, leftTimeCol),
       attr(rPlan.output, rightTimeCol),
       rightTieBreakCols.map(attr(rPlan.output, _)),
-      outer)
+      outer, forward)
     org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
   }
 

@@ -130,6 +130,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == oracle)
   }
 
+  test("forward direction matches earliest at-or-after; ties to min tiebreak") {
+    val out = AsOf.join(trades, quotes,
+        leftOn = Seq("t_sym"), rightOn = Seq("sym"),
+        leftTimeCol = "t_ts", rightTimeCol = "q_ts",
+        rightTieBreakCols = Seq("q_id"), direction = "forward")
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // 100(A,5)→q1(10); 101(A,10)→q1 equal-ts; 102(A,25)→q4(30);
+    // 103(A,99) nothing later → dropped; 104(B,15)→q5; 105(D) dropped
+    assert(out.toSeq == Seq((100L, 1L), (101L, 1L), (102L, 4L), (104L, 5L)))
+  }
+
+  test("forward matches brute-force min_by oracle on random data") {
+    val rng = new scala.util.Random(99)
+    val left = (0 until 1500).map(i =>
+      (i.toLong, s"k${rng.nextInt(25)}", rng.nextInt(500).toLong))
+      .toDF("l_id", "l_k", "l_t")
+    val right = (0 until 800).map(i =>
+      (i.toLong, s"k${rng.nextInt(30)}", rng.nextInt(500).toLong))
+      .toDF("r_id", "r_k", "r_t")
+    val native = AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
+        rightTieBreakCols = Seq("r_id"), direction = "forward")
+      .select($"l_id", $"r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val oracle = left.join(right, $"l_k" === $"r_k" && $"r_t" >= $"l_t")
+      .groupBy($"l_id")
+      .agg(min_by($"r_id", struct($"r_t", $"r_id")).as("r_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(native == oracle)
+  }
+
   test("self-join on the same source gets distinct expr ids") {
     val e = Seq((1L, "u1", 10L, "signup"), (2L, "u1", 20L, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
