@@ -110,6 +110,36 @@ object Functions {
         shiftright(col("o_orderkey"), 2).as("k_shr"),
         bit_count(col("o_orderkey")).cast(LongType).as("k_bits"))
 
+  /** Extended string family: replace / translate / lpad / rpad /
+    * repeat / reverse / left / right — identical spellings in DuckDB.
+    */
+  val f10String2: Q = (s, d) =>
+    part(s, d)
+      .filter(col("p_partkey") % 73 === 0)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "a", "@").as("subbed"),
+        translate(col("p_brand"), "Brand#", "brnd-0").as("xlated"),
+        lpad(col("p_type"), 12, ".").as("padded_l"),
+        rpad(col("p_type"), 12, ".").as("padded_r"),
+        repeat(substring(col("p_name"), 1, 2), 3).as("tripled"),
+        reverse(col("p_name")).as("reversed"))
+
+  /** try_/safe variants: division by zero and bad casts yield NULL
+    * instead of failing the job — at 100 TB one malformed row must
+    * not kill a 6-hour pipeline run.
+    */
+  val f11Try: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(try_divide(col("l_extendedprice").cast(DoubleType),
+                         col("l_discount")), 4).as("price_per_disc"),
+        try_divide(col("l_quantity"), lit(0.0)).as("div_zero"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
+        expr("try_cast(l_linenumber AS STRING)").as("ok_cast"))
+
   val queries: Map[String, Q] = Map(
     "f1_string" -> f1String,
     "f2_date" -> f2Date,
@@ -120,6 +150,8 @@ object Functions {
     "f7_case" -> f7Case,
     "f8_null" -> f8Null,
     "f9_bitwise" -> f9Bitwise,
+    "f10_string2" -> f10String2,
+    "f11_try" -> f11Try,
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,5 +209,25 @@ object Functions {
         | o_orderkey >> 2 AS k_shr,
         | CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
         |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
+    // DuckDB regexp_replace is first-match by default — 'g' matches
+    // Spark's replace-all
+    "f10_string2" ->
+      """SELECT p_partkey,
+        | regexp_replace(p_name, 'a', '@', 'g') AS subbed,
+        | translate(p_brand, 'Brand#', 'brnd-0') AS xlated,
+        | lpad(p_type, 12, '.') AS padded_l,
+        | rpad(p_type, 12, '.') AS padded_r,
+        | repeat(substring(p_name, 1, 2), 3) AS tripled,
+        | reverse(p_name) AS reversed
+        |FROM part WHERE p_partkey % 73 = 0""".stripMargin,
+    // DuckDB has TRY_CAST but no try_divide → CASE emulation
+    "f11_try" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(CASE WHEN l_discount = 0.0 THEN NULL
+        |            ELSE l_extendedprice / l_discount END, 4) AS price_per_disc,
+        | CAST(NULL AS DOUBLE) AS div_zero,
+        | TRY_CAST(l_returnflag AS INT) AS bad_cast,
+        | CAST(l_linenumber AS VARCHAR) AS ok_cast
+        |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
   )
 }
