@@ -297,6 +297,26 @@ object Relational {
       .select(col("p_id"), col("s_id").as("next_signup_id"))
   }
 
+  /** Tolerance-bounded as-of: attribution only when the signup is
+    * within 1 hour BEFORE the purchase (stale matches nulled out by
+    * the operator, not a post-filter).
+    */
+  val q22AsOfTolerance: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    graft.plans.AsOf.join(
+        purchases, signups,
+        leftOn = Seq("user_id"), rightOn = Seq("s_user"),
+        leftTimeCol = "ts", rightTimeCol = "s_ts",
+        rightTieBreakCols = Seq("s_id"),
+        toleranceMicros = 3600L * 1000000L)
+      .select(col("p_id"), col("s_id").as("asof_signup_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_agg" -> q2FilterAgg,
@@ -319,6 +339,7 @@ object Relational {
     "q19_asof_native" -> q19AsOfNative,
     "q20_asof_outer" -> q20AsOfOuter,
     "q21_asof_forward" -> q21AsOfForward,
+    "q22_asof_tolerance" -> q22AsOfTolerance,
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,6 +463,23 @@ object Relational {
         |  FROM e)
         |SELECT event_id AS p_id, next_signup_id
         |FROM o WHERE event_type = 'purchase' AND next_signup_id IS NOT NULL""".stripMargin,
+    // tolerance: the matched signup's ts rides the same window, so the
+    // bound filters the SAME row the operator matched
+    "q22_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'signup')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_signup_id,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER w AS asof_signup_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |     ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS p_id, asof_signup_id
+        |FROM o WHERE event_type = 'purchase' AND asof_signup_id IS NOT NULL
+        |  AND ts - asof_signup_ts <= INTERVAL 1 HOUR""".stripMargin,
     "q14_agg_stats" ->
       s"""SELECT o_orderpriority, count(1) AS n_orders,
          | round(min(o_totalprice), 2) AS min_price,

@@ -17,6 +17,8 @@ object AsOf {
     * "forward": smallest `rightTimeCol >= leftTimeCol`, ties to the
     * smallest tie-break. `joinType` "inner" drops unmatched left
     * rows; "left_outer" keeps them with a null-padded right side.
+    * `toleranceMicros >= 0` additionally bounds the time gap (time
+    * columns must be timestamp- or long-typed).
     * Output columns: left's then right's (pre-rename for distinct
     * names).
     */
@@ -29,7 +31,9 @@ object AsOf {
       rightTimeCol: String,
       rightTieBreakCols: Seq[String] = Nil,
       joinType: String = "inner",
-      direction: String = "backward"): DataFrame =
+      direction: String = "backward",
+      toleranceMicros: Long = -1L): DataFrame =
     AsOfJoinApi.join(left, right, leftOn, rightOn, leftTimeCol,
-                     rightTimeCol, rightTieBreakCols, joinType, direction)
+                     rightTimeCol, rightTieBreakCols, joinType, direction,
+                     toleranceMicros)
 }

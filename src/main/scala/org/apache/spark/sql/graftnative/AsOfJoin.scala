@@ -52,7 +52,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     outer: Boolean = false,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    toleranceMicros: Long = -1L)
   extends BinaryNode {
   // left-outer: unmatched left rows are kept, right side null-padded
   override def output: Seq[Attribute] =
@@ -84,8 +85,8 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** Physical strategy: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, outer, fwd,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, fwd, tol,
                    planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -99,6 +100,7 @@ case class AsOfJoinExec(
     rightTieBreak: Seq[Expression],
     outer: Boolean,
     forward: Boolean,
+    toleranceMicros: Long,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -146,9 +148,13 @@ case class AsOfJoinExec(
         .GenericInternalRow(rOut.size)
       val isOuter = outer
 
+      val tol = toleranceMicros
+      def asLong(v: Any): Long = v.asInstanceOf[Number].longValue
+
       new Iterator[InternalRow] {
         private var held: UnsafeRow = null       // latest matching right row
         private var heldKey: UnsafeRow = null    // its key (copied)
+        private var heldTime: Long = 0L          // its time (for tolerance)
         private var pending: InternalRow = null
 
         private def computeNext(): InternalRow = {
@@ -174,10 +180,12 @@ case class AsOfJoinExec(
                     else if (timeOrd.asInstanceOf[Ordering[Any]].lteq(rt, lt)) {
                       held = rBuf.next().asInstanceOf[UnsafeRow].copy()
                       heldKey = lk.copy()
+                      if (tol >= 0) heldTime = asLong(rt)
                     } else scan = false
                   } else scan = false
                 }
-                if (held != null && keyOrd.compare(heldKey, lk) == 0) {
+                if (held != null && keyOrd.compare(heldKey, lk) == 0 &&
+                    (tol < 0 || asLong(lt) - heldTime <= tol)) {
                   matched = held
                 }
               } else if (lt != null) {
@@ -199,7 +207,9 @@ case class AsOfJoinExec(
                   } else scan = false
                 }
                 if (rBuf.hasNext &&
-                    keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+                    keyOrd.compare(rKeyProj(rBuf.head), lk) == 0 &&
+                    (tol < 0 ||
+                     asLong(rTimeEval.eval(rBuf.head)) - asLong(lt) <= tol)) {
                   matched = rBuf.head
                 }
               }
@@ -242,7 +252,8 @@ object AsOfJoinApi {
       rightTimeCol: String,
       rightTieBreakCols: Seq[String] = Nil,
       joinType: String = "inner",
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceMicros: Long = -1L): DataFrame = {
     val outer = joinType match {
       case "inner" => false
       case "left" | "left_outer" | "leftouter" => true
@@ -274,7 +285,7 @@ object AsOfJoinApi {
       attr(lPlan.output, leftTimeCol),
       attr(rPlan.output, rightTimeCol),
       rightTieBreakCols.map(attr(rPlan.output, _)),
-      outer, forward)
+      outer, forward, toleranceMicros)
     org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
   }
 

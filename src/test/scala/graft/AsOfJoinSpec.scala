@@ -161,6 +161,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == oracle)
   }
 
+  test("tolerance bounds the match gap in both directions") {
+    // backward, tol=10: trade 102(A,25) would match q3(A,20) — gap 5 ok;
+    // trade 103(A,99) matches q4(A,30) — gap 69 > 10 → dropped
+    val back = AsOf.join(trades, quotes, Seq("t_sym"), Seq("sym"),
+        "t_ts", "q_ts", Seq("q_id"), toleranceMicros = 10L)
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(back == Seq((101L, 1L), (102L, 3L), (104L, 5L)))
+    // forward, tol=10: 100(A,5)→q1(10) gap 5 ok; 102(A,25)→q4(30) gap 5 ok;
+    // but with tol=3 both drop
+    val fwd = AsOf.join(trades, quotes, Seq("t_sym"), Seq("sym"),
+        "t_ts", "q_ts", Seq("q_id"), direction = "forward",
+        toleranceMicros = 3L)
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fwd == Seq((101L, 1L), (104L, 5L))) // only the equal-ts matches
+    // tolerance + outer: dropped matches become null-padded rows
+    val outer = AsOf.join(trades, quotes, Seq("t_sym"), Seq("sym"),
+        "t_ts", "q_ts", Seq("q_id"), joinType = "left_outer",
+        toleranceMicros = 10L)
+      .select($"t_id", $"q_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(outer == Seq((100L, -1L), (101L, 1L), (102L, 3L),
+                        (103L, -1L), (104L, 5L), (105L, -1L)))
+  }
+
   test("self-join on the same source gets distinct expr ids") {
     val e = Seq((1L, "u1", 10L, "signup"), (2L, "u1", 20L, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
