@@ -24,4 +24,18 @@ class EntrySmokeSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("no query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin (small side broadcast) is the intended
+    // shape for the deliberate cross joins; CartesianProduct means
+    // BOTH sides stream — the plan that detonates at scale
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch { case _: Throwable => None }
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
