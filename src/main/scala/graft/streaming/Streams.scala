@@ -69,11 +69,25 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n"))
 
-  /** Streaming dedup within the watermark (dropDuplicates on keys). */
+  /** Streaming dedup within the watermark (dropDuplicates on keys).
+    * NB this variant keeps one state entry per distinct key FOREVER —
+    * correct only when the key space is bounded.
+    */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+
+  /** Scale-correct streaming dedup: state for a key is dropped once
+    * the watermark passes its event time + delay, so the state store
+    * is bounded by the watermark window rather than the lifetime key
+    * count — the variant to use for unbounded key spaces (e.g.
+    * event_id dedup over weeks of traffic).
+    */
+  def dedupStreamBounded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: purchases attributed to the signup
     * that happened up to `horizon` BEFORE them, per user. Both sides

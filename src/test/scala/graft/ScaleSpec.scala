@@ -72,4 +72,20 @@ class ScaleSpec extends AnyFunSuite {
     // correctness vs the unpartitioned scan
     assert(q.count() == o.filter(year(col("o_orderdate")) === 1996).count())
   }
+
+  test("projection prunes the parquet read schema to the used columns") {
+    val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_shipdate") > "1996-01-01")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = q.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec"))
+    // only the projected columns + the filter column reach the reader
+    assert(scan.requiredSchema.fieldNames.toSet ==
+           Set("l_orderkey", "l_quantity", "l_shipdate"),
+           s"read schema not pruned: ${scan.requiredSchema.fieldNames.toSeq}")
+    // and the predicate is pushed to the scan
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+           s"filter not pushed: ${scan.metadata("PushedFilters")}")
+  }
 }

@@ -117,6 +117,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.table("graft_dedup").count() == 14)
   }
 
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    val src = Files.createTempDirectory("graft-ss-src5").toString
+    // duplicate event_ids within the watermark window
+    val rows = Seq(
+      (1L, new Timestamp(1700000000000L), 1L, "click", 1.0),
+      (1L, new Timestamp(1700000030000L), 1L, "click", 1.0), // dup id
+      (2L, new Timestamp(1700000060000L), 2L, "view", 2.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = Streams.dedupStreamBounded(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_wm")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("graft_dedup_wm").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("stream-stream interval join attributes purchases to signups") {
     val pSrc = Files.createTempDirectory("graft-ssj-p").toString
     val sSrc = Files.createTempDirectory("graft-ssj-s").toString
