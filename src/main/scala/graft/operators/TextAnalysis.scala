@@ -104,12 +104,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(col("rh")).as("n_distinct_hashes"))
 
+  /** End-to-end cleaning pipeline — the composition a training-data
+    * run actually executes, as ONE declarative plan: quality gate
+    * (length band + lexical diversity) → exact dedup on the content
+    * hash (deterministic min-doc_id representative) → per-language
+    * corpus stats. One scan, one dedup shuffle on a uniform 128-bit
+    * key, one final aggregation: the shape that holds at 100 TB.
+    */
+  val t6CleanPipeline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs(s, d)
+      .withColumn("n_words", size(col("ws")))
+      .filter(col("n_chars") >= 100 && col("n_chars") <= 800 &&
+              floor(size(array_distinct(col("ws"))) * 100.0 / col("n_words"))
+                .cast("long") >= 60)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).cast("long").as("total_words"),
+           countDistinct(col("source")).as("n_sources"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_rolling_hash" -> t5RollingHash,
+    "t6_clean_pipeline" -> t6CleanPipeline,
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,6 +177,17 @@ object TextAnalysis {
          |      FROM t GROUP BY lang, fp)
          |SELECT lang, count(1) AS n_clusters, CAST(sum(n_docs) AS BIGINT) AS n_clustered_docs
          |FROM f WHERE n_docs > 1 GROUP BY lang""".stripMargin,
+    "t6_clean_pipeline" ->
+      s"""WITH t AS ($sqlDocs),
+         |q AS (SELECT *, length(ws) AS n_words FROM t
+         |      WHERE n_chars BETWEEN 100 AND 800
+         |        AND floor(length(list_distinct(ws)) * 100.0 / length(ws)) >= 60),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |                                   ORDER BY doc_id) AS rn FROM q)
+         |SELECT lang, count(1) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  count(DISTINCT source) AS n_sources
+         |FROM d WHERE rn = 1 GROUP BY lang""".stripMargin,
     "t5_rolling_hash" ->
       """WITH h AS (
         |  SELECT list_reduce(
