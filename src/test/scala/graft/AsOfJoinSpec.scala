@@ -189,6 +189,43 @@ class AsOfJoinSpec extends AnyFunSuite {
                         (103L, -1L), (104L, 5L), (105L, -1L)))
   }
 
+  test("combinatorial sweep vs brute force: direction x joinType x tolerance") {
+    val rng = new scala.util.Random(1234)
+    val left = (0 until 600).map(i =>
+      (i.toLong, s"k${rng.nextInt(12)}", rng.nextInt(200).toLong))
+      .toDF("l_id", "l_k", "l_t")
+    val right = (0 until 400).map(i =>
+      (i.toLong, s"k${rng.nextInt(15)}", rng.nextInt(200).toLong))
+      .toDF("r_id", "r_k", "r_t")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    for (dir <- Seq("backward", "forward");
+         jt <- Seq("inner", "left_outer");
+         tol <- Seq(-1L, 0L, 7L, 1000L)) {
+      val native = AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
+          rightTieBreakCols = Seq("r_id"), joinType = jt, direction = dir,
+          toleranceMicros = tol)
+        .select($"l_id", $"r_id")
+        .collect().map(norm).sorted.toSeq
+      val timeCond =
+        if (dir == "backward") {
+          if (tol < 0) $"r_t" <= $"l_t"
+          else $"r_t" <= $"l_t" && $"l_t" - $"r_t" <= tol
+        } else {
+          if (tol < 0) $"r_t" >= $"l_t"
+          else $"r_t" >= $"l_t" && $"r_t" - $"l_t" <= tol
+        }
+      val pick = if (dir == "backward")
+        max_by($"r_id", struct($"r_t", $"r_id"))
+      else min_by($"r_id", struct($"r_t", $"r_id"))
+      val oracle = left.join(right, $"l_k" === $"r_k" && timeCond, jt)
+        .groupBy($"l_id").agg(pick.as("r_id"))
+        .collect().map(norm).sorted.toSeq
+      assert(native == oracle,
+        s"mismatch for direction=$dir joinType=$jt tolerance=$tol")
+    }
+  }
+
   test("self-join on the same source gets distinct expr ids") {
     val e = Seq((1L, "u1", 10L, "signup"), (2L, "u1", 20L, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
