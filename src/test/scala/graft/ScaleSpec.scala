@@ -73,6 +73,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(q.count() == o.filter(year(col("o_orderdate")) === 1996).count())
   }
 
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // 100 TB tactic: a selective dimension filter becomes a bloom
+    // filter evaluated INSIDE the fact scan, shrinking the shuffle
+    // before the join — Spark injects it at optimization time
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .filter(col("o_totalprice") > 400000) // selective creation side
+      val l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+             s"no runtime bloom filter injected:\n$plan")
+      // still correct vs the unfiltered-plan count
+      val expected = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .join(spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+                .filter(col("o_totalprice") > 400000).hint("broadcast"),
+              col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("projection prunes the parquet read schema to the used columns") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_shipdate") > "1996-01-01")
