@@ -317,6 +317,26 @@ object Relational {
       .select(col("p_id"), col("s_id").as("asof_signup_id"))
   }
 
+  /** Nearest-direction as-of with a ±30-minute tolerance: each
+    * purchase takes the closer of its latest-preceding and
+    * earliest-following signup (ties to the preceding one).
+    */
+  val q23AsOfNearest: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    graft.plans.AsOf.join(
+        purchases, signups,
+        leftOn = Seq("user_id"), rightOn = Seq("s_user"),
+        leftTimeCol = "ts", rightTimeCol = "s_ts",
+        rightTieBreakCols = Seq("s_id"), direction = "nearest",
+        toleranceMicros = 1800L * 1000000L)
+      .select(col("p_id"), col("s_id").as("nearest_signup_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_agg" -> q2FilterAgg,
@@ -340,6 +360,7 @@ object Relational {
     "q20_asof_outer" -> q20AsOfOuter,
     "q21_asof_forward" -> q21AsOfForward,
     "q22_asof_tolerance" -> q22AsOfTolerance,
+    "q23_asof_nearest" -> q23AsOfNearest,
   )
 
   val oracles: Map[String, String] = Map(
@@ -480,6 +501,36 @@ object Relational {
         |SELECT event_id AS p_id, asof_signup_id
         |FROM o WHERE event_type = 'purchase' AND asof_signup_id IS NOT NULL
         |  AND ts - asof_signup_ts <= INTERVAL 1 HOUR""".stripMargin,
+    // nearest: backward candidate from the preceding window, forward
+    // from the following window; smaller gap wins, ties → backward
+    "q23_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'signup')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER wb AS b_id,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER wb AS b_ts,
+        |    first_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER wf AS f_id,
+        |    first_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER wf AS f_ts
+        |  FROM e
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id
+        |      ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id
+        |      ORDER BY ts, CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |c AS (SELECT event_id, ts, b_id, b_ts, f_id, f_ts,
+        |    (b_id IS NOT NULL AND ts - b_ts <= INTERVAL 30 MINUTE) AS b_ok,
+        |    (f_id IS NOT NULL AND f_ts - ts <= INTERVAL 30 MINUTE) AS f_ok
+        |  FROM o WHERE event_type = 'purchase')
+        |SELECT event_id AS p_id,
+        |  CASE WHEN b_ok AND (NOT f_ok OR ts - b_ts <= f_ts - ts) THEN b_id
+        |       ELSE f_id END AS nearest_signup_id
+        |FROM c WHERE b_ok OR f_ok""".stripMargin,
     "q14_agg_stats" ->
       s"""SELECT o_orderpriority, count(1) AS n_orders,
          | round(min(o_totalprice), 2) AS min_price,

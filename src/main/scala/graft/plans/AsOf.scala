@@ -15,7 +15,9 @@ object AsOf {
     * `direction` "backward" (default): greatest `rightTimeCol <=
     * leftTimeCol`, ties to the greatest `rightTieBreakCols`;
     * "forward": smallest `rightTimeCol >= leftTimeCol`, ties to the
-    * smallest tie-break. `joinType` "inner" drops unmatched left
+    * smallest tie-break; "nearest": the closer of the two, ties to
+    * backward (requires timestamp/long time columns).
+    * `joinType` "inner" drops unmatched left
     * rows; "left_outer" keeps them with a null-padded right side.
     * `toleranceMicros >= 0` additionally bounds the time gap (time
     * columns must be timestamp- or long-typed).

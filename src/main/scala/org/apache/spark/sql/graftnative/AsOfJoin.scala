@@ -53,6 +53,7 @@ case class AsOfJoinPlan(
     rightTieBreak: Seq[Expression],
     outer: Boolean = false,
     forward: Boolean = false,
+    nearest: Boolean = false,
     toleranceMicros: Long = -1L)
   extends BinaryNode {
   // left-outer: unmatched left rows are kept, right side null-padded
@@ -85,8 +86,8 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** Physical strategy: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, outer, fwd, tol,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, fwd, near, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, fwd, near, tol,
                    planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -100,6 +101,7 @@ case class AsOfJoinExec(
     rightTieBreak: Seq[Expression],
     outer: Boolean,
     forward: Boolean,
+    nearest: Boolean,
     toleranceMicros: Long,
     left: SparkPlan,
     right: SparkPlan)
@@ -180,13 +182,36 @@ case class AsOfJoinExec(
                     else if (timeOrd.asInstanceOf[Ordering[Any]].lteq(rt, lt)) {
                       held = rBuf.next().asInstanceOf[UnsafeRow].copy()
                       heldKey = lk.copy()
-                      if (tol >= 0) heldTime = asLong(rt)
+                      if (tol >= 0 || nearest) heldTime = asLong(rt)
                     } else scan = false
                   } else scan = false
                 }
-                if (held != null && keyOrd.compare(heldKey, lk) == 0 &&
-                    (tol < 0 || asLong(lt) - heldTime <= tol)) {
-                  matched = held
+                val backOk = held != null &&
+                  keyOrd.compare(heldKey, lk) == 0 &&
+                  (tol < 0 || asLong(lt) - heldTime <= tol)
+                if (!nearest) {
+                  if (backOk) matched = held
+                } else {
+                  // NEAREST: the backward advance leaves the head at
+                  // the first same-key row with time > lt — the
+                  // forward candidate. Smaller gap wins; ties go
+                  // backward (the pandas merge_asof convention).
+                  var fwdRow: InternalRow = null
+                  var fwdGap = Long.MaxValue
+                  if (rBuf.hasNext &&
+                      keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+                    val rt2 = rTimeEval.eval(rBuf.head)
+                    if (rt2 != null) {
+                      val g = asLong(rt2) - asLong(lt)
+                      if (tol < 0 || g <= tol) {
+                        fwdRow = rBuf.head; fwdGap = g
+                      }
+                    }
+                  }
+                  val backGap =
+                    if (backOk) asLong(lt) - heldTime else Long.MaxValue
+                  if (backOk && backGap <= fwdGap) matched = held
+                  else if (fwdRow != null) matched = fwdRow
                 }
               } else if (lt != null) {
                 // FORWARD: discard rows whose key sorts before lk or
@@ -254,6 +279,7 @@ object AsOfJoinApi {
       joinType: String = "inner",
       direction: String = "backward",
       toleranceMicros: Long = -1L): DataFrame = {
+    val nearest = direction == "nearest"
     val outer = joinType match {
       case "inner" => false
       case "left" | "left_outer" | "leftouter" => true
@@ -261,10 +287,10 @@ object AsOfJoinApi {
         s"as-of joinType must be inner or left_outer, got '$other'")
     }
     val forward = direction match {
-      case "backward" => false
+      case "backward" | "nearest" => false
       case "forward" => true
       case other => throw new IllegalArgumentException(
-        s"as-of direction must be backward or forward, got '$other'")
+        s"as-of direction must be backward, forward or nearest, got '$other'")
     }
     val session = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ensureRegistered(session)
@@ -285,7 +311,7 @@ object AsOfJoinApi {
       attr(lPlan.output, leftTimeCol),
       attr(rPlan.output, rightTimeCol),
       rightTieBreakCols.map(attr(rPlan.output, _)),
-      outer, forward, toleranceMicros)
+      outer, forward, nearest, toleranceMicros)
     org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
   }
 

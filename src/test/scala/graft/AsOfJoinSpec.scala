@@ -226,6 +226,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest direction vs plain-Scala brute force, with tolerance") {
+    val rng = new scala.util.Random(555)
+    val lRows = (0 until 600).map(i =>
+      (i.toLong, s"k${rng.nextInt(12)}", rng.nextInt(200).toLong))
+    val rRows = (0 until 400).map(i =>
+      (i.toLong, s"k${rng.nextInt(15)}", rng.nextInt(200).toLong))
+    val left = lRows.toDF("l_id", "l_k", "l_t")
+    val right = rRows.toDF("r_id", "r_k", "r_t")
+    val byKey = rRows.groupBy(_._2)
+    for (tol <- Seq(-1L, 0L, 5L, 50L)) {
+      val native = AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
+          rightTieBreakCols = Seq("r_id"), direction = "nearest",
+          toleranceMicros = tol)
+        .select($"l_id", $"r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = lRows.flatMap { case (lid, lk, lt) =>
+        val cands = byKey.getOrElse(lk, Nil)
+        val back = cands.filter(c => c._3 <= lt && (tol < 0 || lt - c._3 <= tol))
+          .sortBy(c => (c._3, c._1)).lastOption           // max (t, id)
+        val fwd = cands.filter(c => c._3 >= lt && (tol < 0 || c._3 - lt <= tol))
+          .sortBy(c => (c._3, c._1)).headOption           // min (t, id)
+        (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            Some(lid -> (if (lt - b._3 <= f._3 - lt) b._1 else f._1))
+          case (Some(b), None) => Some(lid -> b._1)
+          case (None, Some(f)) => Some(lid -> f._1)
+          case _ => None
+        }
+      }.sorted.toSeq
+      assert(native == expect, s"nearest mismatch at tolerance=$tol")
+    }
+  }
+
   test("self-join on the same source gets distinct expr ids") {
     val e = Seq((1L, "u1", 10L, "signup"), (2L, "u1", 20L, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
