@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Native backward as-of join (SURVEY.md §2.4, §2.12): for every left
   * row, the single right row with the same key and the greatest
@@ -127,6 +128,9 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
@@ -135,6 +139,7 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val keyTypes = leftKeys.map(_.dataType)
+    val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -239,8 +244,13 @@ case class AsOfJoinExec(
                 }
               }
             }
-            if (matched != null) return joined(l, matched)
-            else if (isOuter) return joined(l, nullRight)
+            if (matched != null) {
+              numOutputRows += 1
+              return joined(l, matched)
+            } else if (isOuter) {
+              numOutputRows += 1
+              return joined(l, nullRight)
+            }
           }
           null
         }
@@ -304,12 +314,24 @@ object AsOfJoinApi {
       out.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"no column '$name' in [${out.map(_.name).mkString(", ")}]"))
+    val lKeys = leftOn.map(attr(lPlan.output, _))
+    val rKeys = rightOn.map(attr(rPlan.output, _))
+    val lT = attr(lPlan.output, leftTimeCol)
+    val rT = attr(rPlan.output, rightTimeCol)
+    require(lKeys.length == rKeys.length,
+      s"as-of key count mismatch: $leftOn vs $rightOn")
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
+    }
+    require(lT.dataType == rT.dataType,
+      s"as-of time type mismatch: ${lT.name}: ${lT.dataType} vs ${rT.name}: ${rT.dataType}")
     val plan = AsOfJoinPlan(
       lPlan, rPlan,
-      leftOn.map(attr(lPlan.output, _)),
-      rightOn.map(attr(rPlan.output, _)),
-      attr(lPlan.output, leftTimeCol),
-      attr(rPlan.output, rightTimeCol),
+      lKeys,
+      rKeys,
+      lT,
+      rT,
       rightTieBreakCols.map(attr(rPlan.output, _)),
       outer, forward, nearest, toleranceMicros)
     org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
