@@ -113,6 +113,46 @@ object Dedup {
            countDistinct(col("shingle")).as("n_distinct"))
   }
 
+  /** Set-similarity join via PREFIX FILTERING (the PPJoin-family
+    * technique from the distributed set-similarity-join literature):
+    * for Jaccard >= 0.7, two token sets MUST share a token among each
+    * one's first |T| - ceil(0.7|T|) + 1 tokens when both are ordered
+    * by ascending global token frequency (rare-first). So instead of
+    * blocking (d5) or all-pairs, only the short rare-token prefixes
+    * are exploded and joined — the candidate set shrinks with the
+    * threshold, and the shuffle key is the prefix token. Exact Jaccard
+    * then verifies candidates with INTEGER arithmetic (10*inter >=
+    * 7*union) so the threshold is engine-exact.
+    */
+  val d8PrefixJoin: Q = (s, d) => {
+    val ts = docs(s, d).select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(col("ws"))).as("ts"))
+    val freq = ts.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val ordered = ts.select(col("doc_id"), col("lang"), explode(col("ts")).as("tok"))
+      .join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(transform(array_sort(collect_list(struct(col("freq"), col("tok")))),
+                     x => x.getField("tok")).as("otoks"))
+      .withColumn("n", size(col("otoks")))
+      // plen = n - ceil(0.7 n) + 1, in pure integer arithmetic
+      .withColumn("plen", col("n") - expr("(n * 7 + 9) DIV 10") + 1)
+    val pa = ordered.select(col("doc_id").as("a_id"), col("lang"),
+      col("otoks").as("a_t"),
+      explode(slice(col("otoks"), lit(1), col("plen"))).as("tok"))
+    val pb = ordered.select(col("doc_id").as("b_id"),
+      col("otoks").as("b_t"),
+      explode(slice(col("otoks"), lit(1), col("plen"))).as("tok_b"))
+    pa.join(pb, col("tok") === col("tok_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("lang"), col("a_t"), col("b_id"), col("b_t"))
+      .distinct()
+      .withColumn("inter", size(array_intersect(col("a_t"), col("b_t"))))
+      .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("a_id")).as("min_a"))
+  }
+
   /** Blocked n-gram Jaccard: token-set similarity of doc pairs inside
     * (lang, source, length-band) blocks; report pair counts per
     * 0.1-wide Jaccard band (counts only → float-rounding-proof).
@@ -165,6 +205,7 @@ object Dedup {
     "d5_jaccard_blocked" -> d5Jaccard,
     "d6_embedding_dup" -> d6EmbeddingDup,
     "d7_shingle_generator" -> d7ShingleGenerator,
+    "d8_prefix_join" -> d8PrefixJoin,
   )
 
   private val sqlShingles =
@@ -224,6 +265,29 @@ object Dedup {
          |SELECT lang, CAST(floor(inter * 10.0 / uni) AS BIGINT) AS j_band, count(1) AS n_pairs
          |FROM p WHERE floor(inter * 10.0 / uni) >= 5
          |GROUP BY lang, j_band""".stripMargin,
+    "d8_prefix_join" ->
+      s"""WITH t AS ($sqlDocs),
+         |ts AS (SELECT doc_id, lang, list_sort(list_distinct(ws)) AS ts FROM t),
+         |f AS (SELECT tok, count(1) AS freq
+         |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) GROUP BY tok),
+         |o AS (SELECT doc_id, lang, list(tok ORDER BY freq, tok) AS otoks
+         |      FROM (SELECT doc_id, lang, unnest(ts) AS tok FROM ts) e
+         |      JOIN f USING (tok)
+         |      GROUP BY doc_id, lang),
+         |p0 AS (SELECT doc_id, lang, otoks, length(otoks) AS n,
+         |         length(otoks) - (length(otoks) * 7 + 9) // 10 + 1 AS plen
+         |       FROM o),
+         |pr AS (SELECT doc_id, lang, otoks,
+         |         unnest(list_slice(otoks, 1, plen)) AS tok FROM p0),
+         |c AS (SELECT DISTINCT a.doc_id AS a_id, a.lang, a.otoks AS a_t,
+         |        b.doc_id AS b_id, b.otoks AS b_t
+         |      FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, lang,
+         |        length(list_intersect(a_t, b_t)) AS inter,
+         |        length(a_t) + length(b_t) - length(list_intersect(a_t, b_t)) AS uni
+         |      FROM c)
+         |SELECT lang, count(1) AS n_pairs, min(a_id) AS min_a
+         |FROM j WHERE 10 * inter >= 7 * uni GROUP BY lang""".stripMargin,
     "d7_shingle_generator" ->
       s"""WITH t AS ($sqlDocs),
          |sh AS (SELECT lang, unnest($sqlShingles) AS shingle FROM t)
