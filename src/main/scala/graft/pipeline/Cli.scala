@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   explain --query <name> [--sf-dir <dir>]
   *   stream-dump --input <dir> --dest <root> [--dump-id ID]
   *          [--max-per-file N] [--checkpoint DIR]
+  *   compact --dest <root> --dump-id ID [--max-per-file N]
   *
   * `--input` here is any parquet of (key binary, value binary,
   * partition int, offset long) records — in a brokered deployment the
@@ -88,6 +89,15 @@ object Cli {
           println(s"dump $id: ${cat.dumpFiles(id).size} files")
         }
 
+      case "compact" =>
+        // offline maintenance: merge a dump's small files
+        val dumpId = req(opts, "dump-id")
+        val names = new Dumper(spark).compact(
+          req(opts, "dest"), dumpId,
+          opts.getOrElse("max-per-file", "1000000").toInt)
+        println(s"compacted ${req(opts, "dest")}/$dumpId to ${names.size} files")
+        names.foreach(n => println(s"  $n"))
+
       case "explain" =>
         // explain --query <name> [--sf-dir <dir>]: formatted physical
         // plan of a registered SparkEntry query — the plan-iteration loop
@@ -101,7 +111,7 @@ object Cli {
 
       case other =>
         System.err.println(
-          s"unknown command '$other'; expected dump|reload|stream-dump|explain")
+          s"unknown command '$other'; expected dump|reload|stream-dump|compact|explain")
         sys.exit(2)
     }
   }

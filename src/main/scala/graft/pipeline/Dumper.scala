@@ -45,6 +45,46 @@ class Dumper(spark: SparkSession) {
     renameToCumulative(out, dumpId)
   }
 
+  /** Compact a dump's small files into at-most-`maxPerFile`-row files,
+    * preserving both catalog invariants (lexicographic file order ==
+    * record order; cumulative `%015d` naming). Order is recovered
+    * from (file name, within-file position): dump files are written
+    * as one row group each and are smaller than a split, so one task
+    * reads a whole file and `monotonically_increasing_id` is
+    * ascending within it. The rewrite is a distributed job; the swap
+    * is a driver-side O(#files) rename (compaction is an offline
+    * maintenance op, run it when no reader races the swap).
+    *
+    * The 100 TB point: a long-running dumper accumulates
+    * files-per-trigger small files; compaction bounds file count (and
+    * thus listing and task-scheduling overhead for every later read)
+    * without breaking the reload contract.
+    */
+  def compact(destDir: String, dumpId: String, maxPerFile: Int): Seq[String] = {
+    val dir = s"$destDir/$dumpId"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val df = spark.read.parquet(dir)
+      .withColumn("__f", input_file_name())
+      .withColumn("__i", monotonically_increasing_id())
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val tmp = s"$destDir/.$dumpId-compacting"
+    fs.delete(new HPath(tmp), true)
+    df.repartitionByRange(n, col("__f"), col("__i"))
+      .sortWithinPartitions(col("__f"), col("__i"))
+      .select(col("0"), col("1"))
+      .write.mode("overwrite")
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxPerFile.toLong)
+      .parquet(tmp)
+    val names = renameToCumulative(tmp, dumpId)
+    if (!fs.delete(new HPath(dir), true))
+      throw new java.io.IOException(s"delete failed: $dir")
+    if (!fs.rename(new HPath(tmp), new HPath(dir)))
+      throw new java.io.IOException(s"rename failed: $tmp -> $dir")
+    names
+  }
+
   /** Rename part-* files (lexicographic = global row order after the
     * range partition + sort) to `{dumpId}-{cumulative:015d}.parquet`.
     */
