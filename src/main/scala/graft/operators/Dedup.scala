@@ -138,6 +138,10 @@ object Dedup {
         array_sort(array_distinct(col("ws"))).as("ts"))
     val freq = ts.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // the per-doc ordered token table feeds FOUR consumers (both
+    // prefix sides + both array-rebind joins); checkpoint it once so
+    // the diamond isn't recomputed per consumer — at corpus scale
+    // this is the persist() you'd put on any reused build side
     val ordered = ts.select(col("doc_id"), col("lang"), explode(col("ts")).as("tok"))
       .join(broadcast(freq), "tok")
       .groupBy(col("doc_id"), col("lang"))
@@ -146,15 +150,21 @@ object Dedup {
       .withColumn("n", size(col("otoks")))
       // plen = n - ceil(0.7 n) + 1, in pure integer arithmetic
       .withColumn("plen", col("n") - expr("(n * 7 + 9) DIV 10") + 1)
-    val pa = ordered.select(col("doc_id").as("a_id"), col("lang"),
-      col("otoks").as("a_t"),
+      .localCheckpoint()
+    // candidate generation is ID-ONLY (the arrays never ride the
+    // explode/join/distinct shuffles); the verified pair set gets its
+    // token arrays back via two broadcast joins afterwards
+    val slim = ordered.select(col("doc_id"),
       explode(slice(col("otoks"), lit(1), col("plen"))).as("tok"))
-    val pb = ordered.select(col("doc_id").as("b_id"),
-      col("otoks").as("b_t"),
-      explode(slice(col("otoks"), lit(1), col("plen"))).as("tok_b"))
-    pa.join(pb, col("tok") === col("tok_b") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("lang"), col("a_t"), col("b_id"), col("b_t"))
+    val pairs = slim.toDF("a_id", "tok")
+      .join(slim.toDF("b_id", "tok_b"),
+            col("tok") === col("tok_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
+    val oa = ordered.select(col("doc_id").as("a_id"), col("lang"),
+                            col("otoks").as("a_t"))
+    val ob = ordered.select(col("doc_id").as("b_id"), col("otoks").as("b_t"))
+    pairs.join(broadcast(oa), "a_id").join(broadcast(ob), "b_id")
       .withColumn("inter", size(array_intersect(col("a_t"), col("b_t"))))
       .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
