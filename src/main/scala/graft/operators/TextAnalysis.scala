@@ -127,6 +127,24 @@ object TextAnalysis {
            countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Deterministic train/val/test split (80/10/10) by hashing the
+    * document id with a salt — the reproducible-sampling idiom for
+    * training pipelines: no RNG, no partitioning dependence, the same
+    * doc lands in the same split on any cluster at any scale, and
+    * rates are exact in expectation per stratum. (Spark's
+    * sample()/sampleBy() seeds are partitioning-dependent, so they
+    * cannot be oracle-checked NOR reproduced across layouts.)
+    */
+  val t7SplitSample: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("h", expr(
+        """cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8),
+          |          16, 10) as bigint) % 100""".stripMargin))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+
   val queries: Map[String, Q] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
@@ -134,6 +152,7 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_rolling_hash" -> t5RollingHash,
     "t6_clean_pipeline" -> t6CleanPipeline,
+    "t7_split_sample" -> t7SplitSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +196,15 @@ object TextAnalysis {
          |      FROM t GROUP BY lang, fp)
          |SELECT lang, count(1) AS n_clusters, CAST(sum(n_docs) AS BIGINT) AS n_clustered_docs
          |FROM f WHERE n_docs > 1 GROUP BY lang""".stripMargin,
+    "t7_split_sample" ->
+      """SELECT lang,
+        | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |      ELSE 'test' END AS split,
+        | count(1) AS n_docs, min(doc_id) AS min_doc
+        |FROM (SELECT *,
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "t6_clean_pipeline" ->
       s"""WITH t AS ($sqlDocs),
          |q AS (SELECT *, length(ws) AS n_words FROM t
