@@ -259,6 +259,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed sides join with zero exchanges") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-asof-wh")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      trades.write.mode("overwrite").bucketBy(4, "t_sym").sortBy("t_sym", "t_ts")
+        .option("path", s"$warehouse/trades_b").saveAsTable("graft_trades_b")
+      quotes.write.mode("overwrite").bucketBy(4, "sym").sortBy("sym", "q_ts")
+        .option("path", s"$warehouse/quotes_b").saveAsTable("graft_quotes_b")
+      val joined = AsOf.join(
+        spark.table("graft_trades_b"), spark.table("graft_quotes_b"),
+        Seq("t_sym"), Seq("sym"), "t_ts", "q_ts", Seq("q_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed as-of must not shuffle; plan:\n$plan")
+      assert(plan.contains("AsOfJoin"), s"no AsOfJoinExec in:\n$plan")
+      // same result as the unbucketed path
+      val out = joined.select($"t_id", $"q_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(out == Seq((101L, 1L), (102L, 3L), (103L, 4L), (104L, 5L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_trades_b")
+      spark.sql("DROP TABLE IF EXISTS graft_quotes_b")
+    }
+  }
+
   test("self-join on the same source gets distinct expr ids") {
     val e = Seq((1L, "u1", 10L, "signup"), (2L, "u1", 20L, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
