@@ -53,14 +53,49 @@ object WindowsBatch {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** Conversion funnel: signup → later click → later purchase per
+    * user, counting users surviving each stage. Each stage is a
+    * key-partitioned aggregate + join (no window over the whole
+    * event stream), so the plan is three shuffles on user_id that
+    * AQE coalesces — the funnel shape that scales with users, not
+    * with events per user.
+    */
+  val wb5Funnel: Q = (s, d) => {
+    val e = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_s"))
+    val cl = e.filter(col("event_type") === "click").join(su, "user_id")
+      .filter(col("ts") >= col("t_s"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_c"))
+    val pu = e.filter(col("event_type") === "purchase").join(cl, "user_id")
+      .filter(col("ts") >= col("t_c"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+    su.join(cl, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_signup"),
+           count(col("t_c")).as("n_signup_click"),
+           count(col("t_p")).as("n_full_funnel"))
+  }
+
   val queries: Map[String, Q] = Map(
     "wb1_tumbling" -> wb1Tumbling,
     "wb2_sliding" -> wb2Sliding,
     "wb3_session" -> wb3Session,
     "wb4_dedup" -> wb4Dedup,
+    "wb5_funnel" -> wb5Funnel,
   )
 
   val oracles: Map[String, String] = Map(
+    "wb5_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS t_s FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |cl AS (SELECT e.user_id, min(ts) AS t_c FROM events e JOIN su USING (user_id)
+        |       WHERE event_type = 'click' AND ts >= t_s GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(ts) AS t_p FROM events e JOIN cl USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts >= t_c GROUP BY 1)
+        |SELECT count(1) AS n_signup, count(t_c) AS n_signup_click,
+        |       count(t_p) AS n_full_funnel
+        |FROM su LEFT JOIN cl USING (user_id) LEFT JOIN pu USING (user_id)""".stripMargin,
     "wb1_tumbling" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
          | event_type, count(1) AS n, ${sqlMoneySum("value")} AS sum_value
