@@ -153,8 +153,10 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rOut.size)
+      // locals so the task closure doesn't capture the plan node
       val isOuter = outer
-
+      val isForward = forward
+      val isNearest = nearest
       val tol = toleranceMicros
       def asLong(v: Any): Long = v.asInstanceOf[Number].longValue
 
@@ -171,7 +173,7 @@ case class AsOfJoinExec(
             var matched: InternalRow = null
             if (!lk.anyNull) {
               val lt = lTimeEval.eval(l)
-              if (lt != null && !forward) {
+              if (lt != null && !isForward) {
                 // BACKWARD: consume rows whose key sorts before lk,
                 // and same-key rows with time <= lt (keeping the last
                 // = greatest (time, tieBreak) thanks to the sort).
@@ -187,14 +189,14 @@ case class AsOfJoinExec(
                     else if (timeOrd.asInstanceOf[Ordering[Any]].lteq(rt, lt)) {
                       held = rBuf.next().asInstanceOf[UnsafeRow].copy()
                       heldKey = lk.copy()
-                      if (tol >= 0 || nearest) heldTime = asLong(rt)
+                      if (tol >= 0 || isNearest) heldTime = asLong(rt)
                     } else scan = false
                   } else scan = false
                 }
                 val backOk = held != null &&
                   keyOrd.compare(heldKey, lk) == 0 &&
                   (tol < 0 || asLong(lt) - heldTime <= tol)
-                if (!nearest) {
+                if (!isNearest) {
                   if (backOk) matched = held
                 } else {
                   // NEAREST: the backward advance leaves the head at
