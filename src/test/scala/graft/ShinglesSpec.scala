@@ -33,6 +33,19 @@ class ShinglesSpec extends AnyFunSuite {
     assert(native.contains("one two"))
   }
 
+  test("n=2 and n=5 shingle widths") {
+    ShinglesApi.ensureRegistered(spark)
+    val df = Seq("a b c d").toDF("text")
+    assert(df.select(expr("shingles(text, 2)").as("s"))
+      .collect().map(_.getString(0)).toSeq == Seq("a b", "b c", "c d"))
+    // fewer tokens than n → ONE whole-text shingle
+    assert(df.select(expr("shingles(text, 5)").as("s"))
+      .collect().map(_.getString(0)).toSeq == Seq("a b c d"))
+    // n=1 → one shingle per token
+    assert(df.select(expr("shingles(text, 1)").as("s"))
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c", "d"))
+  }
+
   test("null text emits no rows; plan is a Generate node") {
     ShinglesApi.ensureRegistered(spark)
     val df = Seq(Option("a b c d"), None).toDF("text")
