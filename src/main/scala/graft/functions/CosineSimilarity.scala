@@ -8,9 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{
+  AbstractDataType, ArrayType, DataType, DoubleType, FloatType,
+  TypeCollection}
 
-/** Native codegen'd cosine similarity over two float-array columns.
+/** Native codegen'd cosine similarity over two vector columns — each
+  * side independently array<float> or array<double> (k-means centroids
+  * are exact double means of float vectors and must NOT be narrowed
+  * back to float, so an implicit cast would corrupt them).
   *
   * The composable form (zip_with + aggregate + transform) materializes
   * three intermediate arrays per row pair; this expression fuses dot
@@ -20,30 +25,44 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * top-k as the slowest bench query.
   *
   * Semantics match the HOF form exactly (same left-to-right double
-  * fold, dot over min length, norms over full arrays), so the DuckDB
-  * oracle is unchanged. Zero-norm inputs yield 0.0, not NaN.
+  * fold, dot over min length, norms over full arrays, floats widened
+  * to double before any arithmetic), so the DuckDB oracle is
+  * unchanged. Zero-norm inputs yield 0.0, not NaN.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
+  // def, not val: TypeCollection is not Serializable and must not be
+  // captured in the task closure when the expression ships interpreted
+  private def floatOrDoubleArray: AbstractDataType =
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+    Seq(floatOrDoubleArray, floatOrDoubleArray)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = isDouble(left)
+    val yd = isDouble(right)
+    def xAt(i: Int): Double = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+    def yAt(i: Int): Double = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { dot += xAt(i) * yAt(i); i += 1 }
     var nx = 0.0
     i = 0
-    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    while (i < x.numElements()) { val v = xAt(i); nx += v * v; i += 1 }
     var ny = 0.0
     i = 0
-    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
+    while (i < y.numElements()) { val v = yAt(i); ny += v * v; i += 1 }
     if (nx == 0.0 || ny == 0.0) 0.0
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
@@ -56,17 +75,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val v = ctx.freshName("v")
+      def get(arr: String, dbl: Boolean) =
+        if (dbl) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+      val aAt = get(a, isDouble(left))
+      val bAt = get(b, isDouble(right))
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dot += $aAt * $bAt;
          |}
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $v = (double) $a.getFloat($i); $nx += $v * $v;
+         |  double $v = $aAt; $nx += $v * $v;
          |}
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double $v = (double) $b.getFloat($i); $ny += $v * $v;
+         |  double $v = $bAt; $ny += $v * $v;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 :
          |  $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -113,6 +113,74 @@ object Dedup {
            countDistinct(col("shingle")).as("n_distinct"))
   }
 
+  /** Per-doc rare-first ordered token table with prefix length — the
+    * build side of `d8_prefix_join`.
+    *
+    * Token sets are the docs' distinct 3-word SHINGLES, not raw words:
+    * the synthetic corpus draws words from a ~31-word vocabulary, so
+    * word-level prefixes degenerate toward all-pairs; shingling lifts
+    * the effective vocabulary to |V|³ >> corpus size (27k distinct
+    * shingles vs 5k docs at sf0.1) — the regime real text is in and
+    * the one prefix filtering is designed for. No corpus bound: this
+    * runs over the FULL documents table.
+    */
+  private[graft] def d8Ordered(s: SparkSession, d: String): DataFrame = {
+    org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
+    // Two deliberate moves here:
+    // - shingling goes through the NATIVE `shingles` Generator (d7's
+    //   UDTF), not the composed array expression: Catalyst collapses a
+    //   composed generator input INTO the Generate node and
+    //   re-evaluates the whole shingle pipeline per OUTPUT row
+    //   (measured 11.5 s vs 0.3 s at sf0.1) — the native Generator
+    //   tokenizes once per document and streams its shingles;
+    // - tokens are HASHED to 60-bit longs (md5-prefix, so the DuckDB
+    //   oracle replays them exactly — same trick as the minhash base
+    //   hash): every downstream shuffle, join and array_intersect then
+    //   runs on primitive longs instead of UTF8Strings (measured ~3×
+    //   on the verify stage); 27k tokens in a 2^60 space makes a
+    //   collision (which would only merge two tokens) vanishingly rare
+    //   and, since both engines hash identically, oracle-invisible.
+    val exploded = documents(s, d)
+      .select(col("doc_id"), col("lang"), expr("shingles(text, 3)").as("shingle"))
+      .select(col("doc_id"), col("lang"), expr(
+        "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("tok"))
+      .distinct() // per-doc distinct token set (== array_distinct)
+    // freq is one row per distinct shingle — it grows with the corpus,
+    // so it joins by shuffle-on-token (AQE demotes that to broadcast
+    // whenever it measures small); `exploded`'s two consumers share
+    // one computed exchange via ReuseExchange
+    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // The per-doc ordered token table feeds FOUR consumers (both
+    // prefix sides + both rebind joins); checkpoint it once so the
+    // diamond isn't recomputed per consumer — at corpus scale this is
+    // the persist() you'd put on any reused build side
+    exploded.join(freq, "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(transform(array_sort(collect_list(struct(col("freq"), col("tok")))),
+                     x => x.getField("tok")).as("otoks"))
+      .withColumn("n", size(col("otoks")))
+      // plen = n - ceil(0.7 n) + 1, in pure integer arithmetic
+      .withColumn("plen", col("n") - expr("(n * 7 + 9) DIV 10") + 1)
+      .localCheckpoint()
+  }
+
+  /** Candidate pairs from the rare-token prefixes. ID-ONLY shuffles
+    * (the arrays never ride the explode/join/distinct); a prefix token
+    * with document-frequency f contributes at most f(f-1)/2 pairs, so
+    * the candidate count is bounded by prefix-token df², not corpus² —
+    * DedupSpec pins the sub-quadratic ratio and completeness vs brute
+    * force.
+    */
+  private[graft] def d8Candidates(ordered: DataFrame): DataFrame = {
+    val slim = ordered.select(col("doc_id"),
+      explode(slice(col("otoks"), lit(1), col("plen"))).as("tok"))
+    slim.toDF("a_id", "tok")
+      .join(slim.toDF("b_id", "tok_b"),
+            col("tok") === col("tok_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
   /** Set-similarity join via PREFIX FILTERING (the PPJoin-family
     * technique from the distributed set-similarity-join literature):
     * for Jaccard >= 0.7, two token sets MUST share a token among each
@@ -122,49 +190,19 @@ object Dedup {
     * are exploded and joined — the candidate set shrinks with the
     * threshold, and the shuffle key is the prefix token. Exact Jaccard
     * then verifies candidates with INTEGER arithmetic (10*inter >=
-    * 7*union) so the threshold is engine-exact.
-    *
-    * Corpus note (same caveat class as the ANN recall note): the
-    * synthetic documents draw from a 31-token vocabulary, so every
-    * doc shares prefix tokens with nearly every other and the filter
-    * degenerates toward all-pairs as the corpus grows — a data
-    * property, not an operator one (real text has vocab >> doc
-    * count). The demo therefore runs on a fixed 500-doc slice so its
-    * cost is corpus-size-independent; the plan shape is unchanged.
+    * 7*union) so the threshold is engine-exact. Runs UNBOUNDED over
+    * the whole corpus (see d8Ordered for why tokens are shingles).
     */
   val d8PrefixJoin: Q = (s, d) => {
-    val ts = docs(s, d).filter(col("doc_id") < 500)
-      .select(col("doc_id"), col("lang"),
-        array_sort(array_distinct(col("ws"))).as("ts"))
-    val freq = ts.select(explode(col("ts")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    // the per-doc ordered token table feeds FOUR consumers (both
-    // prefix sides + both array-rebind joins); checkpoint it once so
-    // the diamond isn't recomputed per consumer — at corpus scale
-    // this is the persist() you'd put on any reused build side
-    val ordered = ts.select(col("doc_id"), col("lang"), explode(col("ts")).as("tok"))
-      .join(broadcast(freq), "tok")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(transform(array_sort(collect_list(struct(col("freq"), col("tok")))),
-                     x => x.getField("tok")).as("otoks"))
-      .withColumn("n", size(col("otoks")))
-      // plen = n - ceil(0.7 n) + 1, in pure integer arithmetic
-      .withColumn("plen", col("n") - expr("(n * 7 + 9) DIV 10") + 1)
-      .localCheckpoint()
-    // candidate generation is ID-ONLY (the arrays never ride the
-    // explode/join/distinct shuffles); the verified pair set gets its
-    // token arrays back via two broadcast joins afterwards
-    val slim = ordered.select(col("doc_id"),
-      explode(slice(col("otoks"), lit(1), col("plen"))).as("tok"))
-    val pairs = slim.toDF("a_id", "tok")
-      .join(slim.toDF("b_id", "tok_b"),
-            col("tok") === col("tok_b") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
+    val ordered = d8Ordered(s, d)
+    val pairs = d8Candidates(ordered)
     val oa = ordered.select(col("doc_id").as("a_id"), col("lang"),
                             col("otoks").as("a_t"))
     val ob = ordered.select(col("doc_id").as("b_id"), col("otoks").as("b_t"))
-    pairs.join(broadcast(oa), "a_id").join(broadcast(ob), "b_id")
+    // verification rebind: shuffle joins on the id — the doc-token
+    // side grows with the corpus, so no forced broadcast (AQE
+    // broadcasts it when it measures small)
+    pairs.join(oa, "a_id").join(ob, "b_id")
       .withColumn("inter", size(array_intersect(col("a_t"), col("b_t"))))
       .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
@@ -286,8 +324,10 @@ object Dedup {
          |GROUP BY lang, j_band""".stripMargin,
     "d8_prefix_join" ->
       s"""WITH t AS ($sqlDocs),
-         |ts AS (SELECT doc_id, lang, list_sort(list_distinct(ws)) AS ts
-         |       FROM t WHERE doc_id < 500),
+         |ts AS (SELECT doc_id, lang,
+         |         list_sort(list_distinct(list_transform($sqlShingles,
+         |           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS ts
+         |       FROM t),
          |f AS (SELECT tok, count(1) AS freq
          |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) GROUP BY tok),
          |o AS (SELECT doc_id, lang, list(tok ORDER BY freq, tok) AS otoks

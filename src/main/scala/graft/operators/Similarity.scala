@@ -180,31 +180,40 @@ object Similarity {
     }
     // corpus × K with the raw cosine; argmax by (csim, -cell) matches
     // the oracle's ORDER BY cos DESC, cell — as a HASH AGG (map-side
-    // partials), not a per-vector window sort
+    // partials), not a per-vector window sort. The cosine is the
+    // NATIVE fused expression (float corpus side × double centroid
+    // side — no narrowing cast), which folds dot and both norms
+    // identically to the HOF form the oracle replays, with a fraction
+    // of the expression-tree/codegen weight
     def scored: DataFrame = e
-      .withColumn("norm_e", sqrt(dot(col("embedding"), col("embedding"))))
       .crossJoin(broadcast(centsDf))
       .withColumn("csim",
-        dot(col("embedding"), col("ce")) / (col("norm_e") * col("cnorm")))
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
     def assigned: DataFrame = scored
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
            first(col("embedding")).as("embedding"))
 
     for (_ <- 1 to 2) {
-      // element-wise mean via exact decimal sums (order-independent);
-      // rebuild the array by position, bring K tiny rows to the driver
+      // element-wise mean via exact decimal sums (order-independent).
+      // ONE distributed aggregation (cell, pos) → mean; the K×64 mean
+      // rows are assembled into centroid arrays ON THE DRIVER instead
+      // of through a second collect_list aggregation — that second agg
+      // (plus the array rebuild) was pure plan-compile weight for data
+      // that is 512 rows at ANY corpus size. (A 64-mean-column single
+      // agg was also tried: 64 decimal agg buffers codegen even
+      // slower — measured cold 9.5 s vs this form's.)
       cents = assigned
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("col").cast(DoubleType).cast(DecimalType(30, 12)))
                 .cast(DoubleType) / count(lit(1))).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-                       x => x.getField("m")).as("ce"))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
-        .sortBy(_._1).toSeq
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        .toSeq.sortBy(_._1)
     }
 
     val cells = assigned
@@ -231,11 +240,10 @@ object Similarity {
         .select(col("qid"), col("qe"), col("cell"))
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    def cos(a: Column, b: Column): Column =
-      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
     cells.join(broadcast(probes),
                col("cell") === col("c_cell") && col("qid") =!= col("cid"))
-      .withColumn("sim", round(cos(col("qe"), col("ce2")), 6))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce2")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("cid"), col("sim"), col("rnk"))

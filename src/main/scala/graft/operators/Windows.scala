@@ -67,19 +67,21 @@ object Windows {
               sum(dec2(col("value"))).over(w).cast(DoubleType).as("rolling_value"))
   }
 
-  /** dense_rank + ntile quartiles of customers by account balance.
-    * Deliberately a GLOBAL window (single-task sort): quartiles over
-    * the whole table have no partition key. Fine for a dimension-sized
-    * table; at fact scale this becomes two passes — range-partitioned
-    * sort, then per-range offsets merged on the driver.
+  /** dense_rank + ntile quartiles of customers by account balance —
+    * GLOBAL ranking semantics, but NOT the single-task
+    * `Window.orderBy` plan: routed through Scale.globalRankNtile's
+    * two-pass range-partitioned form, so the sort parallelizes across
+    * ranges at any input size (ScaleSpec pins both the equivalence to
+    * the naive global window and the absence of a SinglePartition
+    * exchange). The sort key is ascending-normalized: (-acctbal,
+    * custkey) == (acctbal DESC, custkey).
     */
-  val w5NtileDense: Q = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    customer(s, d)
+  val w5NtileDense: Q = (s, d) =>
+    Scale.globalRankNtile(
+        customer(s, d), Seq(negate(col("c_acctbal")), col("c_custkey")), 4)
       .select(col("c_custkey"),
-              dense_rank().over(w).as("drnk"),
-              ntile(4).over(w).as("quartile"))
-  }
+              col("global_dense_rank").cast("int").as("drnk"),
+              col("global_ntile").as("quartile"))
 
   /** Global top-k: TakeOrderedAndProject, not a full sort. */
   val w6TopKGlobal: Q = (s, d) =>

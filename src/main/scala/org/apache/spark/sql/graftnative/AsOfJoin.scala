@@ -6,9 +6,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Ascending, Attribute, BindReferences, Expression, JoinedRow,
-  NamedExpression, NullsFirst, PredicateHelper, SortOrder, UnsafeProjection,
-  UnsafeRow}
+  Alias, And, Ascending, Attribute, Expression, GenericInternalRow,
+  JoinedRow, NamedExpression, NullsFirst, PredicateHelper, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{
   BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{
@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{
+  ByteType, DataType, DateType, IntegerType, LongType, ShortType,
+  TimestampNTZType, TimestampType}
 
 /** Native backward as-of join (SURVEY.md §2.4, §2.12): for every left
   * row, the single right row with the same key and the greatest
@@ -139,131 +142,238 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val keyTypes = leftKeys.map(_.dataType)
+    val timeDt = rTime.dataType
+    val longable = AsOfJoinExec.longableTimeType(timeDt)
+    // the API layer already rejects this; re-assert at the execution
+    // boundary so a hand-built plan fails fast on the driver too
+    require(longable || (toleranceMicros < 0L && !nearest),
+      s"as-of tolerance/nearest need an integral time type, got $timeDt")
+    val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
+    // locals so the task closure doesn't capture the plan node
+    val isOuter = outer
+    val isForward = forward
+    val isNearest = nearest
+    val tol = toleranceMicros
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // Every expression eval and every emitted row goes through a
+      // CODE-GENERATED UnsafeProjection (Janino-compiled): keys, times
+      // and the result row. The merge loop itself stays interpreted
+      // control flow, but on integral/timestamp time types (the
+      // `longable` fast path below — every supported tolerance/nearest
+      // type) the per-row comparisons run on primitive longs, no
+      // boxing in the hot path.
+      //
+      // UnsafeRow lifecycle: each projection reuses ONE backing
+      // buffer, so (a) values that must survive a later projection
+      // call are copy()d (`held`, `heldKey`), (b) time values are read
+      // out as primitives immediately, and (c) the result projection
+      // materializes the JoinedRow into the output buffer before the
+      // next row is computed — rows handed downstream are valid until
+      // the consumer's next() call, the standard operator contract
+      // (same shape as SortMergeJoinExec's resultProj).
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .createNaturalAscendingOrdering(keyTypes)
-      val lTimeEval = BindReferences.bindReference(lTime, lOut)
-      val rTimeEval = BindReferences.bindReference(rTime, rOut)
-      val timeOrd =
-        TypeUtils.getInterpretedOrdering(rTime.dataType)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val rBuf = rIter.buffered
       val joined = new JoinedRow
-      val nullRight = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(rOut.size)
-      // locals so the task closure doesn't capture the plan node
-      val isOuter = outer
-      val isForward = forward
-      val isNearest = nearest
-      val tol = toleranceMicros
-      def asLong(v: Any): Long = v.asInstanceOf[Number].longValue
+      val nullRight = new GenericInternalRow(rOut.size)
 
-      new Iterator[InternalRow] {
-        private var held: UnsafeRow = null       // latest matching right row
-        private var heldKey: UnsafeRow = null    // its key (copied)
-        private var heldTime: Long = 0L          // its time (for tolerance)
-        private var pending: InternalRow = null
+      if (longable) {
+        val timeAt = AsOfJoinExec.timeReader(timeDt)
+        new Iterator[InternalRow] {
+          private var held: UnsafeRow = null     // latest matching right row
+          private var heldKey: UnsafeRow = null  // its key (copied)
+          private var heldTime: Long = 0L        // its time
+          private var pending: InternalRow = null
 
-        private def computeNext(): InternalRow = {
-          while (lIter.hasNext) {
-            val l = lIter.next()
-            val lk = lKeyProj(l)
-            var matched: InternalRow = null
-            if (!lk.anyNull) {
-              val lt = lTimeEval.eval(l)
-              if (lt != null && !isForward) {
-                // BACKWARD: consume rows whose key sorts before lk,
-                // and same-key rows with time <= lt (keeping the last
-                // = greatest (time, tieBreak) thanks to the sort).
-                var scan = true
-                while (scan && rBuf.hasNext) {
-                  val r = rBuf.head
-                  val rk = rKeyProj(r)
-                  val cmp = keyOrd.compare(rk, lk)
-                  if (cmp < 0) rBuf.next()
-                  else if (cmp == 0) {
-                    val rt = rTimeEval.eval(r)
-                    if (rt == null) rBuf.next() // null time never matches
-                    else if (timeOrd.asInstanceOf[Ordering[Any]].lteq(rt, lt)) {
-                      held = rBuf.next().asInstanceOf[UnsafeRow].copy()
-                      heldKey = lk.copy()
-                      if (tol >= 0 || isNearest) heldTime = asLong(rt)
-                    } else scan = false
-                  } else scan = false
-                }
-                val backOk = held != null &&
-                  keyOrd.compare(heldKey, lk) == 0 &&
-                  (tol < 0 || asLong(lt) - heldTime <= tol)
-                if (!isNearest) {
-                  if (backOk) matched = held
-                } else {
-                  // NEAREST: the backward advance leaves the head at
-                  // the first same-key row with time > lt — the
-                  // forward candidate. Smaller gap wins; ties go
-                  // backward (the pandas merge_asof convention).
-                  var fwdRow: InternalRow = null
-                  var fwdGap = Long.MaxValue
-                  if (rBuf.hasNext &&
-                      keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
-                    val rt2 = rTimeEval.eval(rBuf.head)
-                    if (rt2 != null) {
-                      val g = asLong(rt2) - asLong(lt)
-                      if (tol < 0 || g <= tol) {
-                        fwdRow = rBuf.head; fwdGap = g
+          private def computeNext(): InternalRow = {
+            while (lIter.hasNext) {
+              val l = lIter.next()
+              val lk = lKeyProj(l)
+              var matched: InternalRow = null
+              if (!lk.anyNull) {
+                val ltr = lTimeProj(l)
+                if (!ltr.isNullAt(0)) {
+                  val lt = timeAt(ltr)
+                  if (!isForward) {
+                    // BACKWARD: consume rows whose key sorts before
+                    // lk, and same-key rows with time <= lt (keeping
+                    // the last = greatest (time, tieBreak) thanks to
+                    // the sort).
+                    var scan = true
+                    while (scan && rBuf.hasNext) {
+                      val r = rBuf.head
+                      val rk = rKeyProj(r)
+                      val cmp = keyOrd.compare(rk, lk)
+                      if (cmp < 0) rBuf.next()
+                      else if (cmp == 0) {
+                        val rtr = rTimeProj(r)
+                        if (rtr.isNullAt(0)) rBuf.next() // null never matches
+                        else {
+                          val rt = timeAt(rtr)
+                          if (rt <= lt) {
+                            held = rBuf.next().asInstanceOf[UnsafeRow].copy()
+                            heldKey = lk.copy()
+                            heldTime = rt
+                          } else scan = false
+                        }
+                      } else scan = false
+                    }
+                    val backOk = held != null &&
+                      keyOrd.compare(heldKey, lk) == 0 &&
+                      (tol < 0 || lt - heldTime <= tol)
+                    if (!isNearest) {
+                      if (backOk) matched = held
+                    } else {
+                      // NEAREST: the backward advance leaves the head
+                      // at the first same-key row with time > lt —
+                      // the forward candidate. Smaller gap wins; ties
+                      // go backward (the pandas merge_asof convention).
+                      var fwdRow: InternalRow = null
+                      var fwdGap = Long.MaxValue
+                      if (rBuf.hasNext &&
+                          keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+                        val rtr2 = rTimeProj(rBuf.head)
+                        if (!rtr2.isNullAt(0)) {
+                          val g = timeAt(rtr2) - lt
+                          if (tol < 0 || g <= tol) {
+                            fwdRow = rBuf.head; fwdGap = g
+                          }
+                        }
                       }
+                      val backGap = if (backOk) lt - heldTime else Long.MaxValue
+                      if (backOk && backGap <= fwdGap) matched = held
+                      else if (fwdRow != null) matched = fwdRow
+                    }
+                  } else {
+                    // FORWARD: discard rows whose key sorts before lk
+                    // or whose time < lt; the head is then the
+                    // earliest (time, tieBreak) at-or-after lt — match
+                    // WITHOUT consuming (later, larger-lt lefts may
+                    // match it too).
+                    var scan = true
+                    while (scan && rBuf.hasNext) {
+                      val r = rBuf.head
+                      val rk = rKeyProj(r)
+                      val cmp = keyOrd.compare(rk, lk)
+                      if (cmp < 0) rBuf.next()
+                      else if (cmp == 0) {
+                        val rtr = rTimeProj(r)
+                        if (rtr.isNullAt(0) || timeAt(rtr) < lt) rBuf.next()
+                        else scan = false
+                      } else scan = false
+                    }
+                    if (rBuf.hasNext &&
+                        keyOrd.compare(rKeyProj(rBuf.head), lk) == 0 &&
+                        (tol < 0 || timeAt(rTimeProj(rBuf.head)) - lt <= tol)) {
+                      matched = rBuf.head
                     }
                   }
-                  val backGap =
-                    if (backOk) asLong(lt) - heldTime else Long.MaxValue
-                  if (backOk && backGap <= fwdGap) matched = held
-                  else if (fwdRow != null) matched = fwdRow
-                }
-              } else if (lt != null) {
-                // FORWARD: discard rows whose key sorts before lk or
-                // whose time < lt; the head is then the earliest
-                // (time, tieBreak) at-or-after lt — match WITHOUT
-                // consuming (later, larger-lt lefts may match it too).
-                var scan = true
-                while (scan && rBuf.hasNext) {
-                  val r = rBuf.head
-                  val rk = rKeyProj(r)
-                  val cmp = keyOrd.compare(rk, lk)
-                  if (cmp < 0) rBuf.next()
-                  else if (cmp == 0) {
-                    val rt = rTimeEval.eval(r)
-                    if (rt == null ||
-                        timeOrd.asInstanceOf[Ordering[Any]].lt(rt, lt)) rBuf.next()
-                    else scan = false
-                  } else scan = false
-                }
-                if (rBuf.hasNext &&
-                    keyOrd.compare(rKeyProj(rBuf.head), lk) == 0 &&
-                    (tol < 0 ||
-                     asLong(rTimeEval.eval(rBuf.head)) - asLong(lt) <= tol)) {
-                  matched = rBuf.head
                 }
               }
+              if (matched != null) {
+                numOutputRows += 1
+                return resultProj(joined(l, matched))
+              } else if (isOuter) {
+                numOutputRows += 1
+                return resultProj(joined(l, nullRight))
+              }
             }
-            if (matched != null) {
-              numOutputRows += 1
-              return joined(l, matched)
-            } else if (isOuter) {
-              numOutputRows += 1
-              return joined(l, nullRight)
-            }
+            null
           }
-          null
-        }
 
-        override def hasNext: Boolean = {
-          if (pending == null) pending = computeNext()
-          pending != null
+          override def hasNext: Boolean = {
+            if (pending == null) pending = computeNext()
+            pending != null
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = pending; pending = null; r
+          }
         }
-        override def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException
-          val r = pending; pending = null; r
+      } else {
+        // Generic fallback for non-integral ordered time types (e.g.
+        // string, decimal): boxed comparisons through the interpreted
+        // ordering. Only backward/forward are reachable here —
+        // tolerance/nearest are rejected above.
+        val timeOrd =
+          TypeUtils.getInterpretedOrdering(timeDt).asInstanceOf[Ordering[Any]]
+        new Iterator[InternalRow] {
+          private var held: UnsafeRow = null
+          private var heldKey: UnsafeRow = null
+          private var pending: InternalRow = null
+
+          private def computeNext(): InternalRow = {
+            while (lIter.hasNext) {
+              val l = lIter.next()
+              val lk = lKeyProj(l)
+              var matched: InternalRow = null
+              if (!lk.anyNull) {
+                val ltr = lTimeProj(l)
+                if (!ltr.isNullAt(0)) {
+                  val lt = ltr.get(0, timeDt)
+                  if (!isForward) {
+                    var scan = true
+                    while (scan && rBuf.hasNext) {
+                      val r = rBuf.head
+                      val rk = rKeyProj(r)
+                      val cmp = keyOrd.compare(rk, lk)
+                      if (cmp < 0) rBuf.next()
+                      else if (cmp == 0) {
+                        val rtr = rTimeProj(r)
+                        if (rtr.isNullAt(0)) rBuf.next()
+                        else if (timeOrd.lteq(rtr.get(0, timeDt), lt)) {
+                          held = rBuf.next().asInstanceOf[UnsafeRow].copy()
+                          heldKey = lk.copy()
+                        } else scan = false
+                      } else scan = false
+                    }
+                    if (held != null && keyOrd.compare(heldKey, lk) == 0)
+                      matched = held
+                  } else {
+                    var scan = true
+                    while (scan && rBuf.hasNext) {
+                      val r = rBuf.head
+                      val rk = rKeyProj(r)
+                      val cmp = keyOrd.compare(rk, lk)
+                      if (cmp < 0) rBuf.next()
+                      else if (cmp == 0) {
+                        val rtr = rTimeProj(r)
+                        if (rtr.isNullAt(0) ||
+                            timeOrd.lt(rtr.get(0, timeDt), lt)) rBuf.next()
+                        else scan = false
+                      } else scan = false
+                    }
+                    if (rBuf.hasNext &&
+                        keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+                      matched = rBuf.head
+                    }
+                  }
+                }
+              }
+              if (matched != null) {
+                numOutputRows += 1
+                return resultProj(joined(l, matched))
+              } else if (isOuter) {
+                numOutputRows += 1
+                return resultProj(joined(l, nullRight))
+              }
+            }
+            null
+          }
+
+          override def hasNext: Boolean = {
+            if (pending == null) pending = computeNext()
+            pending != null
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = pending; pending = null; r
+          }
         }
       }
     }
@@ -272,6 +382,29 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinExec {
+  /** Time types the merge reads as a primitive long (timestamps/dates
+    * store as micros/days internally). Everything else falls back to
+    * boxed interpreted ordering and cannot use tolerance/nearest.
+    */
+  def longableTimeType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Primitive reader for the single-column time projection. */
+  private[graftnative] def timeReader(dt: DataType): UnsafeRow => Long =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => _.getLong(0)
+      case IntegerType | DateType => _.getInt(0).toLong
+      case ShortType => _.getShort(0).toLong
+      case ByteType => _.getByte(0).toLong
+      case other =>
+        throw new IllegalStateException(s"not a longable time type: $other")
+    }
 }
 
 /** Column-name-based construction API (graft.plans.AsOf re-exports).
@@ -313,9 +446,16 @@ object AsOfJoinApi {
       rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     def attr(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column '$name' in [${out.map(_.name).mkString(", ")}]"))
+      out.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$name' in [${out.map(_.name).mkString(", ")}]")
+        // silently binding the first of several duplicates could join
+        // on the wrong column — fail like Spark's own resolver does
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column '$name': ${many.size} matches in " +
+            s"[${out.map(_.name).mkString(", ")}]")
+      }
     val lKeys = leftOn.map(attr(lPlan.output, _))
     val rKeys = rightOn.map(attr(rPlan.output, _))
     val lT = attr(lPlan.output, leftTimeCol)
@@ -328,6 +468,13 @@ object AsOfJoinApi {
     }
     require(lT.dataType == rT.dataType,
       s"as-of time type mismatch: ${lT.name}: ${lT.dataType} vs ${rT.name}: ${rT.dataType}")
+    // tolerance/nearest subtract times as integers — a non-numeric
+    // time column would otherwise surface as an executor-side
+    // ClassCastException; enforce the documented requirement here
+    if (toleranceMicros >= 0L || nearest)
+      require(AsOfJoinExec.longableTimeType(lT.dataType),
+        s"as-of with tolerance or direction=nearest needs an integral/" +
+          s"timestamp/date time column, got ${lT.name}: ${lT.dataType}")
     val plan = AsOfJoinPlan(
       lPlan, rPlan,
       lKeys,

@@ -5,9 +5,12 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{
+  ByteType, IntegerType, LongType, ShortType, StringType, StructField,
+  StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Generator (UDTF surface): `shingles(text, n)` emits the
@@ -29,17 +32,40 @@ case class Shingles(text: Expression, n: Expression)
   override def elementSchema: StructType =
     StructType(StructField("shingle", StringType, nullable = false) :: Nil)
 
+  /** Analysis-time contract: executor-side eval would otherwise fail
+    * with ClassCastException on a mistyped argument; surface it as a
+    * driver-side AnalysisException instead.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"shingles() first argument must be STRING, got ${text.dataType.sql}")
+    else n.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingles() width must be an integer, got ${other.sql}")
+    }
+  }
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = text.eval(input)
-    if (t == null) Iterator.empty
+    val nv = n.eval(input)
+    // null text, null width, or a non-positive width yield no shingles
+    // (mirrors how explode treats null/empty arrays) rather than an
+    // executor-side NPE / sliding() IllegalArgumentException
+    if (t == null || nv == null) Iterator.empty
     else {
-      val toks = t.asInstanceOf[UTF8String].toString.trim
-        .split("\\s+").filterNot(_.isEmpty)
-      val k = n.eval(input).asInstanceOf[Number].intValue()
-      val shingles =
-        if (toks.length < k) Iterator.single(toks.mkString(" "))
-        else toks.sliding(k).map(_.mkString(" "))
-      shingles.map(sh => InternalRow(UTF8String.fromString(sh)))
+      val k = nv.asInstanceOf[Number].intValue()
+      if (k <= 0) Iterator.empty
+      else {
+        val toks = t.asInstanceOf[UTF8String].toString.trim
+          .split("\\s+").filterNot(_.isEmpty)
+        val shingles =
+          if (toks.length < k) Iterator.single(toks.mkString(" "))
+          else toks.sliding(k).map(_.mkString(" "))
+        shingles.map(sh => InternalRow(UTF8String.fromString(sh)))
+      }
     }
   }
 

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** d8_prefix_join invariants the oracle can't see:
+  * - COMPLETENESS: the prefix filter loses no pairs — its verified
+  *   output equals brute-force all-pairs Jaccard over the same token
+  *   sets (the PPJoin prefix lemma, checked on real data);
+  * - SCALE: the candidate set the filter emits is a small fraction of
+  *   n(n-1)/2 (the whole point of prefix filtering — without this the
+  *   operator silently degenerates to an all-pairs join).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d8 prefix filter finds exactly the brute-force pair set") {
+    val t = Dedup.d8Ordered(spark, sf)
+      .select(col("doc_id"), col("lang"), col("otoks"))
+    val a = t.select(col("doc_id").as("a_id"), col("lang"),
+                     col("otoks").as("a_t"))
+    val b = t.select(col("doc_id").as("b_id"), col("otoks").as("b_t"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_t"), col("b_t"))))
+      .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("a_id")).as("min_a"))
+      .collect().map(_.toString).toSet
+    val got = Dedup.d8PrefixJoin(spark, sf).collect().map(_.toString).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
+  test("d8 candidate pairs are a small fraction of all-pairs") {
+    val ordered = Dedup.d8Ordered(spark, sf)
+    val n = ordered.count()
+    val allPairs = n * (n - 1) / 2
+    val cand = Dedup.d8Candidates(ordered).count()
+    // measured: 28 candidates vs 124,750 all-pairs at this corpus —
+    // the 1% bound leaves room for fixture drift while still failing
+    // loudly if the filter ever degenerates toward all-pairs
+    assert(cand * 100 < allPairs,
+      s"prefix filter degenerated: $cand candidates vs $allPairs all-pairs")
+  }
+}

@@ -104,6 +104,49 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("two-pass global rank matches the naive global window, sans single-task sort") {
+    import org.apache.spark.sql.expressions.Window
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val ranked = Scale.globalRankNtile(
+      c, Seq(negate(col("c_acctbal")), col("c_custkey")), 4)
+      .select(col("c_custkey"), col("global_rn"), col("global_dense_rank"),
+              col("global_ntile"))
+    // no stage of the two-pass plan may collapse to one partition
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"two-pass rank still plans a single-partition exchange:\n$plan")
+    val naiveW = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val naive = c.select(col("c_custkey"),
+        row_number().over(naiveW).cast("long").as("global_rn"),
+        dense_rank().over(naiveW).cast("long").as("global_dense_rank"),
+        ntile(4).over(naiveW).as("global_ntile"))
+    assert(ranked.collect().map(_.toString).sorted.toSeq ==
+           naive.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("two-pass dense_rank handles duplicate keys straddling range boundaries") {
+    // few distinct values + many ranges forces values to straddle
+    // boundaries; dense_rank must not double-count them
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 1000).map(i => (i % 7, i)).toDF("v", "id")
+    val ranked = Scale.globalRankNtile(df, Seq(col("v")), 3)
+      .select(col("id"), col("global_rn"), col("global_dense_rank"),
+              col("global_ntile"))
+    val naiveW = Window.orderBy(col("v"))
+    val naive = df.select(col("id"),
+        row_number().over(naiveW).cast("long").as("global_rn"),
+        dense_rank().over(naiveW).cast("long").as("global_dense_rank"),
+        ntile(3).over(naiveW).as("global_ntile"))
+    // dense_rank and ntile are deterministic here; row_number within a
+    // duplicate value is tie-broken arbitrarily by both plans, so
+    // compare (dense_rank, ntile) per id and row_number as a SET
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getLong(2))).sorted.toSeq
+    assert(key(ranked.collect()) == key(naive.collect()))
+    assert(ranked.collect().map(_.getLong(1)).sorted.toSeq ==
+           (1L to 1000L).toSeq)
+  }
+
   test("projection prunes the parquet read schema to the used columns") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_shipdate") > "1996-01-01")

@@ -55,4 +55,24 @@ class ShinglesSpec extends AnyFunSuite {
            s"expected Generate in:\n${out.queryExecution.executedPlan}")
   }
 
+  test("null or non-positive width emits no rows instead of crashing") {
+    ShinglesApi.ensureRegistered(spark)
+    val df = Seq(("a b c d", Option(0)), ("a b c d", Option(-2)),
+                 ("a b c d", Option.empty[Int])).toDF("text", "k")
+    assert(df.select(expr("shingles(text, k)")).count() == 0)
+  }
+
+  test("mistyped arguments fail at analysis, not on the executor") {
+    ShinglesApi.ensureRegistered(spark)
+    val df = Seq(("a b c", 3)).toDF("text", "k")
+    val e1 = intercept[Exception] {
+      df.select(expr("shingles(k, 3)")).collect()
+    }
+    assert(e1.getMessage.contains("shingles() first argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      df.select(expr("shingles(text, 'x')")).collect()
+    }
+    assert(e2.getMessage.contains("shingles() width"), e2.getMessage)
+  }
+
 }
