@@ -34,15 +34,23 @@ object AggregatesPlus {
            count(lit(1)).as("n"))
 
   /** approx_count_distinct (HLL++): sketch values are engine-specific,
-    * so no SQL oracle — the driver records a rows-only check; the
-    * EXACT distinct lives alongside so the result is self-evidently
-    * sane (approx within a few % of exact).
+    * so no SQL oracle — the driver records a rows-only check. The
+    * query is SELF-CHECKING instead: the exact distinct rides along
+    * and `within_rsd` asserts the estimate is inside a generous
+    * multiple of the configured 2% relative standard deviation (10σ —
+    * HLL++ error is approximately Gaussian, so a true result never
+    * trips this, while a broken sketch or column mix-up does). A row
+    * with within_rsd=false would flip the rows-only hash on any
+    * engine, making the "no oracle" entry still falsifiable.
     */
   val a3ApproxDistinct: Q = (s, d) =>
     orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
            countDistinct(col("o_custkey")).as("exact_custs"))
+      .withColumn("within_rsd",
+        abs(col("approx_custs") - col("exact_custs"))
+          .leq(greatest(col("exact_custs") * 0.02 * 10, lit(10.0))))
 
   /** from_json parse + to_json construction round-trip. */
   val a4JsonRoundtrip: Q = (s, d) =>

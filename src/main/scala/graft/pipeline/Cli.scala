@@ -32,8 +32,14 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stderr task-progress percentages (progress_percentage.py analog)
+    val progress = new ProgressListener()
+    spark.sparkContext.addSparkListener(progress)
     try run(spark, args.headOption.getOrElse(""), opts)
-    finally spark.stop()
+    finally {
+      spark.sparkContext.removeSparkListener(progress)
+      spark.stop()
+    }
   }
 
   private def run(spark: SparkSession, cmd: String, opts: Map[String, String]): Unit = {

@@ -47,13 +47,24 @@ class Dumper(spark: SparkSession) {
 
   /** Compact a dump's small files into at-most-`maxPerFile`-row files,
     * preserving both catalog invariants (lexicographic file order ==
-    * record order; cumulative `%015d` naming). Order is recovered
-    * from (file name, within-file position): dump files are written
-    * as one row group each and are smaller than a split, so one task
-    * reads a whole file and `monotonically_increasing_id` is
-    * ascending within it. The rewrite is a distributed job; the swap
-    * is a driver-side O(#files) rename (compaction is an offline
-    * maintenance op, run it when no reader races the swap).
+    * record order; cumulative `%015d` naming). Order is recovered from
+    * the SPLIT-SAFE `_metadata` columns (file_path, row_index): they
+    * stay correct even when one input file spans several scan splits —
+    * which compact's own output can (maxPerFile up to 1M rows vs the
+    * 128 MB default split), so a re-compaction must not rely on
+    * `input_file_name + monotonically_increasing_id`, whose ordering
+    * holds only within a task. CompactionSpec re-compacts under a
+    * 64 KB split size to pin this. The rewrite is a distributed job;
+    * the swap is a driver-side O(#files) rename (compaction is an
+    * offline maintenance op, run it when no reader races the swap).
+    *
+    * Crash safety: the new files are staged in a hidden tmp dir, the
+    * old dump is renamed ASIDE (visible `<dumpId>.old`), the tmp
+    * renamed into place, and only then the old copy deleted — at every
+    * instant either `<dumpId>` or `<dumpId>.old` holds a complete dump
+    * at a discoverable path (recovery = one rename), instead of the
+    * data vanishing into a hidden tmp on a crash between delete and
+    * rename.
     *
     * The 100 TB point: a long-running dumper accumulates
     * files-per-trigger small files; compaction bounds file count (and
@@ -65,8 +76,9 @@ class Dumper(spark: SparkSession) {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val df = spark.read.parquet(dir)
-      .withColumn("__f", input_file_name())
-      .withColumn("__i", monotonically_increasing_id())
+      .select(col("0"), col("1"),
+              col("_metadata.file_path").as("__f"),
+              col("_metadata.row_index").as("__i"))
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val tmp = s"$destDir/.$dumpId-compacting"
     fs.delete(new HPath(tmp), true)
@@ -78,10 +90,15 @@ class Dumper(spark: SparkSession) {
       .option("maxRecordsPerFile", maxPerFile.toLong)
       .parquet(tmp)
     val names = renameToCumulative(tmp, dumpId)
-    if (!fs.delete(new HPath(dir), true))
-      throw new java.io.IOException(s"delete failed: $dir")
-    if (!fs.rename(new HPath(tmp), new HPath(dir)))
+    val old = new HPath(s"$dir.old")
+    fs.delete(old, true)
+    if (!fs.rename(new HPath(dir), old))
+      throw new java.io.IOException(s"rename failed: $dir -> $old")
+    if (!fs.rename(new HPath(tmp), new HPath(dir))) {
+      fs.rename(old, new HPath(dir)) // restore the old dump
       throw new java.io.IOException(s"rename failed: $tmp -> $dir")
+    }
+    fs.delete(old, true)
     names
   }
 

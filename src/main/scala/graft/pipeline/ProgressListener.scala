@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.scheduler.{
+  SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+
+/** Progress reporting (progress_percentage.py:10-29): the reference
+  * prints a thread-safe percentage of bytes transferred per S3 upload;
+  * the Spark analog is the percentage of TASKS completed across the
+  * jobs a command runs, fed by the scheduler's event bus. Atomics
+  * mirror the reference's lock (callbacks arrive on the listener-bus
+  * thread while jobs keep submitting), and the percent is only
+  * re-printed when it changes — same dedup the reference gets from
+  * rounding to whole percents.
+  *
+  * Attached by the CLI around every command (the reference reports
+  * only during upload; task progress covers the compute too, which is
+  * where a 100 TB dump actually spends its time).
+  */
+class ProgressListener(report: String => Unit = s => System.err.println(s))
+    extends SparkListener {
+  private val total = new java.util.concurrent.atomic.AtomicLong(0)
+  private val done = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var lastPct = -1
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    total.addAndGet(jobStart.stageInfos.map(_.numTasks.toLong).sum)
+    ()
+  }
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val d = done.incrementAndGet()
+    val t = total.get()
+    if (t > 0) {
+      val pct = math.min(((d * 100) / t).toInt, 100)
+      if (pct != lastPct) {
+        lastPct = pct
+        report(s"[graft] progress: $pct% ($d/$t tasks)")
+      }
+    }
+  }
+}

@@ -15,6 +15,15 @@ class Reloader(spark: SparkSession, store: StateStore) {
     * key includes the in-file row index — a file bigger than one scan
     * split would otherwise have its rows tie on file name alone and
     * land in nondeterministic shuffle-fetch order.
+    *
+    * ORDERING CONTRACT at the sink: rows leave here globally sorted,
+    * but a distributed sink writes from N tasks concurrently, so only
+    * PER-TASK (range-contiguous) order is guaranteed to survive at
+    * the target — which is exactly the reference's own produce
+    * guarantee (Kafka preserves per-partition order only, SURVEY
+    * §2.11). Readers that need global order back sort file-wise, as
+    * this method itself does; PipelineSpec's split-spanning test pins
+    * the round trip.
     */
   def read(dumpDir: String): DataFrame =
     spark.read.parquet(dumpDir)

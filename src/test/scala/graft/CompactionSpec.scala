@@ -44,5 +44,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(after.head == "cd01-000000000000000.parquet")
     // same rows, same global order
     assert(readOrder() == orderBefore)
+
+    // RE-compaction with input files bigger than a scan split: the
+    // compacted files (100 rows) now read as multiple splits when the
+    // split size is tiny — the _metadata-based order recovery must
+    // still give the original record order (input_file_name +
+    // monotonically_increasing_id would scramble it here)
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val again = new Dumper(spark).compact(root, "cd01", maxPerFile = 300)
+      assert(again.nonEmpty && again == again.sorted)
+      assert(readOrder() == orderBefore)
+      // the swap left no transient dirs behind
+      val left = new java.io.File(root).list().toSeq
+      assert(left == Seq("cd01"), s"leftover dirs: $left")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
   }
 }

@@ -12,6 +12,13 @@ class SplitTransformer extends Transformer {
     Iterator(r, KafkaRecord(r.key, (new String(r.value, "UTF-8") + "-copy").getBytes("UTF-8")))
 }
 
+/** Broker-free GroupOffsetsAdmin double: records the reset requests. */
+class RecordingGroupAdmin extends GroupOffsetsAdmin {
+  var calls: Vector[(String, Map[(String, Int), Long])] = Vector.empty
+  override def alterConsumerGroupOffsets(
+      g: String, o: Map[(String, Int), Long]): Unit = calls :+= (g -> o)
+}
+
 /** Dump → reload round-trip parity (FIXTURES.md A1/A2): chunked gzip
   * parquet with deterministic names and the "0"/"1" schema, filename-
   * sorted reload, transformer flatMap, hot-reload short-circuit.
@@ -140,6 +147,44 @@ class PipelineSpec extends AnyFunSuite {
     val third = rel.reload("topicA", s"$dir/d3", "d3", new SplitTransformer, sink)
     assert(third.isInstanceOf[Reloaded])
     assert(third.asInstanceOf[Reloaded].state.offsets == Map("0" -> 350L))
+  }
+
+  test("hot reload resets the consumer group via the admin boundary (reload 3a)") {
+    val dir = Files.createTempDirectory("graft-dump").toString
+    new Dumper(spark).dump(corpus(), dir, "d4", maxPerFile = 100)
+    val store = new FileStateStore(Files.createTempDirectory("graft-state").toString)
+    val sink = new ParquetRecordSink(spark,
+      Files.createTempDirectory("graft-sink").toString + "/out")
+    val rel = new Reloader(spark, store)
+    val admin = new RecordingGroupAdmin
+
+    // first reload moves data → consumers are fresh, NO group reset
+    val first = rel.reload("topicB", s"$dir/d4", "d4", new IdentityTransformer, sink)
+    assert(GroupReset.applyIfHot(admin, "grp", "topicB", first).isEmpty)
+    assert(admin.calls.isEmpty)
+    // second is a hot reload → the group is reset to the state's
+    // offsets, parsed from the string-keyed map (kafka_client.py:360-370)
+    val second = rel.reload("topicB", s"$dir/d4", "d4", new IdentityTransformer, sink)
+    val applied = GroupReset.applyIfHot(admin, "grp", "topicB", second)
+    assert(applied.contains(Map(("topicB", 0) -> 0L)))
+    assert(admin.calls == Vector("grp" -> Map(("topicB", 0) -> 0L)))
+  }
+
+  test("progress listener reports task percentages during a dump") {
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new ProgressListener(s => { calls.add(s); () })
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dir = Files.createTempDirectory("graft-dump").toString
+      new Dumper(spark).dump(corpus(), dir, "dprog", maxPerFile = 100)
+      // the listener bus delivers asynchronously — wait for it to drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (calls.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(!calls.isEmpty, "listener never fired during the dump")
+    assert(calls.iterator().next()
+      .matches("\\[graft\\] progress: \\d+% \\(\\d+/\\d+ tasks\\)"))
   }
 
   test("state JSON round-trip keeps string offset keys (A3 quirk)") {
