@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle volumes at bench scale are far below one advisory
+      // partition; prefer fewer post-shuffle tasks over idle-core
+      // parallelism so tiny stages don't pay 32 tasks of scheduling
+      // (map-side parallelism still follows the input splits)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

