@@ -69,24 +69,90 @@ object Dedup {
       .select(col("doc_id"), expr(sig).as("minhash_sig"))
   }
 
+  /** LSH band-array expression shared by d3 (bucket histogram) and d9
+    * (dup-cluster components) — the two must band identically or d9's
+    * edges diverge from d3's published candidate counts.
+    */
+  private val bandArrayExpr: String = {
+    val mh = (j: Int) => s"array_min(transform(hs, h -> h ^ ${seedConsts(j)}L))"
+    (0 until 4).map { b =>
+      s"concat('$b:', ${mh(2 * b)}, '-', ${mh(2 * b + 1)})"
+    }.mkString("array(", ", ", ")")
+  }
+
+  /** (doc_id, band) rows: 4 bands × 2 minhash rows per doc. */
+  private def bandTable(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("hs", expr(baseHashes))
+      .select(col("doc_id"), explode(expr(bandArrayExpr)).as("band"))
+
   /** MinHash LSH banding: 4 bands × 2 rows; docs sharing any band are
     * candidate near-dups. groupBy(band) — no all-pairs join; shuffle
     * volume is 4 rows/doc at any corpus size.
     */
-  val d3MinhashBuckets: Q = (s, d) => {
-    val mh = (j: Int) => s"array_min(transform(hs, h -> h ^ ${seedConsts(j)}L))"
-    val bands = (0 until 4).map { b =>
-      s"concat('$b:', ${mh(2 * b)}, '-', ${mh(2 * b + 1)})"
-    }.mkString("array(", ", ", ")")
-    docs(s, d)
-      .withColumn("sh", expr(shinglesExpr))
-      .withColumn("hs", expr(baseHashes))
-      .select(col("doc_id"), explode(expr(bands)).as("band"))
+  val d3MinhashBuckets: Q = (s, d) =>
+    bandTable(s, d)
       .groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .agg(count(lit(1)).as("n_buckets"),
            sum(col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_candidate_pairs"),
            max(col("n_docs")).as("max_bucket"))
+
+  /** Connected-components clustering of the LSH candidate graph — the
+    * step a dedup pipeline runs AFTER banding: docs sharing any band
+    * form edges, each component is one duplicate cluster, and the
+    * minimum doc id is its canonical representative (the doc a
+    * curation pass would keep).
+    *
+    * Implementation is iterative MIN-LABEL PROPAGATION, the
+    * shuffle-on-key form of connected components: each round joins
+    * labels across edges and keeps the per-node minimum, converging
+    * when no label changes — rounds are bounded by component DIAMETER
+    * (tiny for dup clusters, which are near-cliques). Every round
+    * localCheckpoints the node-sized label table to truncate lineage
+    * (the standard Spark iterative-graph shape — GraphX's Pregel does
+    * the same); the driver holds only the changed-label COUNT, never
+    * data. At 100 TB each round is one hash-partitioned join+agg on
+    * the node id.
+    */
+  val d9DupClusters: Q = (s, d) => {
+    val bands = bandTable(s, d)
+    val edges = bands.toDF("a", "band").join(bands.toDF("b", "band_b"),
+        col("band") === col("band_b") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    connectedComponents(edges)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+  }
+
+  /** Min-label-propagation connected components over an (a, b) edge
+    * list (long ids): returns (id, cluster) where cluster = the
+    * minimum id reachable from `id`. Isolated nodes don't appear
+    * (callers union them back if singletons matter). See
+    * d9DupClusters for the scale argument; DedupSpec pins multi-round
+    * convergence on a chain graph whose diameter forces propagation.
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    // symmetric closure so a min label flows in both directions
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // reused every round — pin it once
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      val nbr = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("lbl"))
+      val next = labels.union(nbr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
   }
 
   /** SimHash: 16-bit signature from per-token hash bit votes. */
@@ -264,6 +330,7 @@ object Dedup {
     "d6_embedding_dup" -> d6EmbeddingDup,
     "d7_shingle_generator" -> d7ShingleGenerator,
     "d8_prefix_join" -> d8PrefixJoin,
+    "d9_dup_clusters" -> d9DupClusters,
   )
 
   private val sqlShingles =
@@ -349,6 +416,29 @@ object Dedup {
          |      FROM c)
          |SELECT lang, count(1) AS n_pairs, min(a_id) AS min_a
          |FROM j WHERE 10 * inter >= 7 * uni GROUP BY lang""".stripMargin,
+    "d9_dup_clusters" -> {
+      val bands = (0 until 4).map { b =>
+        s"('$b:' || ${sqlMh(2 * b)} || '-' || ${sqlMh(2 * b + 1)})"
+      }.mkString("[", ", ", "]")
+      // transitive closure via a recursive CTE (components are tiny
+      // near-cliques, so the closure stays small); cluster = min
+      // reachable id, mirroring the engine's min-label fixpoint
+      s"""WITH RECURSIVE t AS ($sqlDocs),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+         |hs0 AS (SELECT doc_id, $sqlBaseHashes AS hs FROM s),
+         |e0 AS (SELECT doc_id, unnest($bands) AS band FROM hs0),
+         |ed AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |       FROM e0 a JOIN e0 b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |sym AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS m FROM nodes
+         |  UNION
+         |  SELECT r.id, s2.b AS m FROM reach r JOIN sym s2 ON r.m = s2.a),
+         |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
+         |SELECT cluster, count(1) AS n_docs, max(id) AS max_doc
+         |FROM cc GROUP BY cluster""".stripMargin
+    },
     "d7_shingle_generator" ->
       s"""WITH t AS ($sqlDocs),
          |sh AS (SELECT lang, unnest($sqlShingles) AS shingle FROM t)

@@ -249,12 +249,40 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rnk"))
   }
 
+  /** Uint8 quantization of the embedding column — the compression
+    * pass a 100 TB vector store runs before ANN serving (4× smaller
+    * than float32): per-vector min/max affine map onto 0..255 with
+    * floor. Map-only, no shuffle except the final per-label checksum
+    * aggregation. Exactness: every step is an IEEE-exact op on values
+    * both engines share (float→double widening, subtract, multiply,
+    * divide, floor), so the integer codes — and their checksums —
+    * are bit-identical under the DuckDB oracle. Degenerate constant
+    * vectors (max == min) quantize to 0.
+    */
+  val n6Quantize: Q = (s, d) =>
+    graft.sources.Tables.embeddings(s, d)
+      .withColumn("mn", array_min(col("embedding")))
+      .withColumn("mx", array_max(col("embedding")))
+      .withColumn("q", expr(
+        """transform(embedding, v ->
+          |  CASE WHEN mx = mn THEN 0L
+          |       ELSE floor((cast(v as double) - cast(mn as double)) * 255.0
+          |                  / (cast(mx as double) - cast(mn as double)))
+          |  END)""".stripMargin))
+      .withColumn("qsum", expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)"))
+      .groupBy(col("label"))
+      .agg(sum(col("qsum")).cast("long").as("q_checksum"),
+           count(lit(1)).as("n_vecs"),
+           min(col("qsum")).as("min_qsum"),
+           max(col("qsum")).as("max_qsum"))
+
   val queries: Map[String, Q] = Map(
     "n1_cosine_brute_topk" -> n1BruteTopK,
     "n2_lsh_buckets" -> n2LshBuckets,
     "n3_lsh_topk" -> n3LshTopK,
     "n4_ivf_topk" -> n4IvfTopK,
     "n5_ivf_kmeans" -> n5IvfKmeans,
+    "n6_quantize" -> n6Quantize,
   )
 
   // ---- oracle SQL ----
@@ -274,6 +302,24 @@ object Similarity {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "n6_quantize" ->
+      """WITH b AS (
+        |  SELECT label, embedding,
+        |         list_min(embedding) AS mn, list_max(embedding) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label,
+        |    list_sum(list_transform(embedding, v ->
+        |      CASE WHEN mx = mn THEN 0
+        |           ELSE CAST(floor((v::DOUBLE - mn::DOUBLE) * 255.0
+        |                           / (mx::DOUBLE - mn::DOUBLE)) AS BIGINT)
+        |      END)) AS qsum
+        |  FROM b)
+        |SELECT label, CAST(sum(qsum) AS BIGINT) AS q_checksum,
+        |       count(1) AS n_vecs,
+        |       CAST(min(qsum) AS BIGINT) AS min_qsum,
+        |       CAST(max(qsum) AS BIGINT) AS max_qsum
+        |FROM q GROUP BY label""".stripMargin,
     "n1_cosine_brute_topk" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,

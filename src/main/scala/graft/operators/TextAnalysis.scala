@@ -145,6 +145,39 @@ object TextAnalysis {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
 
+  /** TF-IDF term scoring, top-3 terms per document. The idf here is
+    * the RAW ratio N/df (monotone in any log-idf): the score is then
+    * tf × (N/df) — one IEEE-exact division and one multiplication on
+    * exact integer inputs, so both engines produce bit-identical
+    * doubles with no transcendental (ln differs in the last ulp
+    * across libm implementations and would flake the hash compare).
+    * Tokens go through the native 1-gram `shingles` generator.
+    *
+    * Plan shape at scale: tf = one (doc, term) hash agg; df = one
+    * (term) hash agg off the same exploded exchange; N broadcast as a
+    * one-row table; the per-doc top-k window is partitioned by doc.
+    */
+  val t8Tfidf: Q = (s, d) => {
+    org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("doc_id"), expr("shingles(lower(text), 1)").as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") < 20)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("nd").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
@@ -153,9 +186,27 @@ object TextAnalysis {
     "t5_rolling_hash" -> t5RollingHash,
     "t6_clean_pipeline" -> t6CleanPipeline,
     "t7_split_sample" -> t7SplitSample,
+    "t8_tfidf" -> t8Tfidf,
   )
 
   val oracles: Map[String, String] = Map(
+    "t8_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM toks
+        |       GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |        GROUP BY term),
+        |n AS (SELECT count(1) AS nd FROM documents),
+        |sc AS (SELECT doc_id, term, tf,
+        |         tf * (CAST(nd AS DOUBLE) / df) AS score
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |       WHERE doc_id < 20),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "t1_lang_id" ->
       s"""WITH t AS ($sqlDocs),
          |c AS (SELECT lang,

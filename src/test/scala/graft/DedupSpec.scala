@@ -34,6 +34,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("connected components converge across multi-hop chains") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds),
+    // separate pair {10,11}, triangle {20,21,22}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == want)
+  }
+
+  test("d9 clusters partition the candidate-edge node set") {
+    val out = Dedup.d9DupClusters(spark, sf).collect()
+    assert(out.nonEmpty, "corpus should contain dup clusters")
+    // every cluster id is its own minimum and sizes are >= 2 only if
+    // an edge existed — all nodes here come from edges, so >= 2... a
+    // size-1 cluster would mean a node lost its own label
+    assert(out.forall(_.getLong(1) >= 2),
+      "label propagation dropped a node's own label")
+    assert(out.forall(r => r.getLong(2) > r.getLong(0)),
+      "cluster root must be the minimum id in the cluster")
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val ordered = Dedup.d8Ordered(spark, sf)
     val n = ordered.count()
