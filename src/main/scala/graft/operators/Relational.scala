@@ -170,6 +170,35 @@ object Relational {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** KEYLESS interval join via time-bin bucketing — the scale path
+    * when a range join has NO equi-key at all (q12 still hashes on
+    * user; here the only join dimension is time). Every signup opens a
+    * 1-hour window (lo, hi]; events match by falling inside it. The
+    * bin trick: intervals explode into the ≤2 hour-bins they overlap,
+    * points map to exactly ONE bin, so every true pair meets in the
+    * point's bin precisely once (no dedup pass needed) and the join is
+    * a plain hash join on the bin — interval replication is bounded by
+    * ceil(width/bin)+1, no broadcast, no nested loop, and a hot bin
+    * salts like any hot hash key.
+    */
+  val q24IntervalJoin: Q = (s, d) => {
+    val binUs = 3600000000L // bin width == interval width (1 hour)
+    val ev = events(s, d).withColumn("tsm", expr("unix_micros(ts)"))
+    val iv = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("iv_id"), col("tsm").as("lo"),
+              (col("tsm") + binUs).as("hi"))
+      .withColumn("bin",
+        explode(sequence(expr(s"lo div ${binUs}L"), expr(s"hi div ${binUs}L"))))
+    val pts = ev.select(col("event_id"), col("event_type"), col("tsm"))
+      .withColumn("bin", expr(s"tsm div ${binUs}L"))
+    iv.join(pts, "bin")
+      .filter(col("tsm") > col("lo") && col("tsm") <= col("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("event_id")).as("n_events"),
+           countDistinct(col("iv_id")).as("n_windows"))
+  }
+
   /** As-of join: for each purchase, the most recent prior signup by
     * the same user. Union-then-window instead of join-then-argmax: ONE
     * shuffle on user_id and zero pair expansion (the join form builds
@@ -361,6 +390,7 @@ object Relational {
     "q21_asof_forward" -> q21AsOfForward,
     "q22_asof_tolerance" -> q22AsOfTolerance,
     "q23_asof_nearest" -> q23AsOfNearest,
+    "q24_interval_join" -> q24IntervalJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -434,6 +464,16 @@ object Relational {
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |GROUP BY a.event_type, b.event_type""".stripMargin,
+    "q24_interval_join" ->
+      """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS tsm FROM events),
+        |iv AS (SELECT event_id AS iv_id, tsm AS lo, tsm + 3600000000 AS hi
+        |       FROM ev WHERE event_type = 'signup'),
+        |j AS (SELECT iv.iv_id, e.event_id, e.event_type
+        |      FROM iv JOIN ev e ON e.tsm > iv.lo AND e.tsm <= iv.hi)
+        |SELECT event_type, count(1) AS n_pairs,
+        |  count(DISTINCT event_id) AS n_events,
+        |  count(DISTINCT iv_id) AS n_windows
+        |FROM j GROUP BY event_type""".stripMargin,
     // mirrors the Spark window exactly (incl. the event_id tie-break)
     // — arg_max would pick an arbitrary row among same-ts signups
     "q13_join_asof" ->
