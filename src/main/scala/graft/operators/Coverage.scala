@@ -107,6 +107,42 @@ object Coverage {
         size(col("m")).as("m_size"))
       .filter(col("k_value") % 25 === 3)
 
+  /** CSV source/sink round-trip: a deterministic orders slice goes out
+    * as CSV and comes back through the text parser (explicit schema,
+    * header), then re-aggregates with decimal-exact sums; the oracle
+    * computes the same aggregate straight from parquet, so a lossless
+    * round-trip (Java's shortest-round-trip double printing both ways)
+    * is hash-identical. Exercises the CSV read/write format path the
+    * parquet-only parity surface doesn't.
+    */
+  val c10CsvRoundtrip: Q = (s, d) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_c10_csv_${math.abs(d.hashCode)}"
+    val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(src.schema).option("header", "true").csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("o_totalprice")).as("total"),
+           min(col("o_orderkey")).as("min_key"))
+  }
+
+  /** JSON-lines source/sink round-trip, same contract as c10 for the
+    * JSON format path (schema-on-read over text).
+    */
+  val c11JsonRoundtrip: Q = (s, d) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_c11_json_${math.abs(d.hashCode)}"
+    val src = events(s, d).filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.write.mode("overwrite").json(out)
+    s.read.schema(src.schema).json(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("value")).as("total_value"),
+           min(col("event_id")).as("min_event"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_arg_max" -> c1ArgMax,
     "c2_shuffle_hash_hint" -> c2ShuffleHashHint,
@@ -117,9 +153,23 @@ object Coverage {
     "c7_having" -> c7Having,
     "c8_pivot" -> c8Pivot,
     "c9_map_functions" -> c9MapFunctions,
+    "c10_csv_roundtrip" -> c10CsvRoundtrip,
+    "c11_json_roundtrip" -> c11JsonRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
+    "c10_csv_roundtrip" ->
+      s"""SELECT o_orderstatus, count(1) AS n,
+         |  ${sqlMoneySum("o_totalprice")} AS total,
+         |  min(o_orderkey) AS min_key
+         |FROM orders WHERE o_orderkey % 50 = 0
+         |GROUP BY o_orderstatus""".stripMargin,
+    "c11_json_roundtrip" ->
+      s"""SELECT event_type, count(1) AS n,
+         |  ${sqlMoneySum("value")} AS total_value,
+         |  min(event_id) AS min_event
+         |FROM events WHERE event_id % 20 = 0
+         |GROUP BY event_type""".stripMargin,
     // struct-ordered arg-max has no direct DuckDB form → window oracle
     "c1_arg_max" ->
       """WITH mx AS (SELECT o_orderpriority, o_orderkey,
