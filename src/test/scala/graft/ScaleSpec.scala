@@ -147,6 +147,36 @@ class ScaleSpec extends AnyFunSuite {
            (1L to 1000L).toSeq)
   }
 
+  test("two-pass rank edge cases: empty, single row, all-equal keys, k > N") {
+    import org.apache.spark.sql.expressions.Window
+    // empty input → empty output, no crash in the offset math
+    val empty = Seq.empty[(Int, Int)].toDF("v", "id")
+    assert(Scale.globalRankNtile(empty, Seq(col("v")), 4).count() == 0)
+    // one row → rank 1, dense rank 1, bucket 1
+    val one = Seq((5, 1)).toDF("v", "id")
+    val r1 = Scale.globalRankNtile(one, Seq(col("v")), 4).collect().head
+    assert(r1.getAs[Long]("global_rn") == 1L &&
+           r1.getAs[Long]("global_dense_rank") == 1L &&
+           r1.getAs[Int]("global_ntile") == 1)
+    // all keys equal → dense rank 1 everywhere, ntile matches built-in
+    val eq = (1 to 50).map(i => (7, i)).toDF("v", "id")
+    val got = Scale.globalRankNtile(eq, Seq(col("v")), 4)
+    assert(got.select(col("global_dense_rank")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(got.groupBy(col("global_ntile")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(1 -> 13L, 2 -> 13L, 3 -> 12L, 4 -> 12L))
+    // more tiles than rows → each row its own bucket (Spark semantics)
+    val few = Seq((3, 1), (1, 2), (2, 3)).toDF("v", "id")
+    val naiveW = Window.orderBy(col("v"))
+    val naive = few.select(col("id"), ntile(10).over(naiveW).as("nt"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val twoPass = Scale.globalRankNtile(few, Seq(col("v")), 10)
+      .select(col("id"), col("global_ntile"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(twoPass == naive)
+  }
+
   test("projection prunes the parquet read schema to the used columns") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_shipdate") > "1996-01-01")
