@@ -180,6 +180,96 @@ object SqlSurface {
 
   val x10TpchQ22: Q = (s, d) => { views(s, d); s.sql(q22Sql) }
 
+  /** TPC-H Q4 shape: order-priority counts for orders with at least
+    * one late-shipping line (the testdata lineitem has no
+    * commit/receipt dates, so "late" is ship-lag vs order date) —
+    * EXISTS decorrelated into a semi join.
+    */
+  private val q4Sql =
+    """SELECT o_orderpriority, count(1) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  val x11TpchQ4: Q = (s, d) => { views(s, d); s.sql(q4Sql) }
+
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by
+    * ship year — the double-nation-role join (nation joined twice
+    * under different aliases) plus a disjunctive pair predicate.
+    */
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(CAST(sum(CAST(volume AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue,
+      |  count(1) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         year(l_shipdate) AS l_year,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val x12TpchQ7: Q = (s, d) => { views(s, d); s.sql(q7Sql) }
+
+  /** TPC-H Q8 shape: one nation's market share of PROMO-part volume
+    * inside one region, by order year — conditional-sum ratio (both
+    * sums exact decimal, one double division, fixed rounding).
+    */
+  private val q8Sql =
+    """SELECT o_year,
+      |  round(
+      |    CAST(sum(CASE WHEN nation = 'NATION_3'
+      |                  THEN CAST(volume AS DECIMAL(22,4))
+      |                  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(volume AS DECIMAL(22,4))) AS DOUBLE),
+      |    6) AS mkt_share,
+      |  count(1) AS n_items
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |         l_extendedprice * (1 - l_discount) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      |) all_nations
+      |GROUP BY o_year""".stripMargin
+
+  val x13TpchQ8: Q = (s, d) => { views(s, d); s.sql(q8Sql) }
+
+  /** TPC-H Q13 shape: distribution of customers by order count —
+    * LEFT OUTER join with an extra ON predicate (so customers with
+    * only excluded orders still count as zero) and a two-level
+    * aggregation.
+    */
+  private val q13Sql =
+    """SELECT c_count, count(1) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  val x14TpchQ13: Q = (s, d) => { views(s, d); s.sql(q13Sql) }
+
   val queries: Map[String, Q] = Map(
     "x1_tpch_q3" -> x1TpchQ3,
     "x2_tpch_q10" -> x2TpchQ10,
@@ -191,6 +281,10 @@ object SqlSurface {
     "x8_tpch_q14" -> x8TpchQ14,
     "x9_tpch_q19" -> x9TpchQ19,
     "x10_tpch_q22" -> x10TpchQ22,
+    "x11_tpch_q4" -> x11TpchQ4,
+    "x12_tpch_q7" -> x12TpchQ7,
+    "x13_tpch_q8" -> x13TpchQ8,
+    "x14_tpch_q13" -> x14TpchQ13,
   )
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
@@ -205,5 +299,9 @@ object SqlSurface {
     "x8_tpch_q14" -> q14Sql,
     "x9_tpch_q19" -> q19Sql,
     "x10_tpch_q22" -> q22Sql,
+    "x11_tpch_q4" -> q4Sql,
+    "x12_tpch_q7" -> q7Sql,
+    "x13_tpch_q8" -> q8Sql,
+    "x14_tpch_q13" -> q13Sql,
   )
 }
