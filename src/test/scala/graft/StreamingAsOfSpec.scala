@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamingAsOf
+import graft.streaming.StreamingAsOf.{Enriched, Tick}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming backward as-of enrichment vs the NATIVE batch as-of join
+  * on the same data: for in-order arrivals the two must agree exactly.
+  */
+class StreamingAsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rows = Seq(
+    Tick(1, 1000, "signup", 0.0),
+    Tick(1, 2000, "purchase", 5.0),   // -> signup 1000
+    Tick(1, 3000, "signup", 0.0),
+    Tick(1, 3000, "purchase", 6.0),   // tie: sees the 3000 signup (<=)
+    Tick(1, 9000, "purchase", 7.0),   // -> signup 3000
+    Tick(2, 500, "purchase", 1.0),    // no signup yet -> dropped (inner)
+    Tick(2, 600, "signup", 0.0),
+    Tick(2, 700, "purchase", 2.0),    // -> signup 600
+    Tick(3, 100, "signup", 0.0))      // signup with no purchase
+
+  test("memory-stream enrichment matches the native batch as-of join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = StreamingAsOf.asOfEnrich(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_asof")
+      .start()
+    try {
+      // two batches split MID-KEY: user 1's last purchase arrives after
+      // its state was persisted — exercises the cross-batch state path
+      input.addData(rows.take(4))
+      q.processAllAvailable()
+      input.addData(rows.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_stream_asof").as[Enriched]
+      .collect().map(e => (e.user_id, e.purchase_ts, e.signup_ts, e.value))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // native batch as-of over the same rows
+    val df = rows.toDF()
+    val probes = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("value"))
+    val refs = df.filter(col("event_type") === "signup")
+      .select(col("user_id").as("r_user"), col("ts_ms").as("r_ts"))
+    val batch = graft.plans.AsOf.join(
+        probes, refs,
+        leftOn = Seq("user_id"), rightOn = Seq("r_user"),
+        leftTimeCol = "ts_ms", rightTimeCol = "r_ts")
+      .select(col("user_id"), col("ts_ms"), col("r_ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    assert(got == batch)
+    assert(got == Seq(
+      (1L, 2000L, 1000L, 5.0), (1L, 3000L, 3000L, 6.0),
+      (1L, 9000L, 3000L, 7.0), (2L, 700L, 600L, 2.0)))
+  }
+}
