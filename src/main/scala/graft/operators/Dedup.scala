@@ -116,14 +116,49 @@ object Dedup {
     * data. At 100 TB each round is one hash-partitioned join+agg on
     * the node id.
     */
-  val d9DupClusters: Q = (s, d) => {
+  val d9DupClusters: Q = (s, d) =>
+    dupMembership(s, d)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+
+  /** (id, cluster) membership for every doc in the LSH candidate
+    * graph — shared by d9's cluster stats and d10's curation.
+    */
+  private[graft] def dupMembership(s: SparkSession, d: String): DataFrame = {
     val bands = bandTable(s, d)
     val edges = bands.toDF("a", "band").join(bands.toDF("b", "band_b"),
         col("band") === col("band_b") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     connectedComponents(edges)
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+  }
+
+  /** End-to-end curation composite — the make-a-training-set flow a
+    * user of this library actually runs: resolve near-dup clusters
+    * (d9), DROP every non-canonical member (the min-id doc per
+    * cluster survives), score survivors with the t2 quality tiers,
+    * and report curated counts per (lang, tier). Dedup + quality +
+    * stats in one declarative pipeline; the anti join on the loser
+    * set is the only plan node d9/t2 don't already have, and the
+    * loser table is duplicate-members-only (tiny next to the corpus),
+    * so at scale it broadcasts.
+    */
+  val d10Curate: Q = (s, d) => {
+    val losers = dupMembership(s, d)
+      .filter(col("id") =!= col("cluster")).select(col("id"))
+    docs(s, d)
+      .join(losers, col("doc_id") === col("id"), "left_anti")
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))))
+      .withColumn("len_ok",
+        (col("n_chars") >= 100 && col("n_chars") <= 800).cast("int"))
+      .withColumn("diversity_pct",
+        floor(col("n_distinct") * 100.0 / col("n_words")).cast("long"))
+      .withColumn("tier",
+        when(col("len_ok") === 1 && col("diversity_pct") >= 80, "high")
+          .when(col("diversity_pct") >= 60, "mid")
+          .otherwise("low"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
   }
 
   /** Min-label-propagation connected components over an (a, b) edge
@@ -331,6 +366,7 @@ object Dedup {
     "d7_shingle_generator" -> d7ShingleGenerator,
     "d8_prefix_join" -> d8PrefixJoin,
     "d9_dup_clusters" -> d9DupClusters,
+    "d10_curate_canonical" -> d10Curate,
   )
 
   private val sqlShingles =
@@ -344,6 +380,28 @@ object Dedup {
   // DuckDB ^ is POWER; bitwise xor is xor()
   private def sqlMh(j: Int) =
     s"list_min(list_transform(hs, h -> xor(h, ${seedConsts(j)})))"
+
+  private def sqlBands: String = (0 until 4).map { b =>
+    s"('$b:' || ${sqlMh(2 * b)} || '-' || ${sqlMh(2 * b + 1)})"
+  }.mkString("[", ", ", "]")
+
+  /** d9/d10 shared oracle prelude: LSH edges → recursive-CTE closure →
+    * (id, cluster). Callers append their own SELECT over `cc`.
+    */
+  private def sqlClusterCtes: String =
+    s"""WITH RECURSIVE t AS ($sqlDocs),
+       |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+       |hs0 AS (SELECT doc_id, $sqlBaseHashes AS hs FROM s),
+       |e0 AS (SELECT doc_id, unnest($sqlBands) AS band FROM hs0),
+       |ed AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |       FROM e0 a JOIN e0 b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |sym AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
+       |nodes AS (SELECT DISTINCT a AS id FROM sym),
+       |reach AS (
+       |  SELECT id, id AS m FROM nodes
+       |  UNION
+       |  SELECT r.id, s2.b AS m FROM reach r JOIN sym s2 ON r.m = s2.a),
+       |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -416,29 +474,28 @@ object Dedup {
          |      FROM c)
          |SELECT lang, count(1) AS n_pairs, min(a_id) AS min_a
          |FROM j WHERE 10 * inter >= 7 * uni GROUP BY lang""".stripMargin,
-    "d9_dup_clusters" -> {
-      val bands = (0 until 4).map { b =>
-        s"('$b:' || ${sqlMh(2 * b)} || '-' || ${sqlMh(2 * b + 1)})"
-      }.mkString("[", ", ", "]")
-      // transitive closure via a recursive CTE (components are tiny
-      // near-cliques, so the closure stays small); cluster = min
-      // reachable id, mirroring the engine's min-label fixpoint
-      s"""WITH RECURSIVE t AS ($sqlDocs),
-         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-         |hs0 AS (SELECT doc_id, $sqlBaseHashes AS hs FROM s),
-         |e0 AS (SELECT doc_id, unnest($bands) AS band FROM hs0),
-         |ed AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |       FROM e0 a JOIN e0 b ON a.band = b.band AND a.doc_id < b.doc_id),
-         |sym AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
-         |nodes AS (SELECT DISTINCT a AS id FROM sym),
-         |reach AS (
-         |  SELECT id, id AS m FROM nodes
-         |  UNION
-         |  SELECT r.id, s2.b AS m FROM reach r JOIN sym s2 ON r.m = s2.a),
-         |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
+    // transitive closure via a recursive CTE (components are tiny
+    // near-cliques, so the closure stays small); cluster = min
+    // reachable id, mirroring the engine's min-label fixpoint
+    "d9_dup_clusters" ->
+      s"""$sqlClusterCtes
          |SELECT cluster, count(1) AS n_docs, max(id) AS max_doc
-         |FROM cc GROUP BY cluster""".stripMargin
-    },
+         |FROM cc GROUP BY cluster""".stripMargin,
+    "d10_curate_canonical" ->
+      s"""$sqlClusterCtes,
+         |losers AS (SELECT id FROM cc WHERE id <> cluster),
+         |kept AS (SELECT * FROM t
+         |         WHERE doc_id NOT IN (SELECT id FROM losers)),
+         |q AS (SELECT lang, doc_id, length(ws) AS n_words,
+         |        CASE WHEN n_chars BETWEEN 100 AND 800 THEN 1 ELSE 0 END AS len_ok,
+         |        CAST(floor(length(list_distinct(ws)) * 100.0 / length(ws)) AS BIGINT)
+         |          AS diversity_pct
+         |      FROM kept)
+         |SELECT lang,
+         |  CASE WHEN len_ok = 1 AND diversity_pct >= 80 THEN 'high'
+         |       WHEN diversity_pct >= 60 THEN 'mid' ELSE 'low' END AS tier,
+         |  count(1) AS n_docs, min(doc_id) AS min_doc
+         |FROM q GROUP BY 1, 2""".stripMargin,
     "d7_shingle_generator" ->
       s"""WITH t AS ($sqlDocs),
          |sh AS (SELECT lang, unnest($sqlShingles) AS shingle FROM t)

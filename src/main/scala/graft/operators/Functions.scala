@@ -140,6 +140,23 @@ object Functions {
         expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
         expr("try_cast(l_linenumber AS STRING)").as("ok_cast"))
 
+  /** Higher-order array functions beyond transform/aggregate (f4):
+    * exists / forall / filter+size / reduce with a finish lambda —
+    * the lambda-capable surface the array column type needs. Integer
+    * outputs only (the per-element sums are exact).
+    */
+  val f12Hof: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+      .select(
+        col("doc_id"),
+        expr("exists(ws, t -> length(t) > 8)").as("has_long_token"),
+        expr("forall(ws, t -> length(t) > 1)").as("all_multichar"),
+        expr("size(filter(ws, t -> length(t) = 4))").as("n_len4"),
+        expr("""reduce(ws, 0, (acc, t) -> acc + length(t),
+                       acc -> acc * 2)""").as("twice_char_sum"))
+      .filter(col("doc_id") < 40)
+
   val queries: Map[String, Q] = Map(
     "f1_string" -> f1String,
     "f2_date" -> f2Date,
@@ -152,9 +169,21 @@ object Functions {
     "f9_bitwise" -> f9Bitwise,
     "f10_string2" -> f10String2,
     "f11_try" -> f11Try,
+    "f12_hof" -> f12Hof,
   )
 
   val oracles: Map[String, String] = Map(
+    "f12_hof" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id,
+        |  length(list_filter(ws, t -> length(t) > 8)) > 0 AS has_long_token,
+        |  length(list_filter(ws, t -> length(t) <= 1)) = 0 AS all_multichar,
+        |  CAST(length(list_filter(ws, t -> length(t) = 4)) AS INT) AS n_len4,
+        |  CAST(2 * list_sum(list_transform(ws, t -> length(t))) AS INT)
+        |    AS twice_char_sum
+        |FROM t""".stripMargin,
     "f1_string" ->
       """SELECT p_partkey,
         | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
