@@ -73,6 +73,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(q.count() == o.filter(year(col("o_orderdate")) === 1996).count())
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key holds ~90% of the fact side; with skew-join
+    // thresholds tuned to this data size, AQE must mark the SMJ as
+    // skew-handled (isSkewJoin) instead of letting one task drag
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      val fact = (0 until 200000).map { i =>
+        (if (i % 10 == 0) i.toLong % 1000 else 42L, s"payload_$i")
+      }.toDF("k", "payload")
+      val dim = (0L until 1000L).map(k => (k, s"dim_$k")).toDF("k2", "name")
+      val j = fact.join(dim, col("k") === col("k2"))
+      // execute THIS dataset's own QueryExecution (count() plans a new
+      // one) so the adaptive plan below is the FINAL one
+      assert(j.queryExecution.toRdd.count() == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkewJoin=true") || plan.contains("skew=true"),
+        s"AQE did not mark the skewed join; plan:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     // 100 TB tactic: a selective dimension filter becomes a bloom
     // filter evaluated INSIDE the fact scan, shrinking the shuffle
