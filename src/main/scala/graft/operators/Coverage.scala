@@ -116,7 +116,9 @@ object Coverage {
     * parquet-only parity surface doesn't.
     */
   val c10CsvRoundtrip: Q = (s, d) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_c10_csv_${math.abs(d.hashCode)}"
+    // per-invocation unique dir: a fixed path would race a concurrent
+    // Verify/Bench on the same data (overwrite deleting mid-scan)
+    val out = java.nio.file.Files.createTempDirectory("graft_c10_csv_").toString
     val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
               col("o_totalprice"), col("o_orderpriority"))
@@ -132,7 +134,7 @@ object Coverage {
     * JSON format path (schema-on-read over text).
     */
   val c11JsonRoundtrip: Q = (s, d) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_c11_json_${math.abs(d.hashCode)}"
+    val out = java.nio.file.Files.createTempDirectory("graft_c11_json_").toString
     val src = events(s, d).filter(col("event_id") % 20 === 0)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     src.write.mode("overwrite").json(out)

@@ -192,6 +192,12 @@ object Dedup {
       labels = next.select(col("id"), col("lbl"))
       rounds += 1
     }
+    // truncation must be LOUD: returning part-propagated labels would
+    // silently split true components (a >32-diameter chain is not a
+    // dup-cluster shape, but a caller feeding arbitrary graphs hits it)
+    require(changed == 0,
+      s"connected components did not converge after $rounds rounds " +
+        s"($changed labels still changing)")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 

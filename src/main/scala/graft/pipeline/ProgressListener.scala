@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.scheduler.{
-  SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+  SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 
 /** Progress reporting (progress_percentage.py:10-29): the reference
   * prints a thread-safe percentage of bytes transferred per S3 upload;
@@ -22,8 +22,12 @@ class ProgressListener(report: String => Unit = s => System.err.println(s))
   private val done = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var lastPct = -1
 
-  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
-    total.addAndGet(jobStart.stageInfos.map(_.numTasks.toLong).sum)
+  // count totals per SUBMITTED stage, not per job: stages whose
+  // shuffle/cache output is reused are skipped and never submit, so a
+  // job-level total would overcount and the percentage would stall
+  // short of 100% on a successful command
+  override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+    total.addAndGet(s.stageInfo.numTasks.toLong)
     ()
   }
 

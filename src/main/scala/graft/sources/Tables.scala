@@ -24,9 +24,13 @@ object Tables {
     * unaffected (vectorized parquet with pushdown, or the
     * CacheManager's InMemoryRelation when Bench caches tables).
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict entries of stopped sessions so the memo never pins a dead
+    // session (and its FileIndex) in a long-lived multi-session process
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     memo.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -20,8 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * within a microbatch events are sorted by event time, and across
   * batches a reference enriches only probes in its own or later
   * batches. A reference that arrives AFTER a later-timestamped probe
-  * was already emitted does not retro-correct it; batch as-of
-  * (q19_asof_native) is the reconciliation path.
+  * was already emitted does not retro-correct it, and a probe that
+  * arrives LATE (behind the held reference) is DROPPED rather than
+  * matched forward — the state holds only the latest reference, so
+  * the true backward match is gone, and emitting the future one would
+  * break the signup_ts <= purchase_ts invariant. Batch as-of
+  * (q19_asof_native) is the reconciliation path for both.
   */
 object StreamingAsOf {
 
@@ -46,7 +50,10 @@ object StreamingAsOf {
           for (t <- ordered) {
             if (t.event_type == "signup") {
               if (t.ts_ms > last) last = t.ts_ms
-            } else if (t.event_type == "purchase" && last != Long.MinValue) {
+            } else if (t.event_type == "purchase" && last != Long.MinValue &&
+                       last <= t.ts_ms) {
+              // `last <= ts` guards cross-batch late probes: the held
+              // reference may postdate them (see scaladoc caveat)
               out += Enriched(uid, t.ts_ms, last, t.value)
             }
           }

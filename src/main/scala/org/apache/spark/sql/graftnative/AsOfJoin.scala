@@ -470,11 +470,19 @@ object AsOfJoinApi {
       s"as-of time type mismatch: ${lT.name}: ${lT.dataType} vs ${rT.name}: ${rT.dataType}")
     // tolerance/nearest subtract times as integers — a non-numeric
     // time column would otherwise surface as an executor-side
-    // ClassCastException; enforce the documented requirement here
-    if (toleranceMicros >= 0L || nearest)
+    // ClassCastException; enforce the documented requirement here.
+    // DateType is excluded: it stores DAYS, so a micros-denominated
+    // tolerance would be unit-mismatched by 8.64e10 and silently match
+    // everything. (For raw integer time columns the tolerance is in
+    // the column's own unit; for timestamps that unit IS micros.)
+    if (toleranceMicros >= 0L || nearest) {
+      require(lT.dataType != org.apache.spark.sql.types.DateType,
+        s"as-of tolerance/nearest on a DATE time column is ambiguous " +
+          s"(days vs toleranceMicros); cast ${lT.name} to timestamp first")
       require(AsOfJoinExec.longableTimeType(lT.dataType),
         s"as-of with tolerance or direction=nearest needs an integral/" +
-          s"timestamp/date time column, got ${lT.name}: ${lT.dataType}")
+          s"timestamp time column, got ${lT.name}: ${lT.dataType}")
+    }
     val plan = AsOfJoinPlan(
       lPlan, rPlan,
       lKeys,

@@ -25,6 +25,14 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("a3's self-check bounds the HLL estimate against the exact count") {
+    val rows = SparkEntry.queries("a3_approx_distinct")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_rsd")),
+      "HLL estimate outside 10x the configured RSD")
+  }
+
   test("no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin (small side broadcast) is the intended
     // shape for the deliberate cross joins; CartesianProduct means

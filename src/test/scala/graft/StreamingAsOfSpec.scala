@@ -39,6 +39,10 @@ class StreamingAsOfSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(rows.drop(4))
       q.processAllAvailable()
+      // a LATE probe behind user 1's held reference (ts 3000) must be
+      // dropped, not enriched with a future signup
+      input.addData(Seq(Tick(1, 1500, "purchase", 99.0)))
+      q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("graft_stream_asof").as[Enriched]
       .collect().map(e => (e.user_id, e.purchase_ts, e.signup_ts, e.value))
