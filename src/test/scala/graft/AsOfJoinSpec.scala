@@ -298,4 +298,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"p_id", $"s_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((2L, 1L)))
   }
+
+  test("driver-side rejection: ambiguous columns, date tolerance, string tolerance") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("k", "t")
+    // duplicate column name on one side → ambiguous, not first-match
+    val dup = l.select($"k", $"t", $"t".as("k"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(dup, r, Seq("k"), Seq("k"), "t", "t")
+    }
+    assert(e1.getMessage.contains("ambiguous"), e1.getMessage)
+    // DATE time column with tolerance → unit-mismatch rejected
+    val ld = Seq((1L, java.sql.Date.valueOf("2024-01-02"))).toDF("k", "d")
+    val rd = Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "d")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(ld, rd, Seq("k"), Seq("k"), "d", "d", toleranceMicros = 1000L)
+    }
+    assert(e2.getMessage.contains("DATE"), e2.getMessage)
+    // non-integral (string) time column with nearest → rejected
+    val ls = Seq((1L, "b")).toDF("k", "t")
+    val rs = Seq((1L, "a")).toDF("k", "t")
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.join(ls, rs, Seq("k"), Seq("k"), "t", "t", direction = "nearest")
+    }
+    assert(e3.getMessage.contains("integral"), e3.getMessage)
+    // but plain backward on a string time column is legal (boxed path)
+    assert(AsOf.join(ls, rs, Seq("k"), Seq("k"), "t", "t").count() == 1)
+  }
 }
