@@ -11,6 +11,28 @@ import graft.sources.Num._
 object Coverage {
   type Q = (SparkSession, String) => DataFrame
 
+  /** One scratch root per JVM (unique path, so concurrent Verify/Bench
+    * processes never share a dir), one REUSED subdir per query — each
+    * invocation overwrites the same path instead of minting a new temp
+    * dir, so a long bench loop doesn't fill /tmp. The root is removed
+    * recursively on JVM exit (File.deleteOnExit can't delete non-empty
+    * dirs, and Spark's part files aren't individually registered).
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  private def scratchDir(name: String): String =
+    scratchRoot.resolve(name).toString
+
   /** max_by / min_by (A2 parity shape, per group). */
   val c1ArgMax: Q = (s, d) =>
     orders(s, d)
@@ -116,9 +138,7 @@ object Coverage {
     * parquet-only parity surface doesn't.
     */
   val c10CsvRoundtrip: Q = (s, d) => {
-    // per-invocation unique dir: a fixed path would race a concurrent
-    // Verify/Bench on the same data (overwrite deleting mid-scan)
-    val out = java.nio.file.Files.createTempDirectory("graft_c10_csv_").toString
+    val out = scratchDir("c10_csv")
     val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
               col("o_totalprice"), col("o_orderpriority"))
@@ -134,7 +154,7 @@ object Coverage {
     * JSON format path (schema-on-read over text).
     */
   val c11JsonRoundtrip: Q = (s, d) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_c11_json_").toString
+    val out = scratchDir("c11_json")
     val src = events(s, d).filter(col("event_id") % 20 === 0)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     src.write.mode("overwrite").json(out)

@@ -35,26 +35,43 @@ object Scale {
   /** Two-pass GLOBAL ranking without the single-task sort that
     * `Window.orderBy` (no partition key) plans:
     *
-    *   pass 1 — range-partition on the sort key; per-range row count,
-    *     distinct-key count and boundary keys come back to the driver
-    *     (P tiny rows, P = shuffle partitions);
+    *   pass 0 — sample ~64·P sort keys by a deterministic CONTENT hash
+    *     (`xxhash64(key) % mod == 0` — same rows sampled on any
+    *     re-scan, unlike `repartitionByRange`'s partition-seeded
+    *     sampler), sort the sample (constant-size, data-independent)
+    *     and keep P−1 evenly spaced boundary keys on the driver;
+    *   pass 1 — assign each row a range id with an explicit
+    *     lexicographic predicate against those boundary LITERALS
+    *     (rid = #boundaries < key); per-range row and distinct-key
+    *     counts come back to the driver (≤P tiny rows);
     *   pass 2 — per-range LOCAL row_number/dense_rank (this window HAS
     *     a partition key — the range id — so every range sorts in
     *     parallel), shifted by the cumulative offsets of the ranges
-    *     before it. A key value straddling a range boundary would be
-    *     double-counted by dense_rank, so the driver subtracts one per
-    *     straddle (chains across empty ranges too).
+    *     before it.
+    *
+    * Because the range id is a pure function of the KEY VALUE, equal
+    * keys can never straddle a range boundary (no dense_rank fixup
+    * needed), and both passes recompute the SAME assignment from
+    * source — nothing is materialized: driver state is the fixed-size
+    * sample, not the data, and no checkpoint pins partitioning. The
+    * input must be deterministic under re-scan (file sources are; an
+    * upstream rand() is not — same contract as Spark's own reuse).
     *
     * `global_ntile(k)` derives from the global row number and total
     * count with Spark's own bucket convention (the first N mod k
     * buckets take the extra row), so results bit-match `ntile()`.
     *
     * `asc` must be ASCENDING-normalized (negate numerics for DESC):
-    * one normalized form drives the range partitioning, the local
-    * window AND the distinct/boundary accounting, keeping all three
-    * consistent. Range boundaries never split result determinism —
-    * ranks depend only on the total order, not on where Spark's
-    * sampled boundaries land.
+    * one normalized form drives the range assignment, the local
+    * window AND the distinct accounting, keeping all three consistent.
+    * NULL caveat (why `.desc` can't just be passed in): rows with a
+    * null in a sort column compare null against every boundary and all
+    * land in range 0, where the local window's default ascending order
+    * puts them first — the composite behaves as `asc_nulls_first`.
+    * That matches the built-in for ascending sorts; for a DESC sort
+    * expressed by negation it differs from `.desc`'s NULLS LAST, so
+    * keep negated DESC sort columns non-null (negate(null) would
+    * corrupt the built-in comparison too).
     *
     * Adds `global_rn`, `global_dense_rank` (LongType — these exceed
     * Int range at fact scale) and `global_ntile` (IntegerType, like
@@ -66,29 +83,50 @@ object Scale {
     val nRanges =
       math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
     val skey = struct(asc: _*)
-    // localCheckpoint pins the sampled range boundaries: the stats job
-    // and the final job below must observe the SAME __rid assignment
-    val ranged = df
-      .repartitionByRange(nRanges, asc: _*)
-      .withColumn("__rid", spark_partition_id())
-      .localCheckpoint()
+    // -------- pass 0: boundary keys from a content-hash sample --------
+    val n = df.count()
+    val targetSample = nRanges.toLong * 64L
+    val mod = math.max(1L, n / math.max(targetSample, 1L))
+    val keyed = df.select(asc.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+    val fieldTypes = keyed.schema.map(_.dataType)
+    val sampled = keyed
+      .filter(pmod(xxhash64(keyed.columns.map(col): _*), lit(mod)) === 0)
+      .orderBy(keyed.columns.map(col): _*) // constant-size sort (~64·P rows)
+      .collect()
+    val step = math.max(1, sampled.length / nRanges)
+    val boundaries = (step until sampled.length by step)
+      .map(sampled(_))
+      .filter(r => (0 until r.length).forall(!r.isNullAt(_))) // null keys can't bound
+      .distinct
+      .take(nRanges - 1)
+    // rid = count of boundaries strictly below the key, via an explicit
+    // lexicographic predicate with literals cast to the column types
+    // (a struct literal would re-infer decimal precision and break the
+    // comparison). Null key fields make every comparison null → rid 0.
+    def gtBoundary(b: org.apache.spark.sql.Row): Column = {
+      def rec(i: Int): Column = {
+        val c = asc(i)
+        val l = lit(b.get(i)).cast(fieldTypes(i))
+        if (i == asc.length - 1) c > l else (c > l) || (c === l && rec(i + 1))
+      }
+      rec(0)
+    }
+    val ridExpr = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(gtBoundary(b), 1).otherwise(0)
+    }
+    val ranged = df.withColumn("__rid", ridExpr)
+    // -------- pass 1: per-range counts (recomputed, not pinned) --------
     val stats = ranged.groupBy(col("__rid"))
-      .agg(count(lit(1)).as("cnt"), countDistinct(skey).as("nd"),
-           min(skey).as("lo"), max(skey).as("hi"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(skey).as("nd"))
       .collect()
       .sortBy(_.getInt(0))
     val total = stats.map(_.getLong(1)).sum
-    // cumulative offsets per range, with the boundary-straddle fixup
     var rnOff = 0L
     var drOff = 0L
-    var prevHi: Any = null
     val offRows = stats.map { r =>
-      val rid = r.getInt(0)
-      val dup = if (prevHi != null && prevHi == r.get(3)) 1L else 0L
-      val row = (rid, rnOff, drOff - dup)
+      val row = (r.getInt(0), rnOff, drOff)
       rnOff += r.getLong(1)
-      drOff += r.getLong(2) - dup
-      prevHi = r.get(4)
+      drOff += r.getLong(2)
       row
     }.toSeq
     val sp = spark

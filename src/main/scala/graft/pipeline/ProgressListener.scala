@@ -32,13 +32,25 @@ class ProgressListener(report: String => Unit = s => System.err.println(s))
   }
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    // count only SUCCESSFUL, non-speculative attempts: failed attempts
+    // are resubmitted (their stage's total already covers the retry) and
+    // a speculative duplicate would double-count its task — either way
+    // `done` would overshoot `total` and the percentage would hit 100%
+    // before the work actually finishes
+    val counts = taskEnd.reason == org.apache.spark.Success &&
+      (taskEnd.taskInfo == null || !taskEnd.taskInfo.speculative)
+    if (!counts) return
     val d = done.incrementAndGet()
     val t = total.get()
     if (t > 0) {
       val pct = math.min(((d * 100) / t).toInt, 100)
-      if (pct != lastPct) {
-        lastPct = pct
-        report(s"[graft] progress: $pct% ($d/$t tasks)")
+      // serialize the check-and-report: callbacks are normally bus-thread
+      // serial, but a concurrent reader pattern shouldn't double-print
+      synchronized {
+        if (pct != lastPct) {
+          lastPct = pct
+          report(s"[graft] progress: $pct% ($d/$t tasks)")
+        }
       }
     }
   }

@@ -209,6 +209,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(twoPass == naive)
   }
 
+  test("two-pass rank materializes nothing: no checkpoint/RDD scan in the plan") {
+    // the range id is recomputed from source by an explicit boundary
+    // predicate — the plan must read the original source, not a checkpointed
+    // RDD (localCheckpoint would surface as Scan ExistingRDD)
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val ranked = Scale.globalRankNtile(
+      c, Seq(negate(col("c_acctbal")), col("c_custkey")), 4)
+    val plans = Seq(ranked.queryExecution.analyzed.toString,
+                    ranked.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("ExistingRDD") && !p.contains("LogicalRDD"),
+        s"two-pass rank materialized its input:\n${p.take(2000)}")
+    }
+    // and the data still comes from the parquet scan
+    assert(plans(1).contains("FileScan parquet") || plans(1).contains("Scan parquet"),
+      s"expected a parquet scan in:\n${plans(1).take(2000)}")
+  }
+
   test("projection prunes the parquet read schema to the used columns") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_shipdate") > "1996-01-01")
