@@ -42,7 +42,12 @@ object Bench {
     // transient host hiccups (observed: a 0.5 s query spiking to 13 s
     // under co-tenant load); the min reports the query's warm cost,
     // JMH-style, which is the number that scales with data
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional positional args: run only the named queries (targeted
+    // measurement during development; the driver passes none)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -252,47 +252,86 @@ object Dedup {
     //   on the verify stage); 27k tokens in a 2^60 space makes a
     //   collision (which would only merge two tokens) vanishingly rare
     //   and, since both engines hash identically, oracle-invisible.
-    val exploded = documents(s, d)
+    val raw = documents(s, d)
       .select(col("doc_id"), col("lang"), expr("shingles(text, 3)").as("shingle"))
       .select(col("doc_id"), col("lang"), expr(
         "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("tok"))
-      .distinct() // per-doc distinct token set (== array_distinct)
+    // ONE exchange on tok feeds the whole build: hash-partitioning on
+    // tok alone satisfies the clustering of the per-doc-distinct
+    // aggregate (tok ⊆ its grouping keys), of the freq aggregate AND of
+    // the freq join, so distinct → freq → join all run with ZERO further
+    // exchanges — three stages of the old shape collapse into one.
+    val byTok = raw.repartition(col("tok"))
+    val exploded = byTok.distinct() // per-doc distinct token set
     // freq is one row per distinct shingle — it grows with the corpus,
-    // so it joins by shuffle-on-token (AQE demotes that to broadcast
-    // whenever it measures small); `exploded`'s two consumers share
-    // one computed exchange via ReuseExchange
+    // and the join is co-partitioned on tok (no shuffle either side)
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    // The per-doc ordered token table feeds FOUR consumers (both
-    // prefix sides + both rebind joins) — but they are all branches of
-    // ONE final DAG, so ReuseExchange computes the groupBy's shuffle
-    // once and every consumer reads it (verified: an explicit
-    // localCheckpoint here costs an extra materialization job and
-    // nothing else — 14.8 s vs 8.3 s cold at sf0.1)
+    // Group by doc_id alone (lang rides along as first(): one value
+    // per doc) — one narrow grouping key keeps the sort/agg cheap.
     exploded.join(freq, "tok")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(transform(array_sort(collect_list(struct(col("freq"), col("tok")))),
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"),
+           transform(array_sort(collect_list(struct(col("freq"), col("tok")))),
                      x => x.getField("tok")).as("otoks"))
       .withColumn("n", size(col("otoks")))
       // plen = n - ceil(0.7 n) + 1, in pure integer arithmetic
       .withColumn("plen", col("n") - expr("(n * 7 + 9) DIV 10") + 1)
   }
 
-  /** Candidate pairs from the rare-token prefixes. ID-ONLY shuffles
-    * (the arrays never ride the explode/join/distinct); a prefix token
-    * with document-frequency f contributes at most f(f-1)/2 pairs, so
-    * the candidate count is bounded by prefix-token df², not corpus² —
-    * DedupSpec pins the sub-quadratic ratio and completeness vs brute
-    * force.
+  /** Slim prefix-token table: (doc_id, set size n, 0-based prefix
+    * position, token) — 16 bytes of metadata per row, the arrays never
+    * ride the explode/join.
     */
-  private[graft] def d8Candidates(ordered: DataFrame): DataFrame = {
-    val slim = ordered.select(col("doc_id"),
-      explode(slice(col("otoks"), lit(1), col("plen"))).as("tok"))
-    slim.toDF("a_id", "tok")
-      .join(slim.toDF("b_id", "tok_b"),
-            col("tok") === col("tok_b") && col("a_id") < col("b_id"))
+  private def d8Prefix(ordered: DataFrame): DataFrame =
+    ordered.select(col("doc_id"), col("n"),
+      posexplode(slice(col("otoks"), lit(1), col("plen"))))
+      .withColumnRenamed("col", "tok")
+
+  /** Raw candidate rows (one per shared prefix token that survives the
+    * cheap filters; a pair sharing k such tokens appears k times). The
+    * join applies, besides the prefix overlap itself, the two other
+    * PPJoin-family candidate filters — both pure integer arithmetic on
+    * per-row metadata, evaluated before anything wide is shuffled:
+    *  - LENGTH: Jaccard >= 0.7 forces 0.7·|B| <= |A| (and vice versa);
+    *  - POSITIONAL: a token at 0-based prefix position p leaves at most
+    *    n - p tokens at-or-after it, so the overlap of the pair matched
+    *    through positions (pa, pb) is at most min(na-pa, nb-pb) for the
+    *    pair's FIRST common token (everything shared sits at-or-after
+    *    it on both sides). Jaccard >= 0.7 needs 17·inter >= 7·(na+nb),
+    *    so rows with 17·min(na-pa, nb-pb) < 7·(na+nb) can't be a
+    *    similar pair's first common token and are dropped. A similar
+    *    pair's first-common-token row always passes, so ANY-row
+    *    semantics (the countDistinct downstream) stays complete —
+    *    later-token duplicate rows may be pruned, which is the point.
+    */
+  private def d8RawPairs(ordered: DataFrame): DataFrame = {
+    val slim = d8Prefix(ordered)
+    val a = slim.toDF("a_id", "n_a", "pos_a", "tok")
+    val b = slim.toDF("b_id", "n_b", "pos_b", "tok_b")
+    a.join(b,
+      col("tok") === col("tok_b") && col("a_id") < col("b_id") &&
+        col("n_a") * 10 >= col("n_b") * 7 &&
+        col("n_b") * 10 >= col("n_a") * 7 &&
+        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) * 17 >=
+          (col("n_a") + col("n_b")) * 7)
       .select(col("a_id"), col("b_id"))
-      .distinct()
   }
+
+  /** Distinct candidate pairs — the diagnostic/scale-curve surface; a
+    * prefix token with document-frequency f contributes at most
+    * f(f-1)/2 pairs, so the candidate count is bounded by prefix-token
+    * df², not corpus² — DedupSpec pins the sub-quadratic ratio and
+    * completeness vs brute force.
+    *
+    * ONE exchange serves two purposes: repartitioning the raw rows on
+    * a_id alone satisfies the (a_id, b_id) distinct aggregate's
+    * clustering (a_id ⊆ its grouping keys) AND leaves the output
+    * hash-partitioned on a_id, exactly what the downstream
+    * verification join on a_id needs — dedup + join co-location for
+    * the price of one shuffle of slim id-pairs.
+    */
+  private[graft] def d8Candidates(ordered: DataFrame): DataFrame =
+    d8RawPairs(ordered).repartition(col("a_id")).distinct()
 
   /** Set-similarity join via PREFIX FILTERING (the PPJoin-family
     * technique from the distributed set-similarity-join literature):
@@ -308,19 +347,27 @@ object Dedup {
     */
   val d8PrefixJoin: Q = (s, d) => {
     val ordered = d8Ordered(s, d)
-    val pairs = d8Candidates(ordered)
+    // RAW candidate rows (duplicates retained): the pre-verification
+    // `distinct()` exchange is fused into the final aggregate instead
+    // (countDistinct over the few rows that survive the Jaccard
+    // threshold) — the positional filter in d8RawPairs already prunes
+    // most duplicate rows, so the handful of repeated verifications
+    // costs less than a full-candidate shuffle did.
+    val pairs = d8RawPairs(ordered)
     val oa = ordered.select(col("doc_id").as("a_id"), col("lang"),
                             col("otoks").as("a_t"))
     val ob = ordered.select(col("doc_id").as("b_id"), col("otoks").as("b_t"))
-    // verification rebind: shuffle joins on the id — the doc-token
-    // side grows with the corpus, so no forced broadcast (AQE
-    // broadcasts it when it measures small)
+    // verification rebind: the doc-token side is already partitioned on
+    // the doc id (d8Ordered groups by it), so only the slim pair stream
+    // shuffles — the array side joins exchange-free (AQE may still
+    // demote to broadcast when it measures small)
     pairs.join(oa, "a_id").join(ob, "b_id")
       .withColumn("inter", size(array_intersect(col("a_t"), col("b_t"))))
       .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_pairs"), min(col("a_id")).as("min_a"))
+      .agg(countDistinct(col("a_id"), col("b_id")).as("n_pairs"),
+           min(col("a_id")).as("min_a"))
   }
 
   /** Blocked n-gram Jaccard: token-set similarity of doc pairs inside
