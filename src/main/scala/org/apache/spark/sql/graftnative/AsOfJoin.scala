@@ -6,16 +6,21 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Ascending, Attribute, Expression, GenericInternalRow,
-  JoinedRow, NamedExpression, NullsFirst, PredicateHelper, RowOrdering,
-  SortOrder, UnsafeProjection, UnsafeRow}
+  Alias, And, Ascending, Attribute, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, NamedExpression, NullsFirst,
+  PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.BindReferences.bindReferences
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{
   BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{
+  BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.{
   ByteType, DataType, DateType, IntegerType, LongType, ShortType,
@@ -109,7 +114,7 @@ case class AsOfJoinExec(
     toleranceMicros: Long,
     left: SparkPlan,
     right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (outer) right.output.map(_.withNullability(true))
@@ -133,6 +138,231 @@ case class AsOfJoinExec(
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  // ------------------------------------------------------------------
+  // WholeStageCodegen (produce side, the SortMergeJoinExec shape): the
+  // operator is a stage ROOT consuming its two sorted children as plain
+  // row iterators (`inputRDDs`), and the ENTIRE merge loop — right-side
+  // advance, O(1) held state, match selection, output — is generated
+  // Java fused with every downstream operator in the stage, so e.g. a
+  // following aggregate's hash-map update runs in the same compiled
+  // function as the merge (no iterator virtual calls between them).
+  //
+  // Only the longable fast path is generated (integral/timestamp time —
+  // every tolerance/nearest-capable type); exotic ordered time types
+  // keep the interpreted doExecute below, as does codegen-off.
+  // ------------------------------------------------------------------
+
+  override def supportCodegen: Boolean =
+    AsOfJoinExec.longableTimeType(rightTime.dataType)
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows may be buffered by downstream operators; they reference
+  // the (reused) input row buffers until projected, so require copies
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    // current right head (null = consumed, refetch on demand), plus the
+    // O(1) backward state: held row copy, its time, and validity
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val held = ctx.addMutableState("InternalRow", "asofHeld")
+    val heldValid = ctx.addMutableState("boolean", "asofHeldValid")
+    val heldTime = ctx.addMutableState("long", "asofHeldTime")
+
+    val keyTypes = leftKeys.map(_.dataType)
+    val tolL = s"${toleranceMicros}L"
+    val lkParams = keyTypes.indices.map(i => s"asofLk$i")
+    // held key = buffered copies of the left-key args at hold time
+    // (addBufferedState clones object types so the values outlive the
+    // source row's reused buffer)
+    val heldKeys = keyTypes.zipWithIndex.map { case (dt, i) =>
+      ctx.addBufferedState(dt, s"asofHeldKey$i", lkParams(i))
+    }
+
+    // right-side key/time evaluation, bound to a local row variable
+    val rrow = ctx.freshName("asofRRow")
+    val savedInput = ctx.INPUT_ROW
+    val savedVars = ctx.currentVars
+    ctx.INPUT_ROW = rrow
+    ctx.currentVars = null
+    val rkEvs = bindReferences(rightKeys, right.output).map(_.genCode(ctx))
+    val rtEv = bindReferences(Seq(rightTime), right.output).head.genCode(ctx)
+    ctx.INPUT_ROW = savedInput
+    ctx.currentVars = savedVars
+
+    // lexicographic (right vs left-args) compare with NULLS FIRST on
+    // the right (left args are non-null — checked before the call), so
+    // null-keyed right rows are consumed exactly like the interpreted
+    // RowOrdering path
+    val cmpChain = rkEvs.zipWithIndex.map { case (ev, i) =>
+      s"""${ev.code}
+         |if (${ev.isNull}) { cmp = -1; break; }
+         |cmp = ${ctx.genComp(keyTypes(i), ev.value.toString, lkParams(i))};
+         |if (cmp != 0) break;""".stripMargin
+    }.mkString("\n")
+    val heldKeyCmp = keyTypes.indices.map { i =>
+      s"if (hc == 0) hc = ${ctx.genComp(keyTypes(i),
+        heldKeys(i).value.toString, lkParams(i))};"
+    }.mkString("\n")
+    val heldAssign = heldKeys.map(_.code.toString).mkString("\n")
+
+    val paramsDecl = (s"long asofLt" +: keyTypes.zipWithIndex.map {
+      case (dt, i) => s"${CodeGenerator.javaType(dt)} ${lkParams(i)}"
+    }).mkString(", ")
+
+    // the per-left-row advance: consume right rows that sort before
+    // (key, time-window), update held state, return the matched row
+    val scanCore =
+      s"""boolean scanning = true;
+         |boolean headSame = false;
+         |long headTime = 0L;
+         |while (scanning) {
+         |  if ($rightRow == null) {
+         |    if (!$rightInput.hasNext()) break;
+         |    $rightRow = (InternalRow) $rightInput.next();
+         |  }
+         |  InternalRow $rrow = $rightRow;
+         |  int cmp = 0;
+         |  do {
+         |    $cmpChain
+         |  } while (false);
+         |  if (cmp < 0) { $rightRow = null; continue; }
+         |  if (cmp > 0) break;
+         |  ${rtEv.code}
+         |  if (${rtEv.isNull}) { $rightRow = null; continue; }
+         |  long rt = (long) ${rtEv.value};""".stripMargin
+    val fnBody = if (forward) {
+      // FORWARD: discard same-key rows with time < lt; head (if still
+      // same-key) is the earliest (time, tieBreak) at-or-after lt —
+      // matched WITHOUT consuming (later lefts may match it too)
+      s"""$scanCore
+         |  if (rt < asofLt) { $rightRow = null; continue; }
+         |  headSame = true; headTime = rt; scanning = false;
+         |}
+         |if (headSame && ($tolL < 0L || headTime - asofLt <= $tolL)) {
+         |  return $rightRow;
+         |}
+         |return null;""".stripMargin
+    } else {
+      val backSelect =
+        if (!nearest) {
+          s"""if ($heldValid && ($tolL < 0L || asofLt - $heldTime <= $tolL)) {
+             |  return $held;
+             |}
+             |return null;""".stripMargin
+        } else {
+          // NEAREST: smaller gap wins, ties go backward (the pandas
+          // merge_asof convention); the scan left the head at the first
+          // same-key row with time > lt — the forward candidate
+          s"""boolean backOk =
+             |  $heldValid && ($tolL < 0L || asofLt - $heldTime <= $tolL);
+             |InternalRow fwd = null;
+             |long fwdGap = Long.MAX_VALUE;
+             |if (headSame) {
+             |  long g = headTime - asofLt;
+             |  if ($tolL < 0L || g <= $tolL) { fwd = $rightRow; fwdGap = g; }
+             |}
+             |long backGap = backOk ? asofLt - $heldTime : Long.MAX_VALUE;
+             |if (backOk && backGap <= fwdGap) return $held;
+             |return fwd;""".stripMargin
+        }
+      // BACKWARD: consume same-key rows with time <= lt, keeping the
+      // last (= greatest (time, tieBreak)); invalidate held when the
+      // left key moved past its key group
+      s"""if ($heldValid) {
+         |  int hc = 0;
+         |  $heldKeyCmp
+         |  if (hc != 0) { $heldValid = false; $held = null; }
+         |}
+         |$scanCore
+         |  if (rt <= asofLt) {
+         |    $held = $rrow.copy();
+         |    $heldTime = rt;
+         |    $heldValid = true;
+         |    $heldAssign
+         |    $rightRow = null;
+         |  } else { headSame = true; headTime = rt; scanning = false; }
+         |}
+         |$backSelect""".stripMargin
+    }
+    val matchFn = ctx.addNewFunction("asofAdvance",
+      s"""private InternalRow asofAdvance($paramsDecl) {
+         |  $fnBody
+         |}""".stripMargin)
+
+    // ---- main produce loop over the left side ----
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lkEvs = bindReferences(leftKeys, left.output).map(_.genCode(ctx))
+    val ltEv = bindReferences(Seq(leftTime), left.output).head.genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = savedInput
+    ctx.currentVars = savedVars
+
+    val matched = ctx.freshName("asofMatched")
+    // right-side output columns read from the matched row; under outer
+    // the whole read is guarded on match presence (null-padded miss)
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRNull")
+      val value = ctx.freshName("asofRVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val getV = CodeGenerator.getValue(matched, a.dataType, i.toString)
+      if (outer) {
+        ExprCode(
+          code"""boolean $isNull = true;
+                |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+                |if ($matched != null) {
+                |  $isNull = $matched.isNullAt($i);
+                |  if (!$isNull) { $value = $getV; }
+                |}""".stripMargin,
+          JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+      } else if (a.nullable) {
+        ExprCode(
+          code"""boolean $isNull = $matched.isNullAt($i);
+                |$jt $value = $isNull
+                |  ? ${CodeGenerator.defaultValue(a.dataType)} : ($getV);""".stripMargin,
+          JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+      } else {
+        ExprCode(code"$jt $value = $getV;",
+          FalseLiteral, JavaCode.variable(value, a.dataType))
+      }
+    }
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val anyNull = (lkEvs.map(_.isNull) :+ ltEv.isNull).mkString(" || ")
+    val callArgs = (s"(long) ${ltEv.value}" +: lkEvs.map(_.value.toString))
+      .mkString(", ")
+    val emit =
+      s"""$numOutput.add(1);
+         |${consume(ctx, leftVars ++ rightVars)}""".stripMargin
+    val outputBlock =
+      if (outer) emit
+      else s"""if ($matched != null) {
+              |  $emit
+              |}""".stripMargin
+    // no limitNotReachedCond here: that early-exit hook is reserved for
+    // leaf/blocking nodes (its check warns otherwise); shouldStop()
+    // below already exits once a downstream limit's buffer fills
+    s"""while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkEvs.map(_.code).mkString("\n")}
+       |  ${ltEv.code}
+       |  InternalRow $matched = null;
+       |  if (!($anyNull)) {
+       |    $matched = $matchFn($callArgs);
+       |  }
+       |  $outputBlock
+       |  ${shouldStopCheckCode}
+       |}""".stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyExprs = leftKeys

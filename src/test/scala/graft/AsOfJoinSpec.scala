@@ -299,6 +299,71 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 1L)))
   }
 
+  test("merge loop is whole-stage-generated and compiles (no silent fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // fallback=false: a Janino compile failure now THROWS instead of
+      // silently running the interpreted doExecute — so a green collect
+      // plus the source assertion proves the generated path executed.
+      // AQE off so codegenString can traverse the plain physical plan
+      // (AdaptiveSparkPlanExec hides its final plan from the walker).
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = AsOf.join(trades, quotes, Seq("t_sym"), Seq("sym"),
+        "t_ts", "q_ts", Seq("q_id"))
+      val out = joined.select($"t_id", $"q_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(out == Seq((101L, 1L), (102L, 3L), (103L, 4L), (104L, 5L)))
+      val code = org.apache.spark.sql.execution.debug.codegenString(
+        joined.queryExecution.executedPlan)
+      assert(code.contains("asofAdvance"),
+        s"as-of merge loop not in generated code:\n${code.take(2000)}")
+      // ... and for every generated variant (outer/forward/nearest/tol)
+      for ((jt, dir, tol) <- Seq(("left_outer", "backward", -1L),
+                                 ("inner", "forward", 5L),
+                                 ("inner", "nearest", -1L))) {
+        val df = AsOf.join(trades, quotes, Seq("t_sym"), Seq("sym"),
+          "t_ts", "q_ts", Seq("q_id"), joinType = jt, direction = dir,
+          toleranceMicros = tol)
+        df.collect() // throws on codegen failure with fallback off
+        assert(org.apache.spark.sql.execution.debug.codegenString(
+          df.queryExecution.executedPlan).contains("asofAdvance"),
+          s"no generated merge loop for joinType=$jt direction=$dir")
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("generated and interpreted paths agree across the sweep") {
+    val rng = new scala.util.Random(4242)
+    val left = (0 until 600).map(i =>
+      (i.toLong, s"k${rng.nextInt(12)}", rng.nextInt(200).toLong))
+      .toDF("l_id", "l_k", "l_t")
+    val right = (0 until 400).map(i =>
+      (i.toLong, s"k${rng.nextInt(15)}", rng.nextInt(200).toLong))
+      .toDF("r_id", "r_k", "r_t")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    def run(): Seq[Seq[(Long, Long)]] =
+      for (dir <- Seq("backward", "forward", "nearest");
+           jt <- if (dir == "nearest") Seq("inner") else Seq("inner", "left_outer");
+           tol <- Seq(-1L, 7L)) yield
+        AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
+            rightTieBreakCols = Seq("r_id"), joinType = jt, direction = dir,
+            toleranceMicros = tol)
+          .select($"l_id", $"r_id").collect().map(norm).sorted.toSeq
+    val gen = run()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val interp = try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      run()
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    assert(gen == interp)
+  }
+
   test("driver-side rejection: ambiguous columns, date tolerance, string tolerance") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("k", "t")
