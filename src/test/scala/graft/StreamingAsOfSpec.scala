@@ -67,4 +67,53 @@ class StreamingAsOfSpec extends AnyFunSuite {
       (1L, 2000L, 1000L, 5.0), (1L, 3000L, 3000L, 6.0),
       (1L, 9000L, 3000L, 7.0), (2L, 700L, 600L, 2.0)))
   }
+
+  test("watermarked variant enriches late probes within the horizon exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val late = Tick(1, 1500, "purchase", 99.0)
+    val input = MemoryStream[Tick]
+    val q = StreamingAsOf.asOfEnrichWatermarked(input.toDS(), "8 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_asof_wm")
+      .start()
+    try {
+      input.addData(rows.take(4))
+      q.processAllAvailable()
+      input.addData(rows.drop(4))
+      q.processAllAvailable()
+      // the late probe arrives BEHIND user 1's held reference (3000)
+      // but within the 8 s watermark (wm = 9000 - 8000 = 1000): the
+      // drop variant discards it; here it must match signup 1000
+      input.addData(Seq(late))
+      q.processAllAvailable()
+      // advance the watermark past every buffered probe, then trigger
+      // one more batch so the event-time timeouts fire and drain state
+      input.addData(Seq(Tick(9, 100000L, "signup", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Tick(9, 100001L, "signup", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_stream_asof_wm").as[Enriched]
+      .collect().map(e => (e.user_id, e.purchase_ts, e.signup_ts, e.value))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+
+    // native batch as-of over the same rows INCLUDING the late probe
+    val df = (rows :+ late).toDF()
+    val probes = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("value"))
+    val refs = df.filter(col("event_type") === "signup")
+      .select(col("user_id").as("r_user"), col("ts_ms").as("r_ts"))
+    val batch = graft.plans.AsOf.join(
+        probes, refs,
+        leftOn = Seq("user_id"), rightOn = Seq("r_user"),
+        leftTimeCol = "ts_ms", rightTimeCol = "r_ts")
+      .select(col("user_id"), col("ts_ms"), col("r_ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+
+    assert(got == batch)
+    assert(got.contains((1L, 1500L, 1000L, 99.0)),
+      "late probe within the watermark must be enriched with its true backward match")
+  }
 }
