@@ -104,6 +104,10 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.parquet is TIMESTAMP(NANOS): the legacy conf must be set
+    // before ANY events read in this session (row counts below read the
+    // raw table), not just inside genSf1 (skipped when _GEN_DONE exists)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM warmup
     genSf1(spark, s"$base/sf0.1", gen)
     val scales = Seq("sf0.01" -> s"$base/sf0.01", "sf0.1" -> s"$base/sf0.1",

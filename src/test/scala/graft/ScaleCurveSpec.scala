@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the committed SCALECURVE.json artifact (written by
+  * `graft.ScaleCurve` across sf0.01 / sf0.1 / generated ~sf1): the
+  * heavy operators' growth exponents between the two LARGEST scales
+  * must stay sub-quadratic — the measured evidence behind every
+  * "would survive 100×" claim. The artifact is committed, so these
+  * assertions are deterministic; regenerating it (runMain
+  * graft.ScaleCurve) re-measures and must stay within the same bounds.
+  */
+class ScaleCurveSpec extends AnyFunSuite {
+
+  private lazy val json: String = {
+    val p = java.nio.file.Paths.get("SCALECURVE.json")
+    assert(java.nio.file.Files.exists(p),
+      "SCALECURVE.json missing — run `sbt \"runMain graft.ScaleCurve\"`")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  private def expFor(op: String): Double = {
+    val i = json.indexOf("\"" + op + "\"")
+    assert(i >= 0, s"$op missing from SCALECURVE.json")
+    val m = """"exp_sf01_sf1":(-?[0-9.]+)""".r
+      .findFirstMatchIn(json.substring(i))
+    assert(m.isDefined, s"no exponent recorded for $op")
+    m.get.group(1).toDouble
+  }
+
+  test("heavy-operator wall time grows sub-quadratically (measured, sf0.1 -> sf1)") {
+    // measured r4 values: d8 0.84, d9 0.20, d10 0.17, n5 0.57,
+    // q19 0.50, q24 0.13 — the bound leaves room for host-load noise
+    // while still failing loudly on any degeneration toward all-pairs
+    for (op <- Seq("d8_prefix_join", "d9_dup_clusters", "d10_curate_canonical",
+                   "n5_ivf_kmeans", "q19_asof_native", "q24_interval_join")) {
+      val e = expFor(op)
+      assert(e < 1.5, s"$op wall-time growth exponent $e is not sub-quadratic")
+    }
+  }
+
+  test("d8 candidate count grows linearly, not as corpus^2 (timer-free evidence)") {
+    val e = expFor("d8_candidates")
+    assert(e < 1.3, s"d8 candidate growth exponent $e — prefix filter degenerating")
+    // absolute bound at the largest scale: candidates must be a
+    // vanishing fraction of all-pairs
+    val cands = """"candidates":([0-9]+)""".r
+      .findAllMatchIn(json).map(_.group(1).toLong).toSeq
+    val ns = """"n":([0-9]+)""".r
+      .findAllMatchIn(json.substring(json.indexOf("\"d8_candidates\"")))
+      .map(_.group(1).toLong).toSeq
+    assert(cands.nonEmpty && ns.nonEmpty)
+    val (c, n) = (cands.last, ns.last)
+    assert(c * 1000L < n * (n - 1L) / 2L,
+      s"sf1 candidates $c not << all-pairs ${n * (n - 1L) / 2L}")
+  }
+}
