@@ -74,12 +74,15 @@ object ScaleCurve {
     ()
   }
 
-  // op → the table whose row count is the op's n
+  // op → the table whose row count is the op's n; q13 (the composed
+  // union+window as-of) rides along so the native q19's advantage is
+  // measured ACROSS scales, not just at one point
   private val ops = Seq(
     "d8_prefix_join" -> "documents",
     "d9_dup_clusters" -> "documents",
     "d10_curate_canonical" -> "documents",
     "n5_ivf_kmeans" -> "embeddings",
+    "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",
     "q24_interval_join" -> "events")
 

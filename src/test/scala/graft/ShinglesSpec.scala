@@ -62,6 +62,38 @@ class ShinglesSpec extends AnyFunSuite {
     assert(df.select(expr("shingles(text, k)")).count() == 0)
   }
 
+  test("generator participates in whole-stage codegen (no silent fallback)") {
+    ShinglesApi.ensureRegistered(spark)
+    val prevFb = spark.conf.get("spark.sql.codegen.fallback")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // fallback=false: a Janino failure would throw instead of running
+      // the interpreted path; AQE off so codegenString sees the plan
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Seq("the quick brown fox jumps", "one two").toDF("text")
+        .select(expr("shingles(text, 3)").as("shingle"))
+      assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("brown fox jumps", "one two", "quick brown fox", "the quick brown"))
+      val code = org.apache.spark.sql.execution.debug.codegenString(
+        df.queryExecution.executedPlan)
+      assert(code.contains("shingleArray"),
+        s"shingles not in generated code:\n${code.take(1500)}")
+      // interpreted path (codegen off) agrees
+      val interp = try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        Seq("the quick brown fox jumps", "one two").toDF("text")
+          .select(expr("shingles(text, 3)").as("shingle"))
+          .collect().map(_.getString(0)).sorted.toSeq
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(interp == Seq("brown fox jumps", "one two", "quick brown fox",
+                           "the quick brown"))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFb)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("mistyped arguments fail at analysis, not on the executor") {
     ShinglesApi.ensureRegistered(spark)
     val df = Seq(("a b c", 3)).toDF("text", "k")
