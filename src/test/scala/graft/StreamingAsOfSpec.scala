@@ -116,4 +116,44 @@ class StreamingAsOfSpec extends AnyFunSuite {
     assert(got.contains((1L, 1500L, 1000L, 99.0)),
       "late probe within the watermark must be enriched with its true backward match")
   }
+
+  test("watermarked state survives checkpoint restart; buffered probes emit once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckp = java.nio.file.Files.createTempDirectory("graft-asof-wm-ckp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-asof-wm-out").toString + "/enriched"
+    val late = Tick(1, 1500, "purchase", 99.0)
+    val input = MemoryStream[Tick]
+    // parquet sink: fault-tolerant (exactly-once via the file-sink log),
+    // so the SAME checkpoint can resume — memory sink refuses recovery
+    def start() =
+      StreamingAsOf.asOfEnrichWatermarked(input.toDS(), "8 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckp)
+        .format("parquet").option("path", out)
+        .start()
+    // run 1: everything buffered except what matures at wm=1000
+    val q1 = start()
+    try {
+      input.addData(rows.take(4)); q1.processAllAvailable()
+      input.addData(rows.drop(4)); q1.processAllAvailable()
+      input.addData(Seq(late));    q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: restart from the checkpoint — the late probe and the rest
+    // of the buffer must be restored from the state store, then drain
+    // as the watermark passes them
+    val q2 = start()
+    try {
+      input.addData(Seq(Tick(9, 100000L, "signup", 0.0))); q2.processAllAvailable()
+      input.addData(Seq(Tick(9, 100001L, "signup", 0.0))); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out).as[Enriched].collect()
+      .map(e => (e.user_id, e.purchase_ts, e.signup_ts, e.value))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+    assert(got == got.distinct, s"duplicate emissions across restart: $got")
+    assert(got == Seq(
+      (1L, 1500L, 1000L, 99.0), (1L, 2000L, 1000L, 5.0),
+      (1L, 3000L, 3000L, 6.0), (1L, 9000L, 3000L, 7.0),
+      (2L, 700L, 600L, 2.0)))
+  }
 }
