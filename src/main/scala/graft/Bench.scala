@@ -43,7 +43,13 @@ object Bench {
     // under co-tenant load); the min reports the query's warm cost,
     // JMH-style, which is the number that scales with data
     // optional positional args: run only the named queries (targeted
-    // measurement during development; the driver passes none)
+    // measurement during development; the driver passes none). Unknown
+    // names fail loudly — silently dropping a typo would report an
+    // empty 0.0 s "result" instead of the mistake
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.length == 1) "y" else "ies"}: " +
+        s"${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }

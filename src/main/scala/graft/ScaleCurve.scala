@@ -102,7 +102,8 @@ object ScaleCurve {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // partitions == cores, the Bench methodology this harness extends
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -138,7 +139,10 @@ object ScaleCurve {
     def exponent(n1: Long, v1: Double, n2: Long, v2: Double): Double =
       math.log(math.max(v2, 1e-9) / math.max(v1, 1e-9)) /
         math.log(n2.toDouble / n1.toDouble)
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: f"" uses the default locale, which would emit comma
+    // decimals (invalid JSON) on non-dot-decimal JVMs
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val opJson = series.map { case (op, table, pts) =>
       val e = exponent(pts(1)._2, pts(1)._3, pts(2)._2, pts(2)._3)
       val ser = pts.map { case (sf, n, sec) =>

@@ -80,12 +80,13 @@ class ShinglesSpec extends AnyFunSuite {
       assert(code.contains("shingleArray"),
         s"shingles not in generated code:\n${code.take(1500)}")
       // interpreted path (codegen off) agrees
+      val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
       val interp = try {
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
         Seq("the quick brown fox jumps", "one two").toDF("text")
           .select(expr("shingles(text, 3)").as("shingle"))
           .collect().map(_.getString(0)).sorted.toSeq
-      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
       assert(interp == Seq("brown fox jumps", "one two", "quick brown fox",
                            "the quick brown"))
     } finally {
