@@ -364,6 +364,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(gen == interp)
   }
 
+  test("composite (string, long) join keys match brute force in all directions") {
+    // exercises the generated multi-key compare chain (cmpChain /
+    // heldKeyCmp / multi-parameter advance) that single-key tests miss
+    val rng = new scala.util.Random(2026)
+    val left = (0 until 800).map(i =>
+      (i.toLong, s"k${rng.nextInt(6)}", rng.nextInt(4).toLong,
+       rng.nextInt(200).toLong))
+      .toDF("l_id", "l_k", "l_v", "l_t")
+    val right = (0 until 500).map(i =>
+      (i.toLong, s"k${rng.nextInt(7)}", rng.nextInt(5).toLong,
+       rng.nextInt(200).toLong))
+      .toDF("r_id", "r_k", "r_v", "r_t")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    for (dir <- Seq("backward", "forward"); jt <- Seq("inner", "left_outer")) {
+      val native = AsOf.join(left, right, Seq("l_k", "l_v"), Seq("r_k", "r_v"),
+          "l_t", "r_t", rightTieBreakCols = Seq("r_id"),
+          joinType = jt, direction = dir)
+        .select($"l_id", $"r_id")
+        .collect().map(norm).sorted.toSeq
+      val timeCond = if (dir == "backward") $"r_t" <= $"l_t" else $"r_t" >= $"l_t"
+      val pick = if (dir == "backward") max_by($"r_id", struct($"r_t", $"r_id"))
+                 else min_by($"r_id", struct($"r_t", $"r_id"))
+      val oracle = left.join(right,
+          $"l_k" === $"r_k" && $"l_v" === $"r_v" && timeCond, jt)
+        .groupBy($"l_id").agg(pick.as("r_id"))
+        .collect().map(norm).sorted.toSeq
+      assert(native == oracle, s"composite-key mismatch: $dir $jt")
+    }
+  }
+
   test("driver-side rejection: ambiguous columns, date tolerance, string tolerance") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("k", "t")
