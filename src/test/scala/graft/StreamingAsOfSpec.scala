@@ -117,6 +117,36 @@ class StreamingAsOfSpec extends AnyFunSuite {
       "late probe within the watermark must be enriched with its true backward match")
   }
 
+  test("late reference within the horizon retro-corrects a buffered probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = StreamingAsOf.asOfEnrichWatermarked(input.toDS(), "8 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_asof_lateref")
+      .start()
+    try {
+      // probe at 5000 arrives FIRST; its true match (signup 4000)
+      // arrives a batch later, out of order but within the watermark —
+      // the probe is still buffered (wm has not passed 5000), so the
+      // late reference must win over the earlier signup 1000
+      input.addData(Seq(Tick(1, 1000, "signup", 0.0),
+                        Tick(1, 5000, "purchase", 42.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Tick(1, 4000, "signup", 0.0)))
+      q.processAllAvailable()
+      // advance the watermark past the probe, then fire the timeout
+      input.addData(Seq(Tick(9, 100000L, "signup", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Tick(9, 100001L, "signup", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_stream_asof_lateref").as[Enriched]
+      .collect().map(e => (e.user_id, e.purchase_ts, e.signup_ts, e.value)).toSeq
+    assert(got == Seq((1L, 5000L, 4000L, 42.0)),
+      s"buffered probe must match the late-arriving nearer reference, got $got")
+  }
+
   test("watermarked state survives checkpoint restart; buffered probes emit once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
