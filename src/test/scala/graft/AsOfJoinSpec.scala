@@ -235,12 +235,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     val left = lRows.toDF("l_id", "l_k", "l_t")
     val right = rRows.toDF("r_id", "r_k", "r_t")
     val byKey = rRows.groupBy(_._2)
-    for (tol <- Seq(-1L, 0L, 5L, 50L)) {
+    for (tol <- Seq(-1L, 0L, 5L, 50L); jt <- Seq("inner", "left_outer")) {
       val native = AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
           rightTieBreakCols = Seq("r_id"), direction = "nearest",
-          toleranceMicros = tol)
+          joinType = jt, toleranceMicros = tol)
         .select($"l_id", $"r_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
       val expect = lRows.flatMap { case (lid, lk, lt) =>
         val cands = byKey.getOrElse(lk, Nil)
         val back = cands.filter(c => c._3 <= lt && (tol < 0 || lt - c._3 <= tol))
@@ -252,10 +254,10 @@ class AsOfJoinSpec extends AnyFunSuite {
             Some(lid -> (if (lt - b._3 <= f._3 - lt) b._1 else f._1))
           case (Some(b), None) => Some(lid -> b._1)
           case (None, Some(f)) => Some(lid -> f._1)
-          case _ => None
+          case _ => if (jt == "left_outer") Some(lid -> -1L) else None
         }
       }.sorted.toSeq
-      assert(native == expect, s"nearest mismatch at tolerance=$tol")
+      assert(native == expect, s"nearest mismatch at tolerance=$tol joinType=$jt")
     }
   }
 
@@ -349,7 +351,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
     def run(): Seq[Seq[(Long, Long)]] =
       for (dir <- Seq("backward", "forward", "nearest");
-           jt <- if (dir == "nearest") Seq("inner") else Seq("inner", "left_outer");
+           jt <- Seq("inner", "left_outer");
            tol <- Seq(-1L, 7L)) yield
         AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t",
             rightTieBreakCols = Seq("r_id"), joinType = jt, direction = dir,
