@@ -397,6 +397,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("DATE time columns run the generated int fast path (backward, no tolerance)") {
+    import java.sql.Date
+    val l = Seq((1L, "A", Date.valueOf("2024-03-15")),
+                (2L, "A", Date.valueOf("2024-01-01")),
+                (3L, "B", Date.valueOf("2024-06-01")))
+      .toDF("l_id", "l_k", "l_d")
+    val r = Seq((10L, "A", Date.valueOf("2024-02-01")),
+                (11L, "A", Date.valueOf("2024-03-15")),
+                (12L, "B", Date.valueOf("2024-07-01")))
+      .toDF("r_id", "r_k", "r_d")
+    val out = AsOf.join(l, r, Seq("l_k"), Seq("r_k"), "l_d", "r_d", Seq("r_id"))
+      .select($"l_id", $"r_id")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    // 1 -> equal-date 11; 2 -> nothing at-or-before; 3 -> nothing (12 later)
+    assert(out == Seq((1L, 11L)))
+  }
+
   test("driver-side rejection: ambiguous columns, date tolerance, string tolerance") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("k", "t")
