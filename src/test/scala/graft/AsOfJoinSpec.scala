@@ -414,6 +414,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Seq((1L, 11L)))
   }
 
+  test("chained as-of joins compose (lower join inside the upper's stage subtree)") {
+    // enrich trades with quotes, then enrich the result with a second
+    // reference stream — the lower AsOfJoinExec ends up inside the
+    // upper stage's child tree where its produce is never called; it
+    // must still execute via its own doExecute under the upper's sorts
+    val refs = Seq((201L, "A", 12L), (202L, "A", 28L), (203L, "B", 10L))
+      .toDF("f_id", "f_sym", "f_ts")
+    val step1 = AsOf.join(trades, quotes, Seq("t_sym"), Seq("sym"),
+      "t_ts", "q_ts", Seq("q_id"))
+    val step2 = AsOf.join(step1, refs, Seq("t_sym"), Seq("f_sym"),
+      "t_ts", "f_ts", Seq("f_id"))
+      .select($"t_id", $"q_id", $"f_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // step1 keeps trades 101,102,103,104; step2 backward on refs:
+    // 101(A,10) -> none before 12 -> dropped; 102(A,25) -> 201(12);
+    // 103(A,99) -> 202(28); 104(B,15) -> 203(10)
+    assert(step2 == Seq((102L, 3L, 201L), (103L, 4L, 202L), (104L, 5L, 203L)))
+  }
+
   test("driver-side rejection: ambiguous columns, date tolerance, string tolerance") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("k", "t")
