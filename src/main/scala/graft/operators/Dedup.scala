@@ -414,7 +414,39 @@ object Dedup {
            min(col("a_id")).as("min_a"))
   }
 
+  /** Benchmark DECONTAMINATION — the cross-corpus n-gram leakage check
+    * (train/eval hygiene) every LLM data pipeline runs before
+    * training: treat one source slice as the held-out benchmark and
+    * report, per language, how many TRAINING docs share at least one
+    * 3-word shingle with it. Distinct from the self-join dedup family:
+    * the shape is a cross-DATASET semi join, not candidate pairs.
+    *
+    * Scale shape: shingles ride the same 60-bit md5-prefix long
+    * hashes as d8, so the leak check joins on primitive longs; the
+    * benchmark side reduces to DISTINCT tokens only (real benchmark
+    * sets are a few thousand docs — tiny next to a 100 TB corpus), so
+    * AQE broadcasts the semi join: one pass over the train tokens, no
+    * per-doc state, no all-pairs anything. The doc-level distinct
+    * shuffles only (doc_id, lang) survivors.
+    */
+  val d11Decontaminate: Q = (s, d) => {
+    org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+              expr("shingles(text, 3)").as("shingle"))
+      .select(col("doc_id"), col("lang"), col("source"), expr(
+        "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("tok"))
+    val bench = toks.filter(col("source") === "src0")
+      .select(col("tok")).distinct()
+    val train = toks.filter(col("source") =!= "src0")
+    train.join(bench, Seq("tok"), "left_semi")
+      .select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_contaminated"), min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d11_decontaminate" -> d11Decontaminate,
     "d1_dedup_exact" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
     "d3_minhash_buckets" -> d3MinhashBuckets,
@@ -462,6 +494,20 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d11_decontaminate" ->
+      s"""WITH t AS ($sqlDocs),
+         |s AS (SELECT doc_id, lang, source,
+         |        list_transform($sqlShingles,
+         |          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS tk
+         |      FROM t),
+         |b AS (SELECT DISTINCT unnest(tk) AS tok FROM s WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, lang, unnest(tk) AS tok FROM s
+         |       WHERE source <> 'src0'),
+         |c AS (SELECT DISTINCT doc_id, lang FROM tr
+         |      WHERE tok IN (SELECT tok FROM b))
+         |SELECT lang, CAST(count(1) AS BIGINT) AS n_contaminated,
+         |       min(doc_id) AS min_doc
+         |FROM c GROUP BY lang""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT lang, count(1) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         | count(1) - count(DISTINCT md5(text)) AS n_dups
