@@ -81,6 +81,7 @@ object ScaleCurve {
     "d8_prefix_join" -> "documents",
     "d9_dup_clusters" -> "documents",
     "d10_curate_canonical" -> "documents",
+    "d11_decontaminate" -> "documents",
     "n5_ivf_kmeans" -> "embeddings",
     "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",

@@ -33,8 +33,8 @@ class ScaleCurveSpec extends AnyFunSuite {
     // q19 0.50, q24 0.13 — the bound leaves room for host-load noise
     // while still failing loudly on any degeneration toward all-pairs
     for (op <- Seq("d8_prefix_join", "d9_dup_clusters", "d10_curate_canonical",
-                   "n5_ivf_kmeans", "q13_join_asof", "q19_asof_native",
-                   "q24_interval_join")) {
+                   "d11_decontaminate", "n5_ivf_kmeans", "q13_join_asof",
+                   "q19_asof_native", "q24_interval_join")) {
       val e = expFor(op)
       assert(e < 1.5, s"$op wall-time growth exponent $e is not sub-quadratic")
     }
