@@ -178,7 +178,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rnk"))
   }
 
+  /** Domain-balanced MIXTURE SAMPLING (data-mixing reweighting — the
+    * "don't let one crawl dominate the mixture" step of assembling a
+    * training set): every source slice is deterministically
+    * downsampled to the rarest source's size, so the output mixture is
+    * uniform over sources. Selection is a pure function of the doc id
+    * (md5 threshold in parts-per-million, integer DIV — replayed
+    * bit-exactly by the oracle), so the sample is stable across runs,
+    * re-partitioning and engines — reproducibility a training pipeline
+    * needs and `RAND()`-based sampling can't give.
+    *
+    * Plan shape at scale: per-source counts are a K-row aggregate
+    * (K = #sources); the thresholds broadcast back onto the corpus
+    * scan; the filter is map-side — ONE wide pass plus a tiny agg, no
+    * shuffle of the corpus itself.
+    */
+  val t9MixtureSample: Q = (s, d) => {
+    val docs = documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val target = counts.agg(min(col("n_src")).as("tgt"))
+    val ppm = counts.crossJoin(broadcast(target))
+      .withColumn("keep_ppm", expr("CAST(tgt * 1000000 DIV n_src AS BIGINT)"))
+      .select(col("source"), col("keep_ppm"))
+    docs.join(broadcast(ppm), "source")
+      .filter(expr(
+        """cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 8),
+          |          16, 10) as bigint) % 1000000""".stripMargin) < col("keep_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t9_mixture_sample" -> t9MixtureSample,
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_token_count" -> t3TokenCount,
@@ -190,6 +221,17 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t9_mixture_sample" ->
+      """WITH c AS (SELECT source, count(1) AS n_src FROM documents GROUP BY source),
+        |t AS (SELECT min(n_src) AS tgt FROM c),
+        |f AS (SELECT source, CAST(tgt * 1000000 // n_src AS BIGINT) AS keep_ppm
+        |      FROM c, t),
+        |k AS (SELECT d.source, d.doc_id
+        |      FROM documents d JOIN f USING (source)
+        |      WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |              % 1000000 < keep_ppm)
+        |SELECT source, CAST(count(1) AS BIGINT) AS n_kept, min(doc_id) AS min_doc
+        |FROM k GROUP BY source""".stripMargin,
     "t8_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
