@@ -252,10 +252,7 @@ object Dedup {
     //   on the verify stage); 27k tokens in a 2^60 space makes a
     //   collision (which would only merge two tokens) vanishingly rare
     //   and, since both engines hash identically, oracle-invisible.
-    val raw = documents(s, d)
-      .select(col("doc_id"), col("lang"), expr("shingles(text, 3)").as("shingle"))
-      .select(col("doc_id"), col("lang"), expr(
-        "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("tok"))
+    val raw = hashedShingleToks(s, d).select(col("doc_id"), col("lang"), col("tok"))
     // ONE exchange on tok feeds the whole build: hash-partitioning on
     // tok alone satisfies the clustering of the per-doc-distinct
     // aggregate (tok ⊆ its grouping keys), of the freq aggregate AND of
@@ -429,13 +426,21 @@ object Dedup {
     * per-doc state, no all-pairs anything. The doc-level distinct
     * shuffles only (doc_id, lang) survivors.
     */
-  val d11Decontaminate: Q = (s, d) => {
+  /** (doc_id, lang, source, tok): 3-word shingles hashed to 60-bit
+    * md5-prefix longs — the ONE token representation d8 and d11 share
+    * (so they cannot silently diverge); sqlHash60 is its oracle twin.
+    */
+  private def hashedShingleToks(s: SparkSession, d: String): DataFrame = {
     org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
-    val toks = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
               expr("shingles(text, 3)").as("shingle"))
       .select(col("doc_id"), col("lang"), col("source"), expr(
         "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("tok"))
+  }
+
+  val d11Decontaminate: Q = (s, d) => {
+    val toks = hashedShingleToks(s, d)
     val bench = toks.filter(col("source") === "src0")
       .select(col("tok")).distinct()
     val train = toks.filter(col("source") =!= "src0")
@@ -463,6 +468,9 @@ object Dedup {
     """CASE WHEN length(ws) < 3 THEN [array_to_string(ws, ' ')]
       |     ELSE list_transform(range(1, length(ws) - 1),
       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END""".stripMargin
+
+  /** Oracle twin of `hashedShingleToks`'s 60-bit token hash (d8 + d11). */
+  private val sqlHash60 = "x -> ('0x' || substr(md5(x), 1, 15))::BIGINT"
 
   private val sqlBaseHashes =
     "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)"
@@ -497,8 +505,7 @@ object Dedup {
     "d11_decontaminate" ->
       s"""WITH t AS ($sqlDocs),
          |s AS (SELECT doc_id, lang, source,
-         |        list_transform($sqlShingles,
-         |          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS tk
+         |        list_transform($sqlShingles, $sqlHash60) AS tk
          |      FROM t),
          |b AS (SELECT DISTINCT unnest(tk) AS tok FROM s WHERE source = 'src0'),
          |tr AS (SELECT doc_id, lang, unnest(tk) AS tok FROM s
@@ -555,8 +562,8 @@ object Dedup {
     "d8_prefix_join" ->
       s"""WITH t AS ($sqlDocs),
          |ts AS (SELECT doc_id, lang,
-         |         list_sort(list_distinct(list_transform($sqlShingles,
-         |           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS ts
+         |         list_sort(list_distinct(
+         |           list_transform($sqlShingles, $sqlHash60))) AS ts
          |       FROM t),
          |f AS (SELECT tok, count(1) AS freq
          |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) GROUP BY tok),

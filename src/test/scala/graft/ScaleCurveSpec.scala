@@ -29,9 +29,11 @@ class ScaleCurveSpec extends AnyFunSuite {
   }
 
   test("heavy-operator wall time grows sub-quadratically (measured, sf0.1 -> sf1)") {
-    // measured r4 values: d8 0.84, d9 0.20, d10 0.17, n5 0.57,
-    // q19 0.50, q24 0.13 — the bound leaves room for host-load noise
-    // while still failing loudly on any degeneration toward all-pairs
+    // measured r4 values (committed artifact): d8 0.82, d9 0.25,
+    // d10 0.16, d11 0.16, n5 0.59, q13 0.43, q19 0.53, q24 0.15 —
+    // host noise moves these by tenths (one loaded run even fitted d9
+    // NEGATIVE: pure fixed cost); the bound leaves room for that while
+    // still failing loudly on any degeneration toward all-pairs
     for (op <- Seq("d8_prefix_join", "d9_dup_clusters", "d10_curate_canonical",
                    "d11_decontaminate", "n5_ivf_kmeans", "q13_join_asof",
                    "q19_asof_native", "q24_interval_join")) {
