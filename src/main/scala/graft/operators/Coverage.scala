@@ -165,7 +165,28 @@ object Coverage {
            min(col("event_id")).as("min_event"))
   }
 
+  /** ORC source/sink round-trip: Spark bundles the ORC reader/writer
+    * natively (orc-core ships with spark-sql — no extra jar), so the
+    * third columnar/self-describing format joins the c10/c11
+    * aggregate-after-reread contract. ORC embeds its schema, so the
+    * re-read needs none (unlike c10's schema-on-read CSV). Avro stays
+    * out: the spark-avro DataSource module is not on this classpath.
+    */
+  val c12OrcRoundtrip: Q = (s, d) => {
+    val out = scratchDir("c12_orc")
+    val src = lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+              col("l_quantity"), col("l_extendedprice"))
+    src.write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("l_extendedprice")).as("total"),
+           min(col("l_orderkey")).as("min_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c12_orc_roundtrip" -> c12OrcRoundtrip,
     "c1_arg_max" -> c1ArgMax,
     "c2_shuffle_hash_hint" -> c2ShuffleHashHint,
     "c3_union_by_name" -> c3UnionByName,
@@ -180,6 +201,12 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    "c12_orc_roundtrip" ->
+      s"""SELECT l_returnflag, count(1) AS n,
+         |  ${sqlMoneySum("l_extendedprice")} AS total,
+         |  min(l_orderkey) AS min_key
+         |FROM lineitem WHERE l_orderkey % 100 = 0
+         |GROUP BY l_returnflag""".stripMargin,
     "c10_csv_roundtrip" ->
       s"""SELECT o_orderstatus, count(1) AS n,
          |  ${sqlMoneySum("o_totalprice")} AS total,
