@@ -116,7 +116,47 @@ object Multimodal {
            sum(col("char_sum")).as("sum_chars"))
   }
 
+  /** Raw-file ingestion via Spark's built-in `binaryFile` source — the
+    * standard way a multimodal pipeline lands on-disk media (one file
+    * per asset) in a DataFrame at scale. The query is the full
+    * round-trip: dump each payload to a scratch file named by doc id
+    * (executor-side foreachPartition — no driver loop; the same write
+    * an asset-exporting sink performs), re-ingest the directory as
+    * (path, length, content) rows, recover ids from filenames, join
+    * the id back to its metadata (broadcastable — the re-ingested side
+    * carries only parsed ids) and verify payload integrity per source
+    * with byte totals + an md5 content digest. The oracle recomputes
+    * everything straight from the documents table: a lossless file
+    * round-trip is hash-identical.
+    */
+  val m5BinaryIngest: Q = (s, d) => {
+    val out = Coverage.scratchDir("m5_files")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"${r.getLong(0)}%012d.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    val ingested = s.read.format("binaryFile").load(out)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("length"), col("content"))
+    val meta = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+    ingested.join(meta, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("length")).as("total_bytes"),
+           min(md5(col("content"))).as("min_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m5_binary_ingest" -> m5BinaryIngest,
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan,
@@ -126,6 +166,11 @@ object Multimodal {
   // The fake decode is pure byte arithmetic, so the oracle can replay
   // it in SQL: width = 16 + octet_len%64, height = 16 + first_byte%64.
   val oracles: Map[String, String] = Map(
+    "m5_binary_ingest" ->
+      """SELECT source, count(1) AS n_files,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  min(md5(text)) AS min_md5
+        |FROM documents GROUP BY source""".stripMargin,
     "m1_decode_meta" ->
       """SELECT source, count(1) AS n_blobs,
         | CAST(sum(16 + octet_length(CAST(text AS BLOB)) % 64) AS BIGINT) AS sum_width,
