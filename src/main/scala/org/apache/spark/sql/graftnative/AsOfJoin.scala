@@ -151,6 +151,16 @@ case class AsOfJoinExec(
   // Only the longable fast path is generated (integral/timestamp time —
   // every tolerance/nearest-capable type); exotic ordered time types
   // keep the interpreted doExecute below, as does codegen-off.
+  //
+  // Plan-display note: CollapseCodegenStages special-cases only
+  // SortMergeJoin/ShuffledHashJoin by concrete type, so a CUSTOM
+  // two-input codegen node takes the generic path — the child Sorts
+  // appear INSIDE this operator's WholeStageCodegen stage in EXPLAIN
+  // even though their produce() is never invoked; they execute through
+  // their own doExecute when inputRDDs() calls child.execute(), which
+  // is exactly how SortMergeJoinExec consumes its (InputAdapter'd)
+  // children. Cosmetic only: per-operator SQL metrics and results are
+  // identical, as the generated/interpreted agreement spec pins.
   // ------------------------------------------------------------------
 
   override def supportCodegen: Boolean =
