@@ -450,8 +450,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"), min(col("doc_id")).as("min_doc"))
   }
 
+  /** Sub-document (paragraph/chunk-level) exact dedup — the C4-style
+    * boilerplate pass: split each doc into consecutive 8-word chunks,
+    * hash each chunk, and count chunks whose hash appears in MORE THAN
+    * ONE document (cross-document boilerplate a cleaning pipeline
+    * strips while keeping the host docs). Finer-grained than d1
+    * (whole-doc) and orthogonal to d8 (similarity): it removes shared
+    * substrings from otherwise-unique docs.
+    *
+    * Plan shape at 100 TB: explode to (chunk, doc) — ~n_words/8 rows
+    * per doc — then ONE hash aggregation on the 128-bit chunk hash
+    * (uniform key, no skew) and one shuffle join of chunks against
+    * their per-hash doc counts on that same key; partitioning carries
+    * from the agg to the join (ReuseExchange), so the corpus text
+    * itself is never shuffled twice.
+    */
+  val d12ChunkDedup: Q = (s, d) => {
+    val ch = documents(s, d)
+      .withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """transform(sequence(0, cast(ceil(size(ws) / 8.0) as int) - 1),
+            |          i -> array_join(slice(ws, i*8 + 1, 8), ' '))""".stripMargin))
+          .as("chunk"))
+      .withColumn("ch_hash", md5(col("chunk")))
+    val perHash = ch.groupBy(col("ch_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(perHash, "ch_hash")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_chunks"),
+           sum(when(col("nd") > 1, 1).otherwise(0)).as("n_boilerplate_chunks"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d11_decontaminate" -> d11Decontaminate,
+    "d12_chunk_dedup" -> d12ChunkDedup,
     "d1_dedup_exact" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
     "d3_minhash_buckets" -> d3MinhashBuckets,
@@ -502,6 +536,22 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d12_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        unnest(list_transform(range(0, CAST(ceil(length(ws) / 8.0) AS INT)),
+        |               i -> array_to_string(ws[i*8 + 1 : i*8 + 8], ' '))) AS chunk
+        |      FROM t),
+        |g AS (SELECT md5(chunk) AS ch_hash, count(DISTINCT doc_id) AS nd
+        |      FROM c GROUP BY 1)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  count(1) AS n_chunks,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boilerplate_chunks
+        |FROM c JOIN g ON md5(c.chunk) = g.ch_hash
+        |GROUP BY source""".stripMargin,
     "d11_decontaminate" ->
       s"""WITH t AS ($sqlDocs),
          |s AS (SELECT doc_id, lang, source,

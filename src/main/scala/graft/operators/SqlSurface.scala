@@ -270,6 +270,185 @@ object SqlSurface {
 
   val x14TpchQ13: Q = (s, d) => { views(s, d); s.sql(q13Sql) }
 
+  /** TPC-H Q6 shape: forecast-revenue-change — the pure scan-filter
+    * aggregate (no join at all); at scale this is the query whose
+    * entire cost is parquet pushdown, so the plan must show every
+    * predicate reaching the scan.
+    */
+  private val q6Sql =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,4))) AS DOUBLE), 4)
+      |    AS revenue,
+      |  count(1) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  val x15TpchQ6: Q = (s, d) => { views(s, d); s.sql(q6Sql) }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and order
+    * year. The testdata has no partsupp, so part.p_retailprice plays
+    * ps_supplycost's role in the profit expression — the plan shape
+    * (5-way join, LIKE-filtered part dim, two-key grouping over a
+    * computed measure) is Q9's.
+    */
+  private val q9Sql =
+    """SELECT nation, o_year,
+      |  round(CAST(sum(CAST(amount AS DECIMAL(22,4))) AS DOUBLE), 4) AS sum_profit,
+      |  count(1) AS n_items
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |         l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%gear%'
+      |) profit
+      |GROUP BY nation, o_year""".stripMargin
+
+  val x16TpchQ9: Q = (s, d) => { views(s, d); s.sql(q9Sql) }
+
+  /** TPC-H Q11 shape: important-stock value — per-key aggregate kept
+    * only when it exceeds a FRACTION OF THE GLOBAL aggregate (HAVING
+    * over an uncorrelated scalar subquery). lineitem value per part
+    * plays partsupp stock value.
+    */
+  private val q11Sql =
+    """SELECT l_partkey,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,4))) AS DOUBLE), 4) AS value
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) > (
+      |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) * 0.00065
+      |  FROM lineitem)""".stripMargin
+
+  val x17TpchQ11: Q = (s, d) => { views(s, d); s.sql(q11Sql) }
+
+  /** TPC-H Q15 shape: top supplier — a CTE aggregated once, then
+    * consumed TWICE (join source + scalar-max subquery); exact decimal
+    * revenue makes the max-equality safe in both dialects.
+    */
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+      |           AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+
+  val x18TpchQ15: Q = (s, d) => { views(s, d); s.sql(q15Sql) }
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute
+    * combo, with a NOT IN exclusion subquery (negative-balance
+    * suppliers play Q16's complaint suppliers). lineitem supplies the
+    * part↔supplier pairs partsupp would.
+    */
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#15' AND p_type <> 'ECONOMY'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  val x19TpchQ16: Q = (s, d) => { views(s, d); s.sql(q16Sql) }
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — per-row predicate
+    * against a CORRELATED per-part average (exact decimal sum/count
+    * division on both sides keeps the double compare bit-identical).
+    */
+  private val q17Sql =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) / 7.0, 4)
+      |    AS avg_yearly,
+      |  count(1) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_type = 'PROMO'
+      |  AND l_quantity < 0.5 * (
+      |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  val x20TpchQ17: Q = (s, d) => { views(s, d); s.sql(q17Sql) }
+
+  /** TPC-H Q20 shape: suppliers of filtered parts above a shipped-
+    * quantity threshold — IN over a GROUP BY + HAVING subquery, then a
+    * dim join for the report. lineitem again plays partsupp/availqty.
+    */
+  private val q20Sql =
+    """SELECT s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 380)""".stripMargin
+
+  val x21TpchQ20: Q = (s, d) => { views(s, d); s.sql(q20Sql) }
+
+  /** TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    * finished multi-supplier order — the EXISTS + NOT EXISTS pair on
+    * the same fact table, both correlated on the outer order AND its
+    * date (ship-lag > 60 days plays commitdate lateness, as in x11).
+    */
+  private val q21Sql =
+    """SELECT s_name, count(1) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name""".stripMargin
+
+  val x22TpchQ21: Q = (s, d) => { views(s, d); s.sql(q21Sql) }
+
+  /** TPC-H Q2 shape: minimum-cost supplier per part within a region —
+    * the correlated-min-over-a-shared-CTE form. Supply cost is derived
+    * from lineitem (min unit price per part/supplier pair); the CTE is
+    * consumed by the outer join tree AND re-filtered inside the
+    * correlated subquery, exactly Q2's partsupp double-use.
+    */
+  private val q2Sql =
+    """WITH supply AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part
+      |JOIN supply ON p_partkey = ps_partkey
+      |JOIN supplier ON s_suppkey = ps_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (
+      |    SELECT min(sp2.ps_supplycost)
+      |    FROM supply sp2
+      |    JOIN supplier su2 ON su2.s_suppkey = sp2.ps_suppkey
+      |    JOIN nation n2 ON su2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE sp2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')""".stripMargin
+
+  val x23TpchQ2: Q = (s, d) => { views(s, d); s.sql(q2Sql) }
+
   val queries: Map[String, Q] = Map(
     "x1_tpch_q3" -> x1TpchQ3,
     "x2_tpch_q10" -> x2TpchQ10,
@@ -285,6 +464,15 @@ object SqlSurface {
     "x12_tpch_q7" -> x12TpchQ7,
     "x13_tpch_q8" -> x13TpchQ8,
     "x14_tpch_q13" -> x14TpchQ13,
+    "x15_tpch_q6" -> x15TpchQ6,
+    "x16_tpch_q9" -> x16TpchQ9,
+    "x17_tpch_q11" -> x17TpchQ11,
+    "x18_tpch_q15" -> x18TpchQ15,
+    "x19_tpch_q16" -> x19TpchQ16,
+    "x20_tpch_q17" -> x20TpchQ17,
+    "x21_tpch_q20" -> x21TpchQ20,
+    "x22_tpch_q21" -> x22TpchQ21,
+    "x23_tpch_q2" -> x23TpchQ2,
   )
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
@@ -303,5 +491,14 @@ object SqlSurface {
     "x12_tpch_q7" -> q7Sql,
     "x13_tpch_q8" -> q8Sql,
     "x14_tpch_q13" -> q13Sql,
+    "x15_tpch_q6" -> q6Sql,
+    "x16_tpch_q9" -> q9Sql,
+    "x17_tpch_q11" -> q11Sql,
+    "x18_tpch_q15" -> q15Sql,
+    "x19_tpch_q16" -> q16Sql,
+    "x20_tpch_q17" -> q17Sql,
+    "x21_tpch_q20" -> q20Sql,
+    "x22_tpch_q21" -> q21Sql,
+    "x23_tpch_q2" -> q2Sql,
   )
 }

@@ -208,8 +208,73 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
   }
 
+  // PII patterns shared by t10's Spark and oracle sides. Written with
+  // character classes only ([.], [0-9]) so the same text is a valid
+  // Java regex (Spark) and RE2 regex (DuckDB) with no escape drift.
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction pass: regex-redact emails and phone-shaped numbers,
+    * report per-source counts and the redacted corpus size. The
+    * synthetic corpus carries no PII, so the query PLANTS deterministic
+    * PII (a function of doc_id — no RNG) before scrubbing it: the
+    * operator under test is the scrub, and the oracle replays both
+    * steps bit-exactly. Map-only (scan → regex → aggregate); at 100 TB
+    * this is one codegen'd pass with no shuffle before the K-row
+    * per-source aggregate.
+    */
+  val t10PiiRedact: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("txt",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+                 col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" call 555-"),
+                 lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+      .withColumn("n_emails", expr(s"regexp_count(txt, '$emailRe')"))
+      .withColumn("n_phones", expr(s"regexp_count(txt, '$phoneRe')"))
+      .withColumn("red",
+        regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+                       phoneRe, "<PHONE>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_emails")).as("n_emails"),
+           sum(col("n_phones")).as("n_phones"),
+           sum(when(col("red") =!= col("txt"), 1).otherwise(0))
+             .as("n_redacted_docs"),
+           sum(length(col("red"))).as("sum_len_redacted"))
+
+  /** Repetition-based quality filters (the Gopher-rules shape): per
+    * doc, the top-word mass fraction and the duplicate-bigram fraction,
+    * each as an integer percentage (integer DIV — both engines replay
+    * it exactly); docs above either threshold are flagged for removal.
+    * Both metrics are higher-order array functions over the in-row
+    * token array — pure map-side, no explode, no shuffle until the
+    * K-row per-source rollup.
+    */
+  val t11Repetition: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("n", size(col("ws")))
+      .withColumn("top_pct", expr(
+        "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) * 100 DIV n"))
+      .withColumn("bg", expr(
+        "transform(sequence(1, n - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))"))
+      .withColumn("dup2_pct", expr(
+        "(size(bg) - size(array_distinct(bg))) * 100 DIV size(bg)"))
+      .withColumn("flagged",
+        (col("top_pct") >= 12 || col("dup2_pct") >= 5).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("flagged")).as("n_flagged"),
+           sum(col("top_pct")).as("sum_top_pct"),
+           sum(col("dup2_pct")).as("sum_dup2_pct"))
+
   val queries: Map[String, Q] = Map(
     "t9_mixture_sample" -> t9MixtureSample,
+    "t10_pii_redact" -> t10PiiRedact,
+    "t11_repetition" -> t11Repetition,
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_token_count" -> t3TokenCount,
@@ -221,6 +286,42 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t10_pii_redact" ->
+      s"""WITH p AS (SELECT source,
+         |  CASE WHEN doc_id % 3 = 0
+         |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |       WHEN doc_id % 7 = 0
+         |         THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE text END AS txt
+         |  FROM documents),
+         |r AS (SELECT source, txt,
+         |  length(regexp_extract_all(txt, '$emailRe')) AS n_emails,
+         |  length(regexp_extract_all(txt, '$phoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+         |                 '$phoneRe', '<PHONE>', 'g') AS red
+         |  FROM p)
+         |SELECT source, count(1) AS n_docs,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+         |  CAST(sum(CASE WHEN red <> txt THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted_docs,
+         |  CAST(sum(length(red)) AS BIGINT) AS sum_len_redacted
+         |FROM r GROUP BY source""".stripMargin,
+    "t11_repetition" ->
+      s"""WITH t AS ($sqlDocs),
+         |m AS (SELECT source, length(ws) AS n,
+         |  list_max(list_transform(list_distinct(ws),
+         |                          w -> length(list_filter(ws, x -> x = w)))) AS topc,
+         |  list_transform(range(1, length(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+         |  FROM t),
+         |p AS (SELECT source, topc * 100 // n AS top_pct,
+         |  (length(bg) - length(list_distinct(bg))) * 100 // length(bg) AS dup2_pct
+         |  FROM m)
+         |SELECT source, count(1) AS n_docs,
+         |  CAST(sum(CASE WHEN top_pct >= 12 OR dup2_pct >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(sum(top_pct) AS BIGINT) AS sum_top_pct,
+         |  CAST(sum(dup2_pct) AS BIGINT) AS sum_dup2_pct
+         |FROM p GROUP BY source""".stripMargin,
     "t9_mixture_sample" ->
       """WITH c AS (SELECT source, count(1) AS n_src FROM documents GROUP BY source),
         |t AS (SELECT min(n_src) AS tgt FROM c),
