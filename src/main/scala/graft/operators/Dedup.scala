@@ -169,8 +169,12 @@ object Dedup {
     * convergence on a chain graph whose diameter forces propagation.
     */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    // symmetric closure so a min label flows in both directions
+    // symmetric closure so a min label flows in both directions;
+    // pre-partitioned on the join key so the per-round join reads the
+    // checkpoint CO-LOCATED (LogicalRDD keeps the partitioning, so
+    // only the small labels side exchanges each round)
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .localCheckpoint() // reused every round — pin it once
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
@@ -181,13 +185,16 @@ object Dedup {
         .select(sym("a").as("id"), col("lbl"))
       // the node's OWN label rides through the same aggregation (as the
       // max over the own-tagged branch), so convergence is read off the
-      // checkpointed result with a cheap scan — no extra join per round
+      // checkpointed result with a cheap scan — no extra join per round.
+      // The checkpoint is LAZY: the convergence count below is the
+      // action that materializes it, so each round runs ONE job, not a
+      // checkpoint job plus a count job.
       val next = labels.withColumn("own", lit(true))
         .union(nbr.withColumn("own", lit(false)))
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"),
              max(when(col("own"), col("lbl"))).as("old"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select(col("id"), col("lbl"))
       rounds += 1

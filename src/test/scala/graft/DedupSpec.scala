@@ -63,6 +63,30 @@ class DedupSpec extends AnyFunSuite {
       "cluster root must be the minimum id in the cluster")
   }
 
+  test("d12 chunk totals and boilerplate count reconcile with a window recount") {
+    val out = Dedup.d12ChunkDedup(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("nc", expr(
+        "cast(ceil(size(split(trim(text), '\\\\s+')) / 8.0) as bigint)"))
+    // per-source chunk counts must add up to an independently computed
+    // total (catches a dropped/duplicated explode row)
+    val expChunks = docs.agg(sum(col("nc"))).head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_chunks")).sum == expChunks)
+    // recompute the flagged count through a DIFFERENT mechanism — a
+    // window count of distinct docs per RAW chunk string (no md5, no
+    // join) — and require exact agreement with d12's groupBy+join path
+    val ch = docs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, cast(ceil(size(split(trim(text), '\\s+')) / 8.0) as int) - 1),
+        |          i -> array_join(slice(split(trim(text), '\\s+'), i*8 + 1, 8), ' '))""".stripMargin))
+      .as("chunk"))
+    val flagged = ch
+      .withColumn("nd", size(org.apache.spark.sql.functions.collect_set(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk")))))
+      .filter(col("nd") > 1).count()
+    assert(flagged > 0, "corpus should contain cross-doc shared chunks")
+    assert(out.map(_.getAs[Long]("n_boilerplate_chunks")).sum == flagged)
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val ordered = Dedup.d8Ordered(spark, sf)
     val n = ordered.count()
