@@ -82,6 +82,7 @@ object ScaleCurve {
     "d9_dup_clusters" -> "documents",
     "d10_curate_canonical" -> "documents",
     "d11_decontaminate" -> "documents",
+    "d12_chunk_dedup" -> "documents",
     "n5_ivf_kmeans" -> "embeddings",
     "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",

@@ -276,7 +276,32 @@ object Similarity {
            min(col("qsum")).as("min_qsum"),
            max(col("qsum")).as("max_qsum"))
 
+  /** ANN index-quality evaluation: recall@3 of the LSH index (n3)
+    * against brute-force ground truth (n1's top-3) — the measurement a
+    * vector store runs before trusting an approximate index at scale.
+    * Per query: |approx ∩ truth| / |truth| as an integer percent.
+    * Plan shape: the two top-k subplans (broadcast query set each), a
+    * semi join on (qid, cid) — both sides k·|Q| rows, tiny at any
+    * corpus size — and a K-row rollup; the corpus-sized work is
+    * exactly n1 + n3, nothing extra shuffles.
+    */
+  val n7AnnRecall: Q = (s, d) => {
+    val truth = n1BruteTopK(s, d).filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"))
+    val approx = n3LshTopK(s, d)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    val hits = truth.join(approx,
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_pct", expr("n_hit * 100 DIV n_true"))
+      .select(col("qid"), col("n_true"), col("n_hit"), col("recall_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n7_ann_recall" -> n7AnnRecall,
     "n1_cosine_brute_topk" -> n1BruteTopK,
     "n2_lsh_buckets" -> n2LshBuckets,
     "n3_lsh_topk" -> n3LshTopK,
@@ -302,6 +327,32 @@ object Similarity {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "n7_ann_recall" ->
+      s"""WITH bb AS (SELECT vec_id, embedding, $sqlBucket AS bucket FROM embeddings),
+         |t0 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS sim
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |tr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM t0),
+         |truth AS (SELECT qid, cid FROM tr WHERE rnk <= 3),
+         |p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS sim
+         |  FROM bb q JOIN bb c
+         |    ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p),
+         |approx AS (SELECT qid, cid FROM ar WHERE rnk <= 3),
+         |h AS (SELECT t.qid, count(1) AS n_hit FROM truth t
+         |      JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+         |      GROUP BY t.qid),
+         |g AS (SELECT qid, count(1) AS n_true FROM truth GROUP BY qid)
+         |SELECT g.qid, g.n_true,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) * 100 // g.n_true AS BIGINT) AS recall_pct
+         |FROM g LEFT JOIN h USING (qid)""".stripMargin,
     "n6_quantize" ->
       """WITH b AS (
         |  SELECT label, embedding,

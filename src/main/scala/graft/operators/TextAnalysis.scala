@@ -271,10 +271,35 @@ object TextAnalysis {
            sum(col("top_pct")).as("sum_top_pct"),
            sum(col("dup2_pct")).as("sum_dup2_pct"))
 
+  /** Training-sequence packing: assign docs to fixed-capacity (512
+    * whitespace-token) training sequences by CUMULATIVE token offset —
+    * each doc lands in the sequence where it starts, the deterministic
+    * greedy-contiguous packing a dataloader replays. Packing is
+    * per-source (the shard unit): a window cumsum ordered by doc_id
+    * inside each source partition, then a rollup per sequence. At
+    * 100 TB packing is embarrassingly parallel over shards — no global
+    * order, no global shuffle; the window sorts only within a shard,
+    * exactly how sequence packing runs in production (pack within an
+    * input file/shard, never across the corpus).
+    */
+  val t12SequencePack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(s, d)
+      .withColumn("n_tok", size(col("ws")))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr("(cum - n_tok) DIV 512"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("seq_tokens"),
+           min(col("doc_id")).as("first_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t9_mixture_sample" -> t9MixtureSample,
     "t10_pii_redact" -> t10PiiRedact,
     "t11_repetition" -> t11Repetition,
+    "t12_sequence_pack" -> t12SequencePack,
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_token_count" -> t3TokenCount,
@@ -286,6 +311,17 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_sequence_pack" ->
+      s"""WITH t AS ($sqlDocs),
+         |c AS (SELECT source, doc_id, length(ws) AS n_tok,
+         |        sum(length(ws)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |      FROM t),
+         |b AS (SELECT source, doc_id, n_tok,
+         |        CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id FROM c)
+         |SELECT source, seq_id, count(1) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM b GROUP BY source, seq_id""".stripMargin,
     "t10_pii_redact" ->
       s"""WITH p AS (SELECT source,
          |  CASE WHEN doc_id % 3 = 0
