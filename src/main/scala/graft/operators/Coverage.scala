@@ -185,7 +185,29 @@ object Coverage {
            min(col("l_orderkey")).as("min_key"))
   }
 
+  /** XML source/sink round-trip: Spark 4 bundles the XML data source
+    * natively (the spark-xml lineage merged into spark-sql), so the
+    * row-tag text format joins the c10–c12 aggregate-after-reread
+    * contract. Schema-on-read like CSV (XML text carries no types);
+    * doubles survive via Java shortest-round-trip printing both ways.
+    */
+  val c13XmlRoundtrip: Q = (s, d) => {
+    val out = scratchDir("c13_xml")
+    val src = customer(s, d).filter(col("c_custkey") % 40 === 0)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+              col("c_mktsegment"))
+    src.write.mode("overwrite").option("rowTag", "customer")
+      .format("xml").save(out)
+    s.read.schema(src.schema).option("rowTag", "customer")
+      .format("xml").load(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("c_acctbal")).as("total_bal"),
+           min(col("c_custkey")).as("min_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c13_xml_roundtrip" -> c13XmlRoundtrip,
     "c12_orc_roundtrip" -> c12OrcRoundtrip,
     "c1_arg_max" -> c1ArgMax,
     "c2_shuffle_hash_hint" -> c2ShuffleHashHint,
@@ -201,6 +223,12 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    "c13_xml_roundtrip" ->
+      s"""SELECT c_mktsegment, count(1) AS n,
+         |  ${sqlMoneySum("c_acctbal")} AS total_bal,
+         |  min(c_custkey) AS min_key
+         |FROM customer WHERE c_custkey % 40 = 0
+         |GROUP BY c_mktsegment""".stripMargin,
     "c12_orc_roundtrip" ->
       s"""SELECT l_returnflag, count(1) AS n,
          |  ${sqlMoneySum("l_extendedprice")} AS total,

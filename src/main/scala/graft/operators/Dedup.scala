@@ -490,9 +490,65 @@ object Dedup {
            sum(when(col("nd") > 1, 1).otherwise(0)).as("n_boilerplate_chunks"))
   }
 
+  /** Incremental dedup of a NEW BATCH against a historical corpus,
+    * bloom-gated — the only shape that dedups a fresh crawl against
+    * 100 TB of history without joining the full history: build one
+    * bloom sketch over the history's content hashes (a distributed
+    * aggregate whose result is a few MB of bits regardless of corpus
+    * size), broadcast it onto the batch scan, and only bloom HITS need
+    * the exact verification join. Uses Spark's own runtime-filter
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    * registered by [[org.apache.spark.sql.graftnative.BloomApi]]) so
+    * the probe is a codegen'd predicate in the scan stage.
+    *
+    * The batch is the held-out source plus a deterministic "re-crawl"
+    * slice of history (every 17th doc, re-issued under a new id) —
+    * cross-source exact dups don't exist in the synthetic corpus, and
+    * a re-fetch is exactly what an incremental pipeline sees. Output
+    * carries an in-query SELF-CHECK (the oracle can't replay bloom
+    * bits, so this query is declared rows-only like a3): the exact
+    * membership join runs UNGATED here and `n_false_neg` must be 0 —
+    * the bloom no-false-negative property checked against ground
+    * truth. Production gates that join on `hit`; DedupSpec pins the
+    * false-positive rate.
+    */
+  val d13BloomDedup: Q = (s, d) => {
+    org.apache.spark.sql.graftnative.BloomApi.ensureRegistered(s)
+    val docsDf = documents(s, d)
+    val hist = docsDf.filter(col("source") =!= "src0")
+    val batch = docsDf.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .unionAll(hist.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+                col("text"), col("lang")))
+    // the sketch is DRIVER-HELD and inlined as a binary literal —
+    // `might_contain` requires a constant/scalar-subquery bloom, and
+    // the sketch is ~25 KB at ANY corpus size (the n5-centroids
+    // pattern: collected state that never grows with data)
+    val bfBytes = hist.agg(expr(
+      """bloom_filter_agg(xxhash64(text),
+        |                 cast(20000 as bigint), cast(200000 as bigint))"""
+        .stripMargin).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val histKeys = hist.select(md5(col("text")).as("h")).distinct()
+    batch
+      .withColumn("hit", call_function("might_contain",
+        lit(bfBytes), xxhash64(col("text"))))
+      .withColumn("h", md5(col("text")))
+      .join(histKeys.withColumn("in_hist", lit(1)), Seq("h"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+           sum(col("hit").cast("long")).as("n_hits"),
+           sum(when(col("in_hist") === 1, 1).otherwise(0)).as("n_true_dups"),
+           sum(when(col("in_hist") === 1 && !col("hit"), 1).otherwise(0))
+             .as("n_false_neg"))
+      .withColumn("fn_free", col("n_false_neg") === 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "d11_decontaminate" -> d11Decontaminate,
     "d12_chunk_dedup" -> d12ChunkDedup,
+    "d13_bloom_dedup" -> d13BloomDedup,
     "d1_dedup_exact" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
     "d3_minhash_buckets" -> d3MinhashBuckets,

@@ -87,6 +87,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_boilerplate_chunks")).sum == flagged)
   }
 
+  test("d13 bloom gate has no false negatives and a sane false-positive rate") {
+    val rows = Dedup.d13BloomDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the bloom property under test: membership ground truth (the
+    // ungated exact join) must never be missed by the sketch
+    assert(rows.forall(_.getAs[Boolean]("fn_free")),
+      "bloom filter produced a false negative")
+    val nBatch = rows.map(_.getAs[Long]("n_batch")).sum
+    val hits = rows.map(_.getAs[Long]("n_hits")).sum
+    val dups = rows.map(_.getAs[Long]("n_true_dups")).sum
+    assert(dups > 0, "re-crawl slice should guarantee true dups")
+    assert(hits >= dups)
+    // 200k bits for <20k items keeps FPR well under 10% of the batch
+    assert(hits - dups <= nBatch / 10,
+      s"false-positive rate too high: $hits hits, $dups true dups, $nBatch batch")
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val ordered = Dedup.d8Ordered(spark, sf)
     val n = ordered.count()
