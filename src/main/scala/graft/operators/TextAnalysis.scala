@@ -295,11 +295,27 @@ object TextAnalysis {
            min(col("doc_id")).as("first_doc"))
   }
 
+  /** Fixed-SIZE uniform sample (the reservoir-sampling use case),
+    * deterministic: order by a salted content hash of the id and take
+    * the first K — a uniform draw without replacement that any engine
+    * replays exactly (t7 gives fixed RATES; this gives a fixed COUNT).
+    * Plan shape: TakeOrderedAndProject — per-partition top-K then a
+    * K-row driver merge, no global sort, no shuffle of the corpus;
+    * the scale-safe way to cut a fixed-size eval set from 100 TB.
+    */
+  val t13UniformSample: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("hk", md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .orderBy(col("hk")).limit(100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+
   val queries: Map[String, Q] = Map(
     "t9_mixture_sample" -> t9MixtureSample,
     "t10_pii_redact" -> t10PiiRedact,
     "t11_repetition" -> t11Repetition,
     "t12_sequence_pack" -> t12SequencePack,
+    "t13_uniform_sample" -> t13UniformSample,
     "t1_lang_id" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_token_count" -> t3TokenCount,
@@ -311,6 +327,12 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_uniform_sample" ->
+      """WITH s AS (
+        |  SELECT * FROM documents
+        |  ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)) LIMIT 100)
+        |SELECT source, count(1) AS n_docs, min(doc_id) AS min_doc
+        |FROM s GROUP BY source""".stripMargin,
     "t12_sequence_pack" ->
       s"""WITH t AS ($sqlDocs),
          |c AS (SELECT source, doc_id, length(ws) AS n_tok,
