@@ -473,8 +473,7 @@ object Dedup {
     * itself is never shuffled twice.
     */
   val d12ChunkDedup: Q = (s, d) => {
-    val ch = documents(s, d)
-      .withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+    val ch = docs(s, d)
       .select(col("doc_id"), col("source"),
         explode(expr(
           """transform(sequence(0, cast(ceil(size(ws) / 8.0) as int) - 1),
@@ -521,13 +520,20 @@ object Dedup {
       .unionAll(hist.filter(col("doc_id") % 17 === 0)
         .select((col("doc_id") + lit(100000000L)).as("doc_id"),
                 col("text"), col("lang")))
-    // the sketch is DRIVER-HELD and inlined as a binary literal —
-    // `might_contain` requires a constant/scalar-subquery bloom, and
-    // the sketch is ~25 KB at ANY corpus size (the n5-centroids
-    // pattern: collected state that never grows with data)
+    // sized FROM the history count (one count job the build pass needs
+    // anyway) so the hash-function count stays tuned as history grows:
+    // 10 bits/item keeps FPR ~1% at any corpus size — the sketch grows
+    // linearly in ITEMS but stays bits-per-item constant, which is the
+    // actual scale contract (a fixed 200k bits would saturate to
+    // FPR → 1 against a large history and un-gate the exact join).
+    // The sketch is DRIVER-HELD and inlined as a binary literal —
+    // `might_contain` requires a constant/scalar-subquery bloom (the
+    // n5-centroids pattern: collected state independent of batch size)
+    val estItems = math.max(20000L, hist.count())
     val bfBytes = hist.agg(expr(
-      """bloom_filter_agg(xxhash64(text),
-        |                 cast(20000 as bigint), cast(200000 as bigint))"""
+      s"""bloom_filter_agg(xxhash64(text),
+         |                 cast($estItems as bigint),
+         |                 cast(${10 * estItems} as bigint))"""
         .stripMargin).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val histKeys = hist.select(md5(col("text")).as("h")).distinct()

@@ -260,9 +260,14 @@ object TextAnalysis {
       .withColumn("top_pct", expr(
         "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) * 100 DIV n"))
       .withColumn("bg", expr(
-        "transform(sequence(1, n - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))"))
+        // single-token guard: sequence(1, 0) auto-reverses in Spark
+        // (would eval element_at(ws, 0) and throw); empty array instead
+        """if(n < 2, array(),
+          |   transform(sequence(1, n - 1),
+          |             i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1))))"""
+          .stripMargin))
       .withColumn("dup2_pct", expr(
-        "(size(bg) - size(array_distinct(bg))) * 100 DIV size(bg)"))
+        "if(size(bg) = 0, 0L, (size(bg) - size(array_distinct(bg))) * 100 DIV size(bg))"))
       .withColumn("flagged",
         (col("top_pct") >= 12 || col("dup2_pct") >= 5).cast("int"))
       .groupBy(col("source"))
@@ -372,7 +377,9 @@ object TextAnalysis {
          |  list_transform(range(1, length(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
          |  FROM t),
          |p AS (SELECT source, topc * 100 // n AS top_pct,
-         |  (length(bg) - length(list_distinct(bg))) * 100 // length(bg) AS dup2_pct
+         |  CASE WHEN length(bg) = 0 THEN 0
+         |       ELSE (length(bg) - length(list_distinct(bg))) * 100 // length(bg)
+         |  END AS dup2_pct
          |  FROM m)
          |SELECT source, count(1) AS n_docs,
          |  CAST(sum(CASE WHEN top_pct >= 12 OR dup2_pct >= 5 THEN 1 ELSE 0 END) AS BIGINT)
