@@ -17,6 +17,16 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("only the DECLARED rows-only queries lack an oracle") {
+    // forgetting an oracle silently downgrades a query to the weaker
+    // rows-only driver check — every un-oracled query must be a
+    // deliberate, self-checking exception (a3: HLL estimate; d13:
+    // bloom bits DuckDB cannot replay)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("a3_approx_distinct", "d13_bloom_dedup"),
+      s"undeclared rows-only queries: ${noOracle -- Set("a3_approx_distinct", "d13_bloom_dedup")}")
+  }
+
   test("every query runs at sf0.001") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); None }
