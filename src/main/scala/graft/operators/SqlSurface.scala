@@ -449,7 +449,22 @@ object SqlSurface {
 
   val x23TpchQ2: Q = (s, d) => { views(s, d); s.sql(q2Sql) }
 
+  /** LATERAL correlated subquery — the per-outer-row dependent join
+    * (top-2 customers per nation). Catalyst decorrelates the
+    * ORDER BY + LIMIT lateral into a window-ranked join; the SQL form
+    * is the one users port from Postgres/DuckDB pipelines.
+    */
+  private val lateralSql =
+    """SELECT n_name, t.c_custkey, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+
+  val x24Lateral: Q = (s, d) => { views(s, d); s.sql(lateralSql) }
+
   val queries: Map[String, Q] = Map(
+    "x24_lateral_topk" -> x24Lateral,
     "x1_tpch_q3" -> x1TpchQ3,
     "x2_tpch_q10" -> x2TpchQ10,
     "x3_tpch_q18" -> x3TpchQ18,
@@ -477,6 +492,7 @@ object SqlSurface {
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
+    "x24_lateral_topk" -> lateralSql,
     "x1_tpch_q3" -> q3Sql,
     "x2_tpch_q10" -> q10Sql,
     "x3_tpch_q18" -> q18Sql,

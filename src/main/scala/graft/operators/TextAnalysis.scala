@@ -315,7 +315,67 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
 
+  /** The assemble-a-training-set pipeline, v2 — t6's clean pipeline
+    * extended with this round's operators, as ONE declarative plan:
+    * exact dedup (min-doc_id representative per content hash)
+    * → repetition gate (t11's top-word / duplicate-bigram thresholds)
+    * → quality gate (t2's length band + lexical diversity)
+    * → training-sequence packing of the survivors (t12's per-shard
+    * cumulative-offset bins) → per-source corpus report.
+    *
+    * Plan shape at 100 TB: one wide codegen'd scan pass computes every
+    * map-side metric and SLIMS the row to ints + the 128-bit hash (the
+    * corpus text never rides an exchange); the dedup shuffle is the
+    * only corpus-sized exchange; packing windows sort only within a
+    * source shard; the report is a K-row rollup.
+    *
+    * Two deliberate structure choices, both measured at sf0.1:
+    * - each interpreted HOF metric is referenced ONCE — Catalyst pushes
+    *   filters down by SUBSTITUTING the metric expression into the
+    *   predicate, so a k-reference dup2 form gets the lambda inlined
+    *   k-fold (18 s vs ~2 s single-reference);
+    * - dedup runs BEFORE the metric gates (the other standard pipeline
+    *   order): predicates on non-partition columns cannot push through
+    *   the window, so the metrics stay computed exactly once in the
+    *   pre-shuffle projection instead of being re-inlined into a
+    *   pushed-down Filter (5.5 s filter-first vs ~2 s window-first).
+    */
+  val t14CorpusPipeline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val metered = docs(s, d)
+      .withColumn("n", size(col("ws")))
+      .withColumn("top_pct", expr(
+        "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) * 100 DIV n"))
+      .withColumn("dup2_pct", expr(
+        """if(n < 2, 0L,
+          |   ((n - 1) - size(array_distinct(
+          |        transform(sequence(1, n - 1),
+          |                  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1))))))
+          |     * 100 DIV (n - 1))""".stripMargin))
+      .withColumn("diversity_pct",
+        floor(size(array_distinct(col("ws"))) * 100.0 / col("n")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n"),
+              col("top_pct"), col("dup2_pct"), col("diversity_pct"),
+              md5(col("text")).as("h"))
+    val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val survivors = metered
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .filter(col("top_pct") < 12 && col("dup2_pct") < 5)
+      .filter(col("n_chars") >= 100 && col("n_chars") <= 800 &&
+              col("diversity_pct") >= 60)
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    survivors
+      .withColumn("cum", sum(col("n")).over(wPack))
+      .withColumn("seq_id", expr("(cum - n) DIV 512"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("seq_id")).as("n_seqs"),
+           sum(col("n")).cast("long").as("total_tokens"),
+           min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_corpus_pipeline" -> t14CorpusPipeline,
     "t9_mixture_sample" -> t9MixtureSample,
     "t10_pii_redact" -> t10PiiRedact,
     "t11_repetition" -> t11Repetition,
@@ -332,6 +392,34 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t14_corpus_pipeline" ->
+      s"""WITH t AS ($sqlDocs),
+         |m AS (SELECT *, length(ws) AS n,
+         |  list_max(list_transform(list_distinct(ws),
+         |                          w -> length(list_filter(ws, x -> x = w)))) * 100
+         |    // length(ws) AS top_pct,
+         |  CASE WHEN length(ws) < 2 THEN 0
+         |       ELSE (length(ws) - 1 - length(list_distinct(
+         |              list_transform(range(1, length(ws)),
+         |                             i -> ws[i] || ' ' || ws[i+1])))) * 100
+         |            // (length(ws) - 1) END AS dup2_pct,
+         |  CAST(floor(length(list_distinct(ws)) * 100.0 / length(ws)) AS BIGINT)
+         |    AS diversity_pct
+         |  FROM t),
+         |surv AS (SELECT * FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |                                        ORDER BY doc_id) AS rn FROM m)
+         |         WHERE rn = 1
+         |           AND top_pct < 12 AND dup2_pct < 5
+         |           AND n_chars BETWEEN 100 AND 800 AND diversity_pct >= 60),
+         |p AS (SELECT source, doc_id, n,
+         |        sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |      FROM surv)
+         |SELECT source, count(1) AS n_docs,
+         |  count(DISTINCT CAST((cum - n) // 512 AS BIGINT)) AS n_seqs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS min_doc
+         |FROM p GROUP BY source""".stripMargin,
     "t13_uniform_sample" ->
       """WITH s AS (
         |  SELECT * FROM documents

@@ -51,6 +51,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connected components match a driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic trials
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = (1 to 40)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(x => find(x.toInt)).values
+        .flatMap { grp => val m = grp.min; grp.map(_ -> m) }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: distributed CC != union-find")
+    }
+  }
+
   test("d9 clusters partition the candidate-edge node set") {
     val out = Dedup.d9DupClusters(spark, sf).collect()
     assert(out.nonEmpty, "corpus should contain dup clusters")
