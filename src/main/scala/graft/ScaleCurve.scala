@@ -83,6 +83,7 @@ object ScaleCurve {
     "d10_curate_canonical" -> "documents",
     "d11_decontaminate" -> "documents",
     "d12_chunk_dedup" -> "documents",
+    "t14_corpus_pipeline" -> "documents",
     "n5_ivf_kmeans" -> "embeddings",
     "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",

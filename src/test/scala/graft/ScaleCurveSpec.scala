@@ -35,8 +35,9 @@ class ScaleCurveSpec extends AnyFunSuite {
     // NEGATIVE: pure fixed cost); the bound leaves room for that while
     // still failing loudly on any degeneration toward all-pairs
     for (op <- Seq("d8_prefix_join", "d9_dup_clusters", "d10_curate_canonical",
-                   "d11_decontaminate", "d12_chunk_dedup", "n5_ivf_kmeans",
-                   "q13_join_asof", "q19_asof_native", "q24_interval_join")) {
+                   "d11_decontaminate", "d12_chunk_dedup", "t14_corpus_pipeline",
+                   "n5_ivf_kmeans", "q13_join_asof", "q19_asof_native",
+                   "q24_interval_join")) {
       val e = expFor(op)
       assert(e < 1.5, s"$op wall-time growth exponent $e is not sub-quadratic")
     }
