@@ -149,6 +149,29 @@ object Windows {
   val s5Distinct: Q = (s, d) =>
     orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
 
+  /** INTERSECT ALL — multiplicity-preserving intersection (each key
+    * appears min(count_a, count_b) times); aggregated so the oracle
+    * checks the multiplicities, not just membership.
+    */
+  val s6IntersectAll: Q = (s, d) => {
+    val a = orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("k"))
+    val b = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+  }
+
+  /** EXCEPT ALL — multiplicity-preserving difference (each key appears
+    * max(count_a - count_b, 0) times).
+    */
+  val s7ExceptAll: Q = (s, d) => {
+    val a = orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("k"))
+    val b = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+  }
+
   /** Distribution window functions: percent_rank / cume_dist (unique
     * total order inside each partition → deterministic doubles; the
     * division of identical ints is IEEE-identical across engines).
@@ -177,6 +200,8 @@ object Windows {
     "s3_intersect" -> s3Intersect,
     "s4_except" -> s4Except,
     "s5_distinct" -> s5Distinct,
+    "s6_intersect_all" -> s6IntersectAll,
+    "s7_except_all" -> s7ExceptAll,
     "w9_rank_distribution" -> w9RankDistribution,
   )
 
@@ -251,5 +276,17 @@ object Windows {
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "s5_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "s6_intersect_all" ->
+      """SELECT k, count(1) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) GROUP BY k""".stripMargin,
+    "s7_except_all" ->
+      """SELECT k, count(1) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY k""".stripMargin,
   )
 }
