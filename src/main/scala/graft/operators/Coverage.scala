@@ -206,7 +206,25 @@ object Coverage {
            min(col("c_custkey")).as("min_key"))
   }
 
+  /** UNPIVOT (melt) — the inverse of c8's pivot: wide measure columns
+    * become (measure-name, value) rows via Spark's native `unpivot`
+    * (Expand under the hood — a map-side row multiplier, no shuffle),
+    * then a per-measure rollup. Both measures are cast to DOUBLE
+    * first: unpivot requires a common value type, and the cast is
+    * IEEE-exact for 32-bit ints.
+    */
+  val c14Unpivot: Q = (s, d) =>
+    part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+              col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+               Array(col("p_size"), col("p_retailprice")),
+               "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), prodSum(col("val")).as("total"))
+
   val queries: Map[String, Q] = Map(
+    "c14_unpivot" -> c14Unpivot,
     "c13_xml_roundtrip" -> c13XmlRoundtrip,
     "c12_orc_roundtrip" -> c12OrcRoundtrip,
     "c1_arg_max" -> c1ArgMax,
@@ -223,6 +241,13 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    "c14_unpivot" ->
+      s"""SELECT measure, count(1) AS n, ${sqlProdSum("val")} AS total
+         |FROM (
+         |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+         |  FROM part
+         |) UNPIVOT (val FOR measure IN (p_size, p_retailprice))
+         |GROUP BY measure""".stripMargin,
     "c13_xml_roundtrip" ->
       s"""SELECT c_mktsegment, count(1) AS n,
          |  ${sqlMoneySum("c_acctbal")} AS total_bal,
