@@ -43,6 +43,25 @@ class EntrySmokeSpec extends AnyFunSuite {
       "HLL estimate outside 10x the configured RSD")
   }
 
+  test("BroadcastNestedLoopJoin appears only where a fixed-size side is deliberate") {
+    // BNLJ is safe ONLY when the broadcast side cannot grow with the
+    // data: the declared q11 cross join, the broadcast fixed query sets
+    // of the ANN family (n1/n4/n5/n7), and the one-row/K-row total and
+    // threshold tables of t8/t9. Anywhere else it means a join lost its
+    // keys — the plan that detonates at scale.
+    val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
+      "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample")
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name)
+        else None
+      } catch { case _: Throwable => None }
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
   test("no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin (small side broadcast) is the intended
     // shape for the deliberate cross joins; CartesianProduct means
