@@ -209,9 +209,10 @@ object Coverage {
   /** UNPIVOT (melt) — the inverse of c8's pivot: wide measure columns
     * become (measure-name, value) rows via Spark's native `unpivot`
     * (Expand under the hood — a map-side row multiplier, no shuffle),
-    * then a per-measure rollup. Both measures are cast to DOUBLE
-    * first: unpivot requires a common value type, and the cast is
-    * IEEE-exact for 32-bit ints.
+    * then a per-measure rollup. p_size (int32) is cast to DOUBLE so
+    * both measures share the common value type unpivot requires
+    * (p_retailprice is already double); the int→double cast is
+    * IEEE-exact.
     */
   val c14Unpivot: Q = (s, d) =>
     part(s, d)

@@ -246,6 +246,34 @@ object TextAnalysis {
              .as("n_redacted_docs"),
            sum(length(col("red"))).as("sum_len_redacted"))
 
+  // Shared Gopher-rule repetition metrics (t11 gate + t14 composite —
+  // ONE definition so thresholds and formulas cannot drift). Each is a
+  // SINGLE-REFERENCE form over the in-row token array: Catalyst pushes
+  // filters down by substituting these expressions into the predicate,
+  // so a k-reference form gets its (interpreted) lambda inlined k-fold
+  // (measured 18 s vs 2 s at sf0.1). The n<2 guard covers single-token
+  // docs, where Spark's sequence(1, 0) would auto-reverse and throw.
+  private val topPctExpr =
+    "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) * 100 DIV n"
+  private val dup2PctExpr =
+    """if(n < 2, 0L,
+      |   ((n - 1) - size(array_distinct(
+      |        transform(sequence(1, n - 1),
+      |                  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1))))))
+      |     * 100 DIV (n - 1))""".stripMargin
+  private val TopPctMax = 12
+  private val Dup2PctMax = 5
+
+  // DuckDB twins of the shared metrics (used by the t11/t14 oracles).
+  private val sqlTopPct =
+    "list_max(list_transform(list_distinct(ws), w -> length(list_filter(ws, x -> x = w)))) * 100 // length(ws)"
+  private val sqlDup2Pct =
+    """CASE WHEN length(ws) < 2 THEN 0
+      |     ELSE (length(ws) - 1 - length(list_distinct(
+      |            list_transform(range(1, length(ws)),
+      |                           i -> ws[i] || ' ' || ws[i+1])))) * 100
+      |          // (length(ws) - 1) END""".stripMargin
+
   /** Repetition-based quality filters (the Gopher-rules shape): per
     * doc, the top-word mass fraction and the duplicate-bigram fraction,
     * each as an integer percentage (integer DIV — both engines replay
@@ -257,19 +285,10 @@ object TextAnalysis {
   val t11Repetition: Q = (s, d) =>
     docs(s, d)
       .withColumn("n", size(col("ws")))
-      .withColumn("top_pct", expr(
-        "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) * 100 DIV n"))
-      .withColumn("bg", expr(
-        // single-token guard: sequence(1, 0) auto-reverses in Spark
-        // (would eval element_at(ws, 0) and throw); empty array instead
-        """if(n < 2, array(),
-          |   transform(sequence(1, n - 1),
-          |             i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1))))"""
-          .stripMargin))
-      .withColumn("dup2_pct", expr(
-        "if(size(bg) = 0, 0L, (size(bg) - size(array_distinct(bg))) * 100 DIV size(bg))"))
+      .withColumn("top_pct", expr(topPctExpr))
+      .withColumn("dup2_pct", expr(dup2PctExpr))
       .withColumn("flagged",
-        (col("top_pct") >= 12 || col("dup2_pct") >= 5).cast("int"))
+        (col("top_pct") >= TopPctMax || col("dup2_pct") >= Dup2PctMax).cast("int"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("flagged")).as("n_flagged"),
@@ -344,14 +363,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val metered = docs(s, d)
       .withColumn("n", size(col("ws")))
-      .withColumn("top_pct", expr(
-        "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) * 100 DIV n"))
-      .withColumn("dup2_pct", expr(
-        """if(n < 2, 0L,
-          |   ((n - 1) - size(array_distinct(
-          |        transform(sequence(1, n - 1),
-          |                  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1))))))
-          |     * 100 DIV (n - 1))""".stripMargin))
+      .withColumn("top_pct", expr(topPctExpr))
+      .withColumn("dup2_pct", expr(dup2PctExpr))
       .withColumn("diversity_pct",
         floor(size(array_distinct(col("ws"))) * 100.0 / col("n")).cast("long"))
       .select(col("doc_id"), col("source"), col("n_chars"), col("n"),
@@ -360,7 +373,7 @@ object TextAnalysis {
     val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val survivors = metered
       .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
-      .filter(col("top_pct") < 12 && col("dup2_pct") < 5)
+      .filter(col("top_pct") < TopPctMax && col("dup2_pct") < Dup2PctMax)
       .filter(col("n_chars") >= 100 && col("n_chars") <= 800 &&
               col("diversity_pct") >= 60)
     val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -395,14 +408,8 @@ object TextAnalysis {
     "t14_corpus_pipeline" ->
       s"""WITH t AS ($sqlDocs),
          |m AS (SELECT *, length(ws) AS n,
-         |  list_max(list_transform(list_distinct(ws),
-         |                          w -> length(list_filter(ws, x -> x = w)))) * 100
-         |    // length(ws) AS top_pct,
-         |  CASE WHEN length(ws) < 2 THEN 0
-         |       ELSE (length(ws) - 1 - length(list_distinct(
-         |              list_transform(range(1, length(ws)),
-         |                             i -> ws[i] || ' ' || ws[i+1])))) * 100
-         |            // (length(ws) - 1) END AS dup2_pct,
+         |  $sqlTopPct AS top_pct,
+         |  $sqlDup2Pct AS dup2_pct,
          |  CAST(floor(length(list_distinct(ws)) * 100.0 / length(ws)) AS BIGINT)
          |    AS diversity_pct
          |  FROM t),
@@ -410,7 +417,7 @@ object TextAnalysis {
          |           SELECT *, row_number() OVER (PARTITION BY md5(text)
          |                                        ORDER BY doc_id) AS rn FROM m)
          |         WHERE rn = 1
-         |           AND top_pct < 12 AND dup2_pct < 5
+         |           AND top_pct < $TopPctMax AND dup2_pct < $Dup2PctMax
          |           AND n_chars BETWEEN 100 AND 800 AND diversity_pct >= 60),
          |p AS (SELECT source, doc_id, n,
          |        sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
@@ -459,19 +466,11 @@ object TextAnalysis {
          |FROM r GROUP BY source""".stripMargin,
     "t11_repetition" ->
       s"""WITH t AS ($sqlDocs),
-         |m AS (SELECT source, length(ws) AS n,
-         |  list_max(list_transform(list_distinct(ws),
-         |                          w -> length(list_filter(ws, x -> x = w)))) AS topc,
-         |  list_transform(range(1, length(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
-         |  FROM t),
-         |p AS (SELECT source, topc * 100 // n AS top_pct,
-         |  CASE WHEN length(bg) = 0 THEN 0
-         |       ELSE (length(bg) - length(list_distinct(bg))) * 100 // length(bg)
-         |  END AS dup2_pct
-         |  FROM m)
+         |p AS (SELECT source, $sqlTopPct AS top_pct, $sqlDup2Pct AS dup2_pct
+         |      FROM t)
          |SELECT source, count(1) AS n_docs,
-         |  CAST(sum(CASE WHEN top_pct >= 12 OR dup2_pct >= 5 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_flagged,
+         |  CAST(sum(CASE WHEN top_pct >= $TopPctMax OR dup2_pct >= $Dup2PctMax
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
          |  CAST(sum(top_pct) AS BIGINT) AS sum_top_pct,
          |  CAST(sum(dup2_pct) AS BIGINT) AS sum_dup2_pct
          |FROM p GROUP BY source""".stripMargin,

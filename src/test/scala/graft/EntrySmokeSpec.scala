@@ -24,7 +24,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     // bloom bits DuckDB cannot replay)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("a3_approx_distinct", "d13_bloom_dedup"),
-      s"undeclared rows-only queries: ${noOracle -- Set("a3_approx_distinct", "d13_bloom_dedup")}")
+      s"rows-only set drifted: got $noOracle, " +
+        "expected Set(a3_approx_distinct, d13_bloom_dedup)")
   }
 
   test("every query runs at sf0.001") {
@@ -43,6 +44,21 @@ class EntrySmokeSpec extends AnyFunSuite {
       "HLL estimate outside 10x the configured RSD")
   }
 
+  // ONE plan sweep feeds both join lints (planning every query three
+  // times tripled suite cost), and a query whose PLANNING throws is a
+  // loud entry here instead of being silently excused from the lints
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> (try fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING-FAILED: ${e.getMessage}" })
+    }
+
+  test("every query's physical plan materializes") {
+    val failed = plans.filter(_._2.startsWith("PLANNING-FAILED"))
+    assert(failed.isEmpty, failed.mkString("\n"))
+  }
+
   test("BroadcastNestedLoopJoin appears only where a fixed-size side is deliberate") {
     // BNLJ is safe ONLY when the broadcast side cannot grow with the
     // data: the declared q11 cross join, the broadcast fixed query sets
@@ -51,13 +67,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     // keys — the plan that detonates at scale.
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
       "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample")
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      try {
-        val plan = fn(spark, "/root/testdata/sf0.001")
-          .queryExecution.executedPlan.toString
-        if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name)
-        else None
-      } catch { case _: Throwable => None }
+    val offenders = plans.collect {
+      case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
@@ -66,12 +77,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin (small side broadcast) is the intended
     // shape for the deliberate cross joins; CartesianProduct means
     // BOTH sides stream — the plan that detonates at scale
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      try {
-        val plan = fn(spark, "/root/testdata/sf0.001")
-          .queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
-      } catch { case _: Throwable => None }
+    val offenders = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }

@@ -29,11 +29,12 @@ class ScaleCurveSpec extends AnyFunSuite {
   }
 
   test("heavy-operator wall time grows sub-quadratically (measured, sf0.1 -> sf1)") {
-    // measured r4 values (committed artifact): d8 0.82, d9 0.25,
-    // d10 0.16, d11 0.16, n5 0.59, q13 0.43, q19 0.53, q24 0.15 —
-    // host noise moves these by tenths (one loaded run even fitted d9
-    // NEGATIVE: pure fixed cost); the bound leaves room for that while
-    // still failing loudly on any degeneration toward all-pairs
+    // measured values from the committed artifact (latest regen):
+    // d8 0.83, d9 0.13, d10 0.17, d11 0.11, d12 0.34, t14 0.05,
+    // n5 0.58, q13 0.48, q19 0.49, q24 0.09 — host noise moves these
+    // by tenths (one loaded run even fitted d9 NEGATIVE: pure fixed
+    // cost); the bound leaves room for that while still failing loudly
+    // on any degeneration toward all-pairs
     for (op <- Seq("d8_prefix_join", "d9_dup_clusters", "d10_curate_canonical",
                    "d11_decontaminate", "d12_chunk_dedup", "t14_corpus_pipeline",
                    "n5_ivf_kmeans", "q13_join_asof", "q19_asof_native",
