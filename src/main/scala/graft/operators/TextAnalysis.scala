@@ -387,7 +387,34 @@ object TextAnalysis {
            min(col("doc_id")).as("min_doc"))
   }
 
+  /** Domain filtering — the crawl-pipeline step that drops blocklisted
+    * hosts before anything else runs. The synthetic corpus has no URL
+    * column, so (as with t10's planted PII) the query synthesizes a
+    * deterministic URL per doc, then exercises the REAL machinery:
+    * Spark's `parse_url` (HOST / PATH / QUERY-param extraction, a
+    * native expression the oracle replays with regexes) and a
+    * literal-set host blocklist applied map-side. One codegen'd scan
+    * pass, K-row per-host rollup — no shuffle of the corpus.
+    */
+  val t15DomainFilter: Q = (s, d) => {
+    val blocked = Seq("src0.example.com", "src7.example.com",
+                      "src13.example.com")
+    documents(s, d)
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+               col("doc_id").cast("string"), lit("?ref="), col("lang")))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("path", expr("parse_url(url, 'PATH')"))
+      .withColumn("ref", expr("parse_url(url, 'QUERY', 'ref')"))
+      .filter(!col("host").isInCollection(blocked))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("ref")).as("n_refs"),
+           min(col("path")).as("first_path"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t15_domain_filter" -> t15DomainFilter,
     "t14_corpus_pipeline" -> t14CorpusPipeline,
     "t9_mixture_sample" -> t9MixtureSample,
     "t10_pii_redact" -> t10PiiRedact,
@@ -405,6 +432,22 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t15_domain_filter" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example.com/docs/' ||
+        |         CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+        |  FROM documents),
+        |p AS (SELECT
+        |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+        |  FROM u)
+        |SELECT host, count(1) AS n_docs,
+        |  count(DISTINCT ref) AS n_refs, min(path) AS first_path
+        |FROM p
+        |WHERE host NOT IN ('src0.example.com', 'src7.example.com',
+        |                   'src13.example.com')
+        |GROUP BY host""".stripMargin,
     "t14_corpus_pipeline" ->
       s"""WITH t AS ($sqlDocs),
          |m AS (SELECT *, length(ws) AS n,
