@@ -518,7 +518,11 @@ object Dedup {
     val batch = docsDf.filter(col("source") === "src0")
       .select(col("doc_id"), col("text"), col("lang"))
       .unionAll(hist.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+        // re-crawl rows live in the NEGATIVE id space: real doc_ids are
+        // non-negative at any corpus size, so the synthetic batch ids
+        // cannot collide no matter how large the corpus grows (a fixed
+        // +1e8 offset would silently collide past 1e8 documents)
+        .select((-col("doc_id") - 1).as("doc_id"),
                 col("text"), col("lang")))
     // sized FROM the history count (one count job the build pass needs
     // anyway) so the hash-function count stays tuned as history grows:
@@ -530,6 +534,18 @@ object Dedup {
     // `might_contain` requires a constant/scalar-subquery bloom (the
     // n5-centroids pattern: collected state independent of batch size)
     val estItems = math.max(20000L, hist.count())
+    // bloom_filter_agg silently clamps estimatedNumItems/numBits to the
+    // runtime-bloom-filter confs via Math.min — above ~6.7M history docs
+    // the default caps (4M items / 67M bits) would quietly degrade the
+    // bits-per-item ratio and the FPR would rise toward saturation.
+    // Raise the caps to the requested sizing (never lowering them) so
+    // the "10 bits/item at any corpus size" contract actually holds.
+    def raiseConf(key: String, atLeast: Long): Unit = {
+      val cur = s.conf.getOption(key).map(_.toLong).getOrElse(0L)
+      if (cur < atLeast) s.conf.set(key, atLeast.toString)
+    }
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", estItems)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 10 * estItems)
     val bfBytes = hist.agg(expr(
       s"""bloom_filter_agg(xxhash64(text),
          |                 cast($estItems as bigint),

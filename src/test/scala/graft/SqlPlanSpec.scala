@@ -55,11 +55,26 @@ class SqlPlanSpec extends AnyFunSuite {
       case p => p
     }
     val shuffled = inner.collect {
-      case e: ShuffleExchangeExec => e.child.output.map(_.name)
+      case e: ShuffleExchangeExec =>
+        e.child.output.map(a => (a.name, a.dataType))
     }
     assert(shuffled.nonEmpty)
-    val heavy = Set("text", "ws", "bg")
-    assert(!shuffled.exists(_.exists(heavy)),
-      s"heavy columns ride an exchange: ${shuffled.filter(_.exists(heavy))}")
+    // Type-based guard (a rename/alias of the text or token arrays must
+    // not evade it): NO array/map/binary attribute may ride an exchange
+    // at all, and any StringType attribute must be one of the known
+    // SLIM columns (dictionary-sized values: lang codes, source names,
+    // fixed-width hash digests). A refactor that aliases `text` to a
+    // new name arrives here as an unexpected StringType and fails.
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StringType}
+    val wide = shuffled.flatMap(_.collect {
+      case (n, dt @ (_: ArrayType | _: MapType | BinaryType)) => s"$n: $dt"
+    })
+    assert(wide.isEmpty, s"container/binary columns ride an exchange: $wide")
+    val slimStrings = Set("lang", "source", "h", "ch_hash")
+    val fatStrings = shuffled.flatMap(_.collect {
+      case (n, StringType) if !slimStrings(n) => n
+    })
+    assert(fatStrings.isEmpty,
+      s"unexpected string columns ride an exchange (possible aliased corpus text): $fatStrings")
   }
 }
