@@ -30,7 +30,7 @@ object Coverage {
     p
   }
 
-  private[operators] def scratchDir(name: String): String =
+  private[graft] def scratchDir(name: String): String =
     scratchRoot.resolve(name).toString
 
   /** max_by / min_by (A2 parity shape, per group). */

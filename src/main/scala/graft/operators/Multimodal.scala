@@ -155,8 +155,101 @@ object Multimodal {
            min(md5(col("content"))).as("min_md5"))
   }
 
+  case class ImgDecoded(doc_id: Long, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image decode — the one multimodal stage the fake codec above
+    * does not cover. Both directions run the JDK's actual PNG codec
+    * (`javax.imageio`, zero added dependencies):
+    *
+    *  ENCODE (executor-side, foreachPartition): each doc renders a real
+    *  PNG whose dimensions and RGB pixels are a pure function of its
+    *  doc_id — w = 8 + id%25, h = 8 + (id/7)%25, channel c of pixel
+    *  (x,y) = (id*31 + 7x + 13y + 101c) mod 256 — written with
+    *  `ImageIO.write(img, "png", …)`, one file per asset.
+    *
+    *  DECODE (typed mapPartitions, per-partition codec init): the files
+    *  re-ingest through the `binaryFile` source and each payload goes
+    *  through `ImageIO.read` — a real PNG header/IDAT/zlib decode, NOT
+    *  a replay of the generator formula — extracting width, height and
+    *  per-channel pixel sums from the decoded raster.
+    *
+    * PNG is lossless, so the oracle can recompute the exact same stats
+    * straight from the documents table in SQL; any codec round-trip
+    * corruption (dimension drift, channel-order swap, gamma mangling)
+    * breaks the hash compare. This is the m-family's proof that the
+    * mapPartitions plumbing drives a REAL codec, not only the
+    * deterministic stand-in.
+    */
+  val m6ImageDecode: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m6_pngs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 25).toInt
+          val h = (8 + (id / 7) % 25).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              def ch(c: Int): Int = ((id * 31 + 7L * x + 13L * y + 101L * c) % 256).toInt
+              img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+              x += 1
+            }
+            y += 1
+          }
+          javax.imageio.ImageIO.write(
+            img, "png", new java.io.File(out, f"$id%012d.png"))
+        }
+      }
+    val decoded = s.read.format("binaryFile").load(out)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImgDecoded(id, w, h, sr, sg, sb)
+        }
+      }
+    val meta = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+    decoded.join(meta, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+           sum(col("width").cast("long")).as("sum_width"),
+           sum(col("height").cast("long")).as("sum_height"),
+           sum(col("sum_r")).as("sum_r"),
+           sum(col("sum_g")).as("sum_g"),
+           sum(col("sum_b")).as("sum_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m5_binary_ingest" -> m5BinaryIngest,
+    "m6_image_decode" -> m6ImageDecode,
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan,
@@ -166,6 +259,31 @@ object Multimodal {
   // The fake decode is pure byte arithmetic, so the oracle can replay
   // it in SQL: width = 16 + octet_len%64, height = 16 + first_byte%64.
   val oracles: Map[String, String] = Map(
+    // the image is a pure function of doc_id and PNG is lossless, so
+    // the oracle rebuilds every decoded stat without touching a codec:
+    // per-pixel channel values replayed via list_transform over w*h
+    "m6_image_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, source,
+        |         8 + doc_id % 25 AS w,
+        |         8 + (doc_id // 7) % 25 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT source, w, h,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> (doc_id*31 + 7*(i % w) + 13*(i // w)) % 256)) AS s_r,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> (doc_id*31 + 7*(i % w) + 13*(i // w) + 101) % 256)) AS s_g,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> (doc_id*31 + 7*(i % w) + 13*(i // w) + 202) % 256)) AS s_b
+        |  FROM imgs)
+        |SELECT source, count(1) AS n_images,
+        |  CAST(sum(w) AS BIGINT) AS sum_width,
+        |  CAST(sum(h) AS BIGINT) AS sum_height,
+        |  CAST(sum(s_r) AS BIGINT) AS sum_r,
+        |  CAST(sum(s_g) AS BIGINT) AS sum_g,
+        |  CAST(sum(s_b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY source""".stripMargin,
     "m5_binary_ingest" ->
       """SELECT source, count(1) AS n_files,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,

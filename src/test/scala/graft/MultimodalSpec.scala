@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** m6: the real-codec image round-trip. The oracle compare (DuckDB)
+  * checks the same thing at the gate; this spec keeps the property
+  * local — decode output must equal the closed-form pixel replay —
+  * and additionally proves the bytes on disk are REAL PNGs (magic +
+  * ImageIO round-trip), i.e. the query exercises an actual codec.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("m6 decoded stats equal the closed-form pixel replay") {
+    val got = SparkEntry.queries("m6_image_decode")(spark, sf)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    // independent replay of the generator formula — never touches a
+    // codec, mirrors the DuckDB oracle
+    def chanSum(off: Int) = expr(
+      s"""aggregate(sequence(0L, w*h - 1), 0L, (acc, i) ->
+         |  acc + (doc_id*31 + 7*(i % w) + 13*(i div w) + $off) % 256)"""
+        .stripMargin)
+    val exp = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .withColumn("w", lit(8L) + col("doc_id") % 25)
+      .withColumn("h", lit(8L) + expr("doc_id div 7") % 25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+           sum(col("w")).as("sum_width"), sum(col("h")).as("sum_height"),
+           sum(chanSum(0)).as("sum_r"), sum(chanSum(101)).as("sum_g"),
+           sum(chanSum(202)).as("sum_b"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty && got.sameElements(exp),
+      s"decode drift:\n got=${got.toSeq}\n exp=${exp.toSeq}")
+  }
+
+  test("the on-disk assets are genuine PNGs (magic bytes + ImageIO decode)") {
+    SparkEntry.queries("m6_image_decode")(spark, sf).count() // materialize files
+    val dir = new java.io.File(
+      graft.operators.Coverage.scratchDir("m6_pngs"))
+    val pngs = dir.listFiles().filter(_.getName.endsWith(".png"))
+    assert(pngs.length > 0)
+    val f = pngs.minBy(_.getName)
+    val head = java.nio.file.Files.readAllBytes(f.toPath).take(8)
+    assert(head.sameElements(
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
+      "missing PNG signature")
+    val img = javax.imageio.ImageIO.read(f)
+    val id = f.getName.stripSuffix(".png").toLong
+    assert(img.getWidth == (8 + id % 25).toInt)
+    assert(img.getHeight == (8 + (id / 7) % 25).toInt)
+  }
+}
