@@ -33,43 +33,106 @@ object ScaleCurve {
 
   private val copies = 10
 
-  def genSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  /** Structure-preserving disjoint replication at an arbitrary copy
+    * count (see object scaladoc). `tables` selects which tables the
+    * target scale needs — the deep sf3/sf10 corpora only serve the
+    * documents/events ops, so they skip embeddings.
+    */
+  def genScaled(spark: SparkSession, srcDir: String, outDir: String,
+                nCopies: Int,
+                tables: Set[String] = Set("documents", "embeddings", "events"))
+      : Unit = {
     val done = new java.io.File(s"$outDir/_GEN_DONE")
     if (done.exists()) return
-    // documents: per-copy word suffix → disjoint shingle vocabularies
-    val docs = graft.sources.Tables.table(spark, srcDir, "documents")
-    (0 until copies).map { c =>
-      docs.select(
-        (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1c$c").as("text"),
-        col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-                col("n_chars"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    // embeddings: id shift only
-    val emb = graft.sources.Tables.table(spark, srcDir, "embeddings")
-    (0 until copies).map { c =>
-      emb.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
-                 col("embedding"), col("label"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    // events: ts stays an int64 nanos column (Tables.events div-1000s
-    // it the same way it handles the source TIMESTAMP(NANOS) files);
-    // copies occupy disjoint time ranges so densities stay constant
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = graft.sources.Tables.table(spark, srcDir, "events")
-    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-    val span = mm.getLong(1) - mm.getLong(0) + 3600000000000L // +1 h gap
-    (0 until copies).map { c =>
-      ev.select(
-        (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
-        (col("ts") + lit(c.toLong * span)).as("ts"),
-        (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    new java.io.File(outDir).mkdirs()
+    if (tables("documents")) {
+      // documents: per-copy word suffix → disjoint shingle vocabularies
+      val docs = graft.sources.Tables.table(spark, srcDir, "documents")
+      (0 until nCopies).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1c$c").as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+                  col("n_chars"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (tables("embeddings")) {
+      // embeddings: id shift only
+      val emb = graft.sources.Tables.table(spark, srcDir, "embeddings")
+      (0 until nCopies).map { c =>
+        emb.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+                   col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    if (tables("events")) {
+      // events: ts stays an int64 nanos column (Tables.events div-1000s
+      // it the same way it handles the source TIMESTAMP(NANOS) files);
+      // copies occupy disjoint time ranges so densities stay constant
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = graft.sources.Tables.table(spark, srcDir, "events")
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val span = mm.getLong(1) - mm.getLong(0) + 3600000000000L // +1 h gap
+      (0 until nCopies).map { c =>
+        ev.select(
+          (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
+          (col("ts") + lit(c.toLong * span)).as("ts"),
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+    done.createNewFile()
+    ()
+  }
+
+  def genSf1(spark: SparkSession, srcDir: String, outDir: String): Unit =
+    genScaled(spark, srcDir, outDir, copies)
+
+  /** FK-consistent replication of the five keyed TPC-H tables (region/
+    * nation are dimension roots and copy unchanged), so the FULL
+    * 151-query oracle surface can run at ~sf1: every copy shifts its
+    * order/cust/part/supp keys by a per-copy stride large enough that
+    * key spaces stay disjoint, and every foreign key shifts by the SAME
+    * stride as its referenced primary key — each copy is a closed,
+    * internally consistent TPC-H world (join fan-outs, date
+    * distributions and per-copy aggregates identical to the source).
+    * Shifted keys widen int32 → int64; Spark and the DuckDB oracle read
+    * the same files, so the compare stays type-consistent.
+    */
+  def genTpchScaled(spark: SparkSession, srcDir: String, outDir: String,
+                    nCopies: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_GEN_TPCH_DONE")
+    if (done.exists()) return
+    new java.io.File(outDir).mkdirs()
+    val OK = 1000000000L // order keys
+    val CK = 10000000L   // customer keys
+    val PK = 10000000L   // part keys
+    val SK = 1000000L    // supplier keys
+    def t(n: String) = graft.sources.Tables.table(spark, srcDir, n)
+    def rep(df: org.apache.spark.sql.DataFrame,
+            shifts: (String, Long)*) =
+      (0 until nCopies).map { c =>
+        shifts.foldLeft(df) { case (d, (name, st)) =>
+          d.withColumn(name, col(name) + lit(c.toLong * st))
+        }
+      }.reduce(_ unionAll _)
+    for (dim <- Seq("region", "nation"))
+      t(dim).write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+    rep(t("customer"), "c_custkey" -> CK)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    rep(t("supplier"), "s_suppkey" -> SK)
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    rep(t("part"), "p_partkey" -> PK)
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    rep(t("orders"), "o_orderkey" -> OK, "o_custkey" -> CK)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    rep(t("lineitem"), "l_orderkey" -> OK, "l_partkey" -> PK,
+        "l_suppkey" -> SK)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     done.createNewFile()
     ()
   }
@@ -87,6 +150,20 @@ object ScaleCurve {
     "n5_ivf_kmeans" -> "embeddings",
     "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",
+    "q24_interval_join" -> "events")
+
+  /** Ops whose round-4 sf0.1→sf1 fits were FIXED-COST fits (exponents
+    * 0.05–0.17, one negative under load): at ≤ sf1 their wall-time is
+    * scheduling overhead, so the data term is invisible and the fit
+    * proves "not quadratic here", not "linear at 100×". These get a
+    * deeper curve — sf1 / sf3 / sf10 (10×/30×/100× sf0.1) — pushing
+    * the corpus until the largest two scales differ enough in wall
+    * time for the growth term to dominate the fit.
+    */
+  private val deepOps = Seq(
+    "d9_dup_clusters" -> "documents",
+    "d10_curate_canonical" -> "documents",
+    "t14_corpus_pipeline" -> "documents",
     "q24_interval_join" -> "events")
 
   private def time2(body: => Unit): Double = {
@@ -107,7 +184,14 @@ object ScaleCurve {
       .master(s"local[$cpus]")
       // partitions == cores, the Bench methodology this harness extends
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst stays at Spark's default TRUE here (Bench sets
+      // it false to cut small-scale noise): with false, AQE holds
+      // per-reducer bytes at the advisory size, so as the corpus grows
+      // the reducer COUNT grows while per-reducer wall stays flat —
+      // idle cores absorb the data term and a growth fit reads ~0
+      // (measured: q24 flat at ~10 s from sf3 to sf30). Pinning the
+      // parallelism floor at core count puts the data term back into
+      // wall-time, which is what the curve exists to measure.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -156,9 +240,52 @@ object ScaleCurve {
                            candPts(2)._2, candPts(2)._3.toDouble)
     val candJson = candPts.map { case (sf, n, c) =>
       s"""{"sf":"$sf","n":$n,"candidates":$c}""" }.mkString("[", ",", "]")
+    // ---- deep curve: sf1 / sf3 / sf10 for the fixed-cost-dominated ops
+    val gen3 = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR",
+      "/root/repo/target/scalecurve/sf3")
+    val gen10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+      "/root/repo/target/scalecurve/sf10")
+    val gen30 = sys.env.getOrElse("SPARK_GRAFT_SF30_DIR",
+      "/root/repo/target/scalecurve/sf30")
+    val deepTables = Set("documents", "events")
+    genScaled(spark, s"$base/sf0.1", gen3, 30, deepTables)
+    genScaled(spark, s"$base/sf0.1", gen10, 100, deepTables)
+    // sf30 (300x sf0.1): q24/d10 are still partly fixed-cost-bound at
+    // sf10 (measured sf3->sf10 wall ratios 1.1-2.2), so the fit pair
+    // moves up another 3x to where the data term is unambiguous
+    genScaled(spark, s"$base/sf0.1", gen30, 300, deepTables)
+    val deepScales = Seq("sf1" -> gen, "sf3" -> gen3, "sf10" -> gen10,
+                         "sf30" -> gen30)
+    val deepN: Map[(String, String), Long] = (for {
+      (sfName, dir) <- deepScales
+      t <- deepTables.toSeq
+    } yield (sfName, t) ->
+        graft.sources.Tables.table(spark, dir, t).count()).toMap
+    val deepSeries = deepOps.map { case (op, table) =>
+      val fn = SparkEntry.queries(op)
+      val pts = deepScales.map { case (sfName, dir) =>
+        val sec = time2 { fn(spark, dir).count(); () }
+        println(s"[deep] $op $sfName: ${fmt(sec)} s")
+        (sfName, deepN((sfName, table)), sec)
+      }
+      (op, table, pts)
+    }
+    val deepJson = deepSeries.map { case (op, table, pts) =>
+      // fit between the two LARGEST scales; also record the wall
+      // ratio — the "data term dominates" evidence the shallow curve
+      // lacked (ratio ≈ 1 would mean still fixed-cost-bound)
+      val Seq(p1, p2) = pts.takeRight(2)
+      val e = exponent(p1._2, p1._3, p2._2, p2._3)
+      val ratio = p2._3 / math.max(p1._3, 1e-9)
+      val ser = pts.map { case (sf, n, sec) =>
+        s"""{"sf":"$sf","n":$n,"sec":${fmt(sec)}}""" }.mkString("[", ",", "]")
+      s""""$op":{"table":"$table","series":$ser,""" +
+      s""""exp_top2":${fmt(e)},"wall_ratio_top2":${fmt(ratio)}}"""
+    }.mkString(",")
     val json =
       s"""{"copies":$copies,"ops":{$opJson},""" +
-      s""""d8_candidates":{"series":$candJson,"exp_sf01_sf1":${fmt(candExp)}}}"""
+      s""""d8_candidates":{"series":$candJson,"exp_sf01_sf1":${fmt(candExp)}},""" +
+      s""""deep_ops":{$deepJson}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(json)

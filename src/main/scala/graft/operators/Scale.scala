@@ -32,6 +32,36 @@ object Scale {
       .agg(sum(col("psum")).as("sum_v"), sum(col("pcnt")).as("count_v"))
   }
 
+  /** Salted equi-join for a skewed FACT key — the manual alternative to
+    * AQE's OptimizeSkewedJoin when the engine must not rely on runtime
+    * re-planning (e.g. the join feeds a stage AQE cannot re-shuffle, or
+    * a fixed execution plan is required for reproducibility):
+    *
+    *   fact rows get a deterministic salt in [0, nSalts) (partition id
+    *   + intra-partition id — spreads a hot key over nSalts reducers
+    *   without an RNG), the dim side is replicated nSalts times with
+    *   `explode(sequence(...))`, and the join key becomes (key, salt).
+    *
+    * Cost model vs AQE skew-split: salting replicates the ENTIRE dim
+    * side nSalts× through the shuffle (a deliberate, bounded overhead
+    * chosen at plan time), where AQE splits only the partitions it
+    * OBSERVES to be oversized (cheaper, but only after the map stage
+    * has materialized the skewed output). Inner joins only: outer
+    * semantics would need null-extension fixups across salt groups.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: Column, dimKey: Column, nSalts: Int): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(nSalts))
+        .cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(saltedDim,
+      factKey === dimKey && saltedFact("__salt") === saltedDim("__salt"),
+      "inner").drop("__salt")
+  }
+
   /** Two-pass GLOBAL ranking without the single-task sort that
     * `Window.orderBy` (no partition key) plans:
     *

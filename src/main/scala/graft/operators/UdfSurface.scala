@@ -17,9 +17,17 @@ object UdfSurface {
   /** Scalar UDF: Knuth multiplicative bucket of a key. A UDF on
     * purpose (the exemplar); the same expression is a one-liner with
     * built-ins, which is how the rest of this codebase does it.
+    *
+    * The key is reduced mod 2^31 BEFORE the multiply: the raw product
+    * would exceed int64 for keys ≥ ~3.5e9, where JVM arithmetic wraps
+    * silently but DuckDB (and most SQL engines) raise — wrap-dependent
+    * arithmetic is not portable across engines, so the shared-dialect
+    * contract requires staying in-range (flushed out by the sf1 gate
+    * run, where replicated order keys reach ~9e9).
     */
   val u1ScalarUdf: Q = (s, d) => {
-    val bucket = udf((k: Long) => ((k * 2654435761L) % 1024 + 1024) % 1024)
+    val bucket = udf((k: Long) =>
+      (((k % 2147483648L) * 2654435761L) % 1024 + 1024) % 1024)
     orders(s, d)
       .withColumn("bucket", bucket(col("o_orderkey")) % 8)
       .groupBy(col("bucket"))
@@ -60,7 +68,8 @@ object UdfSurface {
 
   val oracles: Map[String, String] = Map(
     "u1_scalar_udf" ->
-      """SELECT (o_orderkey * 2654435761) % 1024 % 8 AS bucket, count(1) AS n
+      """SELECT ((o_orderkey % 2147483648) * 2654435761) % 1024 % 8 AS bucket,
+        |       count(1) AS n
         |FROM orders GROUP BY 1""".stripMargin,
     "u2_typed_agg" ->
       """SELECT l_returnflag,

@@ -44,6 +44,39 @@ class ScaleCurveSpec extends AnyFunSuite {
     }
   }
 
+  /** The deep series points (n, sec) for one op, in scale order. */
+  private def deepSeries(op: String): Seq[(Long, Double)] = {
+    val base = json.indexOf("\"deep_ops\"")
+    assert(base >= 0, "deep_ops missing from SCALECURVE.json — regenerate")
+    val i = json.indexOf("\"" + op + "\"", base)
+    assert(i >= 0, s"$op missing from deep_ops")
+    val ser = json.substring(i, json.indexOf(']', i) + 1)
+    """"n":([0-9]+),"sec":([0-9.]+)""".r.findAllMatchIn(ser)
+      .map(m => (m.group(1).toLong, m.group(2).toDouble)).toSeq
+  }
+
+  test("deep curve (sf1/sf3/sf10/sf30): data term dominates and growth stays sub-quadratic") {
+    // these four ops' shallow sf0.1→sf1 fits were FIXED-COST fits.
+    // Two properties, computed from the committed series:
+    //  - over the top DECADE (sf3→sf30, 10x rows) wall-time must grow
+    //    >= 3x — the data term, not the scheduler, is what the fit
+    //    measures (note a SUB-LINEAR op can never show 3x wall on the
+    //    adjacent 3x step, which is why the decade pair carries this);
+    //  - the decade growth exponent stays sub-quadratic.
+    for (op <- Seq("d9_dup_clusters", "d10_curate_canonical",
+                   "t14_corpus_pipeline", "q24_interval_join")) {
+      val pts = deepSeries(op)
+      assert(pts.size >= 4, s"$op deep series incomplete: $pts")
+      val (n1, s1) = pts(1) // sf3
+      val (n2, s2) = pts.last // sf30
+      val ratio = s2 / s1
+      val e = math.log(s2 / s1) / math.log(n2.toDouble / n1)
+      assert(ratio >= 3.0,
+        s"$op sf3->sf30 wall ratio $ratio — still fixed-cost-dominated, deepen the curve")
+      assert(e < 1.5, s"$op deep growth exponent $e is not sub-quadratic")
+    }
+  }
+
   test("d8 candidate count grows linearly, not as corpus^2 (timer-free evidence)") {
     val e = expFor("d8_candidates")
     assert(e < 1.3, s"d8 candidate growth exponent $e — prefix filter degenerating")

@@ -24,6 +24,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("salted join == plain join on a skewed fact key") {
+    val fact = SkewBench.skewedFact(spark, 50000L)
+    val dim = SkewBench.dim(spark)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("name")).agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+        .orderBy("name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val salted = agg(Scale.saltedJoin(fact, dim, col("k"), col("k2"), nSalts = 8))
+    val plain = agg(fact.join(dim, col("k") === col("k2"))
+      .hint("shuffle_hash"))
+    assert(salted.toSeq == plain.toSeq)
+    // the salted plan's join key is (k, salt): the hot key hashes to
+    // nSalts distinct reducers instead of one
+    val p = Scale.saltedJoin(fact, dim, col("k"), col("k2"), nSalts = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), "salt column missing from the join plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

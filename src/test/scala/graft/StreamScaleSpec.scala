@@ -57,4 +57,31 @@ class StreamScaleSpec extends AnyFunSuite {
              s"heap-store .delta files present: $stateFiles")
     } finally StreamScale.restore(spark, prev)
   }
+
+  test("watermarked as-of state is O(horizon): peak state does not scale with stream length") {
+    import graft.streaming.StreamThroughputBench
+    val users = 50
+    val rowsPerSlice = 2000
+    def corpus(slices: Int): (String, Long) = {
+      val d = Files.createTempDirectory(s"graft-stb-spec$slices").toString
+      StreamThroughputBench.writeSlices(spark, d, users, slices,
+        rowsPerSlice, stepMs = 50L)
+      (d, slices.toLong * rowsPerSlice)
+    }
+    val (dShort, nShort) = corpus(3)
+    val (dLong, nLong) = corpus(9)
+    val short = StreamThroughputBench.run(spark, dShort, nShort)
+    val long_ = StreamThroughputBench.run(spark, dLong, nLong)
+    // state rows = keys with live state; bounded by the key count for
+    // both lengths (a probe-buffer leak would not add rows — it grows
+    // bytes — so both dimensions are pinned)
+    assert(short.peakStateRows > 0 && short.peakStateRows <= users)
+    assert(long_.peakStateRows <= users)
+    // 3x the stream length, same keys/rate/horizon: peak state BYTES
+    // must not grow with length (allow 2x for store overhead noise —
+    // a leak of the 3x-longer buffered stream would exceed it)
+    assert(long_.peakStateBytes < 2L * math.max(short.peakStateBytes, 1L),
+      s"state grew with stream length: short=${short.peakStateBytes}B " +
+        s"long=${long_.peakStateBytes}B")
+  }
 }

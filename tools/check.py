@@ -36,8 +36,25 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written table: directory of part files
+            src = f"read_parquet('{p}/*.parquet')"
+            part = glob.glob(os.path.join(p, "*.parquet"))[0]
+        elif os.path.exists(p):
+            src = f"read_parquet('{p}')"
+            part = p
+        else:
+            continue
+        sel = "*"
+        if t == "events":
+            # The driver corpus stores ts as TIMESTAMP(NANOS), which
+            # DuckDB surfaces as a timestamp; Spark-GENERATED corpora
+            # (scale-curve replicas) store int64 epoch-nanos instead,
+            # because Spark has no nanos timestamp type to write.
+            # Normalize to the timestamp shape the oracles bind against
+            # — the same ts div 1000 the Spark side does in Tables.
+            if str(pq.read_schema(part).field("ts").type) == "int64":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
