@@ -125,6 +125,30 @@ class DedupSpec extends AnyFunSuite {
       s"false-positive rate too high: $hits hits, $dups true dups, $nBatch batch")
   }
 
+  test("d13 raises the runtime bloom-filter conf caps to its sizing") {
+    // bloom_filter_agg silently clamps its sizing to these confs via
+    // Math.min — at driver scales the defaults (4M items) are ample,
+    // so force the clamp into range by lowering them first and assert
+    // d13 raises them back to >= its estimated sizing (10 bits/item)
+    val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prev = Seq(items, bits).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(items, "1000")
+      spark.conf.set(bits, "5000")
+      Dedup.d13BloomDedup(spark, sf).collect()
+      val gotItems = spark.conf.get(items).toLong
+      val gotBits = spark.conf.get(bits).toLong
+      assert(gotItems >= 20000L,
+        s"maxNumItems not raised past the clamp: $gotItems")
+      assert(gotBits >= 10 * gotItems || gotBits >= 200000L,
+        s"maxNumBits not raised to 10 bits/item: $gotBits")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val ordered = Dedup.d8Ordered(spark, sf)
     val n = ordered.count()
