@@ -567,7 +567,104 @@ object Dedup {
       .withColumn("fn_free", col("n_false_neg") === 0)
   }
 
+  /** SemDeDup — SEMANTIC dedup in embedding space (the
+    * cluster-then-dedup-within-cluster recipe): assign every vector to
+    * its nearest seed centroid by cosine (K=8, seeds = vectors 0..7 —
+    * the same deterministic seeding as n5's k-means), then search for
+    * near-duplicate pairs ONLY within a cell and drop the higher id of
+    * each pair (min-id representative, the d1/t6 convention). Distinct
+    * from d6: the blocking key is LEARNED (cluster structure), not a
+    * given label — the production shape when no labels exist.
+    *
+    * Scale design: assignment is a pure map over the corpus (K-row
+    * broadcast centroid table, argmax across K cosines — no shuffle);
+    * the pair join shuffles on the cell id so candidate pairs are
+    * per-cell only, (N/K)²·K vs all-pairs N² — and production K grows
+    * with N (K ≈ √N keeps cells constant-sized), so the exponent is
+    * controlled by the clusterer, not the corpus. Tie order and
+    * float handling follow n5 exactly (csim DESC, cell ASC; float
+    * corpus side × double centroid side, round(…, 6) on pair sims).
+    */
+  val d14SemDedup: Q = (s, d) => {
+    import s.implicits._
+    val e = graft.sources.Tables.embeddings(s, d)
+    // driver-held K-row seed centroids (independent of corpus size)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1).toSeq
+      .toDF("cell", "ce")
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+           first(col("embedding")).as("emb"),
+           first(col("label")).as("label"))
+    val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
+                            col("emb").as("a_e"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
+                            col("emb").as("b_e"), col("label").as("b_label"))
+    val removed = a
+      .join(b, col("cell") === col("b_cell") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosineSim(col("a_e"), col("b_e")), 6))
+      .filter(col("sim") > 0.30)
+      .select(col("b_label").as("label"), col("b_id")).distinct()
+    val rc = removed.groupBy(col("label"))
+      .agg(count(lit(1)).as("nr"), min(col("b_id")).as("min_removed"))
+    val lc = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    lc.join(rc, Seq("label"), "left_outer")
+      .select(col("label"), col("n_vecs"),
+              coalesce(col("nr"), lit(0L)).as("n_removed"),
+              (col("n_vecs") - coalesce(col("nr"), lit(0L))).as("n_kept"),
+              col("min_removed"))
+  }
+
+  /** Canonical-URL dedup — the crawl-frontier hygiene pass that runs
+    * before any content op: the same page arrives under cosmetically
+    * different URLs (mixed-case host, trailing slash, tracking params,
+    * fragments), so URLs are CANONICALIZED (lowercase host, strip
+    * fragment, drop utm_* tracking params, strip the trailing slash)
+    * and fetches collapse onto the canonical form (min-doc_id
+    * representative). The corpus has no URL column, so (as with t10's
+    * planted PII and t15's synthesized hosts) each doc derives a
+    * deterministic URL variant from its id — the operator under test
+    * is the canonicalizer, exercised through Spark's native
+    * `parse_url` (HOST/PATH/QUERY extraction), and the oracle replays
+    * every rule. The path space is intentionally smaller than the doc
+    * space (doc_id % 500) so distinct fetches genuinely collide.
+    *
+    * Scale shape: canonicalization is map-only; the collapse is ONE
+    * hash aggregation on the canonical-url string — uniform keys, no
+    * skew; the report is a K-row per-source rollup.
+    */
+  val d15UrlDedup: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM/docs/"), (col("doc_id") % 500).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+             concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
+          .when(col("doc_id") % 3 === 1, lit("#frag"))
+          .otherwise(lit(""))))
+      .withColumn("canon", concat(
+        lit("https://"), lower(expr("parse_url(url, 'HOST')")),
+        regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+        coalesce(concat(lit("?id="), expr("parse_url(url, 'QUERY', 'id')")),
+                 lit(""))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("canon")).as("n_canonical"),
+           (count(lit(1)) - countDistinct(col("canon"))).as("n_dups_removed"),
+           min(col("canon")).as("first_canon"))
+
   val queries: Map[String, Q] = Map(
+    "d14_semdedup" -> d14SemDedup,
+    "d15_url_dedup" -> d15UrlDedup,
     "d11_decontaminate" -> d11Decontaminate,
     "d12_chunk_dedup" -> d12ChunkDedup,
     "d13_bloom_dedup" -> d13BloomDedup,
@@ -621,6 +718,58 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // seed-centroid assignment replayed like n5's oracle (same double
+    // left-fold dot/norm, same csim DESC, cell ASC tie order), then the
+    // within-cell pair search and min-id-keeper rule in plain SQL
+    "d14_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 8),
+        |a0 AS (SELECT e.vec_id, e.label, e.emb, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
+        |                    (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |                     sqrt(list_sum(list_transform(c.ce, x -> x*x)))) DESC,
+        |             c.cell) AS rn
+        |       FROM e CROSS JOIN c0 c),
+        |asg AS (SELECT vec_id, label, emb, cell FROM a0 WHERE rn = 1),
+        |pr AS (SELECT b.label, b.vec_id AS b_id
+        |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |       WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])) /
+        |                   (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |                    sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) > 0.30
+        |       GROUP BY b.label, b.vec_id),
+        |rc AS (SELECT label, count(1) AS nr, min(b_id) AS min_removed FROM pr GROUP BY label),
+        |lc AS (SELECT label, count(1) AS n_vecs FROM e GROUP BY label)
+        |SELECT lc.label, lc.n_vecs,
+        |  CAST(coalesce(rc.nr, 0) AS BIGINT) AS n_removed,
+        |  CAST(lc.n_vecs - coalesce(rc.nr, 0) AS BIGINT) AS n_kept,
+        |  rc.min_removed
+        |FROM lc LEFT JOIN rc USING (label)""".stripMargin,
+    // the URL builder and every canonicalization rule replayed with
+    // regexes (the same HOST/PATH/QUERY splits parse_url performs)
+    "d15_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END ||
+        |    '.Example.COM/docs/' || CAST(doc_id % 500 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+        |         WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT source,
+        |  'https://' || lower(regexp_extract(url, 'https://([^/]+)/', 1)) ||
+        |  regexp_replace(regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1), '/$', '') ||
+        |  CASE WHEN regexp_extract(url, '[?&]id=([0-9]*)', 1) <> ''
+        |       THEN '?id=' || regexp_extract(url, '[?&]id=([0-9]*)', 1)
+        |       ELSE '' END AS canon
+        |  FROM u)
+        |SELECT source, count(1) AS n_urls,
+        |  count(DISTINCT canon) AS n_canonical,
+        |  count(1) - count(DISTINCT canon) AS n_dups_removed,
+        |  min(canon) AS first_canon
+        |FROM c GROUP BY source""".stripMargin,
     "d12_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, source,
         |             regexp_split_to_array(trim(text), '\s+') AS ws

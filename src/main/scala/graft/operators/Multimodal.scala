@@ -247,9 +247,102 @@ object Multimodal {
            sum(col("sum_b")).as("sum_b"))
   }
 
+  case class AudioDecoded(doc_id: Long, n_samples: Int,
+                          sum_amp: Long, sum_abs: Long,
+                          max_amp: Int, min_amp: Int)
+
+  /** REAL audio decode — the audio twin of m6, driven by the JDK's
+    * actual WAV codec (`javax.sound.sampled`, zero added deps):
+    *
+    *  ENCODE (executor-side, foreachPartition): each doc renders a real
+    *  RIFF/WAVE file — 16-bit signed little-endian PCM, mono, 8 kHz —
+    *  whose samples are a pure function of its doc_id:
+    *  n = 64 + id%128 samples, sample(i) = (id*37 + i*17) mod 4096
+    *  − 2048 — written with `AudioSystem.write(…, Type.WAVE, file)`.
+    *
+    *  DECODE (typed mapPartitions, per-partition codec init): the files
+    *  re-ingest through the `binaryFile` source and each payload goes
+    *  through `AudioSystem.getAudioInputStream` — a real RIFF header /
+    *  fmt-chunk parse, NOT a replay of the generator formula — the
+    *  format is asserted (rate/width/channels), the PCM frames are read
+    *  back and per-clip amplitude stats extracted.
+    *
+    * PCM WAV is lossless, so the oracle recomputes the identical stats
+    * closed-form from the documents table; any codec drift (sample
+    * width, endianness, header misparse) breaks the hash compare.
+    */
+  val m7AudioDecode: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m7_wavs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        import javax.sound.sampled._
+        val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit LE mono PCM
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val n = (64 + id % 128).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((id * 37 + i * 17) % 4096 - 2048).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+            new java.io.File(out, f"$id%012d.wav"))
+        }
+      }
+    val decoded = s.read.format("binaryFile").load(out)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        it.map { case (id, bytes) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = ais.getFormat
+          require(f.getSampleRate == 8000f && f.getSampleSizeInBits == 16 &&
+                  f.getChannels == 1 && !f.isBigEndian,
+            s"codec misparse for clip $id: $f")
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var (sum, sabs) = (0L, 0L)
+          var (mx, mn) = (Int.MinValue, Int.MaxValue)
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+            sum += v; sabs += math.abs(v)
+            if (v > mx) mx = v
+            if (v < mn) mn = v
+            i += 1
+          }
+          AudioDecoded(id, n, sum, sabs, mx, mn)
+        }
+      }
+    val meta = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+    decoded.join(meta, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+           sum(col("n_samples").cast("long")).as("n_samples"),
+           sum(col("sum_amp")).as("sum_amp"),
+           sum(col("sum_abs")).as("sum_abs"),
+           max(col("max_amp")).cast("long").as("max_amp"),
+           min(col("min_amp")).cast("long").as("min_amp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m5_binary_ingest" -> m5BinaryIngest,
     "m6_image_decode" -> m6ImageDecode,
+    "m7_audio_decode" -> m7AudioDecode,
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan,
@@ -259,6 +352,24 @@ object Multimodal {
   // The fake decode is pure byte arithmetic, so the oracle can replay
   // it in SQL: width = 16 + octet_len%64, height = 16 + first_byte%64.
   val oracles: Map[String, String] = Map(
+    // the clip is a pure function of doc_id and PCM WAV is lossless,
+    // so the oracle rebuilds every decoded amplitude stat closed-form
+    "m7_audio_decode" ->
+      """WITH clips AS (
+        |  SELECT doc_id, source, 64 + doc_id % 128 AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, n,
+        |    list_transform(range(0, n),
+        |                   i -> (doc_id*37 + i*17) % 4096 - 2048) AS xs
+        |  FROM clips)
+        |SELECT source, count(1) AS n_clips,
+        |  CAST(sum(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(list_sum(xs)) AS BIGINT) AS sum_amp,
+        |  CAST(sum(list_sum(list_transform(xs, x -> abs(x)))) AS BIGINT) AS sum_abs,
+        |  CAST(max(list_max(xs)) AS BIGINT) AS max_amp,
+        |  CAST(min(list_min(xs)) AS BIGINT) AS min_amp
+        |FROM s GROUP BY source""".stripMargin,
     // the image is a pure function of doc_id and PNG is lossless, so
     // the oracle rebuilds every decoded stat without touching a codec:
     // per-pixel channel values replayed via list_transform over w*h

@@ -463,7 +463,29 @@ object SqlSurface {
 
   val x24Lateral: Q = (s, d) => { views(s, d); s.sql(lateralSql) }
 
+  /** WITH RECURSIVE — SQL:1999 recursion (Spark 4's recursive-CTE
+    * front end): the recursive member generates an 80-step month
+    * ladder over the orders span (well under the default recursion
+    * limit), then a LEFT equi join on the truncated month buckets the
+    * fact table against the generated calendar. The generated side is
+    * iterations-bounded — it never grows with the corpus — so the
+    * join broadcasts and the corpus-side work is one scan + one hash
+    * aggregation at any scale. Identical text runs in DuckDB.
+    */
+  private val recSql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT TIMESTAMP '1995-01-01'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01'
+      |)
+      |SELECT m, count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+      |GROUP BY m""".stripMargin
+
+  val x25RecursiveCte: Q = (s, d) => { views(s, d); s.sql(recSql) }
+
   val queries: Map[String, Q] = Map(
+    "x25_recursive_cte" -> x25RecursiveCte,
     "x24_lateral_topk" -> x24Lateral,
     "x1_tpch_q3" -> x1TpchQ3,
     "x2_tpch_q10" -> x2TpchQ10,
@@ -492,6 +514,7 @@ object SqlSurface {
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
+    "x25_recursive_cte" -> recSql,
     "x24_lateral_topk" -> lateralSql,
     "x1_tpch_q3" -> q3Sql,
     "x2_tpch_q10" -> q10Sql,

@@ -413,7 +413,84 @@ object TextAnalysis {
            min(col("path")).as("first_path"))
   }
 
+  /** Lexical-concentration quality filter — the Simpson/Herfindahl
+    * index Σ cnt(w)² over the doc's word counts, reported in basis
+    * points of n² (and its reciprocal, the EFFECTIVE VOCABULARY size
+    * n²/Σcnt²). This is the integer-exact stand-in for token entropy:
+    * both measure mass concentration, but entropy needs a
+    * transcendental log (last-ulp divergence across libm
+    * implementations would flake the hash gate) while the collision
+    * index is pure integer arithmetic both engines replay bit-exactly.
+    * Docs above 800 bp (vocabulary collapsed to <12.5 effective words)
+    * are flagged — the repetitive-gibberish gate, complementary to
+    * t11's positional repetition rules (t11 catches REPEATED RUNS,
+    * this catches concentrated UNIGRAM mass regardless of position).
+    * Map-only over the in-row token array: no explode, no shuffle
+    * before the K-row per-source rollup.
+    */
+  val t16Concentration: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("coll", expr(
+        """aggregate(
+          |  transform(array_distinct(ws),
+          |            w -> cast(size(filter(ws, x -> x = w)) as bigint)),
+          |  0L, (a, c) -> a + c * c)""".stripMargin))
+      .withColumn("conc_bp", expr("coll * 10000 DIV (n * n)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum((col("conc_bp") >= 800).cast("long")).as("n_flagged"),
+           sum(col("conc_bp")).as("sum_conc_bp"),
+           sum(expr("(n * n) DIV coll")).as("sum_eff_vocab"))
+
+  /** Bigram-LM fluency scoring — the perplexity-proxy quality gate:
+    * TRAIN a bigram model on the corpus itself (count(w1,w2) and
+    * context count(w1) — two hash aggregations off one exploded bigram
+    * stream), then SCORE each doc by the mean conditional probability
+    * of its bigrams, in ppm with integer division (a monotone
+    * transform of add-nothing-smoothed LM likelihood; no log, so both
+    * engines are bit-exact). Low scorers are word salad even when
+    * every individual token is in-vocabulary — the signal repetition
+    * (t11) and concentration (t16) gates cannot see.
+    *
+    * Plan shape at 100 TB: the bigram stream is exploded ONCE and
+    * feeds both count aggregations; model assembly joins bigram counts
+    * to context counts CO-KEYED on w1 (one shuffle of the model, which
+    * is vocab²-bounded — far smaller than the corpus); scoring joins
+    * the doc stream to the model on (w1, w2) — AQE broadcasts the
+    * model side when it measures small, as a real vocabulary would be.
+    */
+  val t17BigramLm: Q = (s, d) => {
+    val bg = docs(s, d)
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, n - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("lang"),
+              col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgCnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctxCnt = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val model = bgCnt.join(ctxCnt, "w1")
+      .select(col("w1"), col("w2"), expr("c2 * 1000000 DIV c1").as("cond_ppm"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(cond_ppm) DIV count(1)").as("avg_ppm"))
+      .withColumn("tier",
+        when(col("avg_ppm") >= 35000, "fluent")
+          .when(col("avg_ppm") >= 34000, "typical")
+          .otherwise("odd"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("avg_ppm")).as("sum_avg_ppm"),
+           min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t16_concentration" -> t16Concentration,
+    "t17_bigram_lm" -> t17BigramLm,
     "t15_domain_filter" -> t15DomainFilter,
     "t14_corpus_pipeline" -> t14CorpusPipeline,
     "t9_mixture_sample" -> t9MixtureSample,
@@ -432,6 +509,42 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t16_concentration" ->
+      s"""WITH t AS ($sqlDocs),
+         |p AS (SELECT source, CAST(length(ws) AS BIGINT) AS n,
+         |  list_sum(list_transform(
+         |    list_transform(list_distinct(ws),
+         |                   w -> CAST(length(list_filter(ws, x -> x = w)) AS BIGINT)),
+         |    c -> c * c)) AS coll
+         |  FROM t)
+         |SELECT source, count(1) AS n_docs,
+         |  CAST(sum(CASE WHEN coll * 10000 // (n*n) >= 800 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_flagged,
+         |  CAST(sum(coll * 10000 // (n*n)) AS BIGINT) AS sum_conc_bp,
+         |  CAST(sum((n*n) // coll) AS BIGINT) AS sum_eff_vocab
+         |FROM p GROUP BY source""".stripMargin,
+    "t17_bigram_lm" ->
+      s"""WITH t AS ($sqlDocs),
+         |bgr AS (SELECT doc_id, lang,
+         |          unnest(list_transform(range(1, length(ws)),
+         |            i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+         |        FROM t WHERE length(ws) >= 2),
+         |p AS (SELECT doc_id, lang, struct_extract(b, 'w1') AS w1,
+         |             struct_extract(b, 'w2') AS w2 FROM bgr),
+         |c2 AS (SELECT w1, w2, count(1) AS c2 FROM p GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(1) AS c1 FROM p GROUP BY w1),
+         |m AS (SELECT w1, w2, c2 * 1000000 // c1 AS cond_ppm
+         |      FROM c2 JOIN c1 USING (w1)),
+         |sc AS (SELECT doc_id, lang, sum(cond_ppm) // count(1) AS avg_ppm
+         |       FROM p JOIN m USING (w1, w2) GROUP BY doc_id, lang)
+         |SELECT lang,
+         |  CASE WHEN avg_ppm >= 35000 THEN 'fluent'
+         |       WHEN avg_ppm >= 34000 THEN 'typical'
+         |       ELSE 'odd' END AS tier,
+         |  count(1) AS n_docs,
+         |  CAST(sum(avg_ppm) AS BIGINT) AS sum_avg_ppm,
+         |  min(doc_id) AS min_doc
+         |FROM sc GROUP BY lang, tier""".stripMargin,
     "t15_domain_filter" ->
       """WITH u AS (
         |  SELECT 'https://' || source || '.example.com/docs/' ||

@@ -65,8 +65,11 @@ class EntrySmokeSpec extends AnyFunSuite {
     // of the ANN family (n1/n4/n5/n7), and the one-row/K-row total and
     // threshold tables of t8/t9. Anywhere else it means a join lost its
     // keys — the plan that detonates at scale.
+    // d14's centroid assignment broadcasts the fixed K-row seed table,
+    // same as the ANN family
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
-      "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample")
+      "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample",
+      "d14_semdedup")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }

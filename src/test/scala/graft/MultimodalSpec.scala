@@ -40,6 +40,49 @@ class MultimodalSpec extends AnyFunSuite {
       s"decode drift:\n got=${got.toSeq}\n exp=${exp.toSeq}")
   }
 
+  test("m7 decoded stats equal the closed-form sample replay") {
+    val got = SparkEntry.queries("m7_audio_decode")(spark, sf)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    // independent replay of the generator formula — never touches the
+    // codec, mirrors the DuckDB oracle
+    val exp = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .withColumn("n", lit(64L) + col("doc_id") % 128)
+      .withColumn("xs", expr(
+        "transform(sequence(0L, n - 1), i -> (doc_id*37 + i*17) % 4096 - 2048)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+           sum(col("n")).as("n_samples"),
+           sum(expr("aggregate(xs, 0L, (a, x) -> a + x)")).as("sum_amp"),
+           sum(expr("aggregate(xs, 0L, (a, x) -> a + abs(x))")).as("sum_abs"),
+           max(expr("array_max(xs)")).as("max_amp"),
+           min(expr("array_min(xs)")).as("min_amp"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty && got.sameElements(exp),
+      s"decode drift:\n got=${got.toSeq}\n exp=${exp.toSeq}")
+  }
+
+  test("the on-disk clips are genuine WAVs (RIFF magic + AudioSystem parse)") {
+    SparkEntry.queries("m7_audio_decode")(spark, sf).count() // materialize files
+    val dir = new java.io.File(
+      graft.operators.Coverage.scratchDir("m7_wavs"))
+    val wavs = dir.listFiles().filter(_.getName.endsWith(".wav"))
+    assert(wavs.length > 0)
+    val f = wavs.minBy(_.getName)
+    val head = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(head.take(4).sameElements("RIFF".getBytes) &&
+           head.slice(8, 12).sameElements("WAVE".getBytes),
+      "missing RIFF/WAVE signature")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(f)
+    val id = f.getName.stripSuffix(".wav").toLong
+    assert(ais.getFrameLength == 64 + id % 128)
+    assert(ais.getFormat.getSampleRate == 8000f)
+  }
+
   test("the on-disk assets are genuine PNGs (magic bytes + ImageIO decode)") {
     SparkEntry.queries("m6_image_decode")(spark, sf).count() // materialize files
     val dir = new java.io.File(
