@@ -224,7 +224,78 @@ object Coverage {
       .groupBy(col("measure"))
       .agg(count(lit(1)).as("n"), prodSum(col("val")).as("total"))
 
+  /** Hive-style partitioned layout + PARTITION PRUNING — the
+    * first-order I/O decision at 100 TB: the documents slice goes out
+    * `partitionBy(source)` (one directory per source, the layout a
+    * sharded corpus actually lands in), re-reads, and filters to two
+    * sources. Catalyst resolves the filter against the partition
+    * COLUMNS — `PartitionFilters` in the scan, pruned directories are
+    * never listed, opened, or read — so the scan cost is proportional
+    * to the SELECTED partitions, not the corpus (SqlPlanSpec pins the
+    * pruned scan; the oracle replays the filter unpartitioned).
+    */
+  val c15PartitionedPrune: Q = (s, d) => {
+    val out = scratchDir("c15_part")
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    s.read.parquet(out)
+      .filter(col("source").isin("src3", "src7"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_doc"))
+  }
+
+  /** Bucketed tables + EXCHANGE-FREE co-located join — the standing
+    * answer to "this fact-fact join shuffles every run": both sides
+    * are written `bucketBy(8, key).sortBy(key)` (hash-partitioned and
+    * sorted ON DISK), so the forced sort-merge join consumes the
+    * bucket layout directly — zero ShuffleExchange, zero Sort in the
+    * join subtree (SqlPlanSpec pins both). At 100 TB this turns every
+    * recurring join/agg on the bucket key from a full-corpus shuffle
+    * into a local merge — the amortize-the-shuffle-once pattern.
+    */
+  val c16BucketedJoin: Q = (s, d) => {
+    // external tables under the per-JVM scratch root: a stale managed
+    // location in spark-warehouse from a previous JVM can't collide
+    s.sql("DROP TABLE IF EXISTS c16_orders_b")
+    s.sql("DROP TABLE IF EXISTS c16_lineitem_b")
+    // Spark ≥3.0 stopped reporting sorted output from bucketed scans
+    // by default (a bucket split across files has no global order —
+    // SPARK-28583); the repartition below guarantees ONE file per
+    // bucket, which is exactly the condition under which the legacy
+    // trust is sound, so the conf is turned on here to complete the
+    // demonstration (only bucketed scans read it; c16 owns the only
+    // bucketed tables in the engine)
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // repartition on the bucket key before writing: one file per
+    // bucket is the condition under which the scan TRUSTS the on-disk
+    // sort (multi-file buckets force a defensive re-sort); the write-
+    // side shuffle is the one-time cost the layout amortizes
+    orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", scratchDir("c16_orders_b"))
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("c16_orders_b")
+    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+                          col("l_returnflag"))
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", scratchDir("c16_lineitem_b"))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("c16_lineitem_b")
+    s.table("c16_orders_b").hint("merge")
+      .join(s.table("c16_lineitem_b"),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c15_partitioned_prune" -> c15PartitionedPrune,
+    "c16_bucketed_join" -> c16BucketedJoin,
     "c14_unpivot" -> c14Unpivot,
     "c13_xml_roundtrip" -> c13XmlRoundtrip,
     "c12_orc_roundtrip" -> c12OrcRoundtrip,
@@ -242,6 +313,19 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // a lossless partitioned round-trip ≡ the filter on the flat table
+    "c15_partitioned_prune" ->
+      """SELECT source, lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents WHERE source IN ('src3', 'src7')
+        |GROUP BY source, lang""".stripMargin,
+    // bucketed layout changes the PLAN, not the result
+    "c16_bucketed_join" ->
+      s"""SELECT o_orderstatus, l_returnflag, count(1) AS n,
+         |  ${sqlMoneySum("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus, l_returnflag""".stripMargin,
     "c14_unpivot" ->
       s"""SELECT measure, count(1) AS n, ${sqlProdSum("val")} AS total
          |FROM (

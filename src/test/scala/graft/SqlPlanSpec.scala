@@ -77,4 +77,46 @@ class SqlPlanSpec extends AnyFunSuite {
     assert(fatStrings.isEmpty,
       s"unexpected string columns ride an exchange (possible aliased corpus text): $fatStrings")
   }
+
+  test("c15's scan prunes on the partition column — directories outside the filter are never read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry.queries("c15_partitioned_prune")(spark, sf)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = inner.collect { case sc: FileSourceScanExec => sc }
+    assert(scans.nonEmpty, "expected a file scan over the partitioned layout")
+    val sc = scans.head
+    assert(sc.partitionFilters.exists(_.references.exists(_.name == "source")),
+      s"source filter did not become a PartitionFilter: ${sc.partitionFilters}")
+    // the pruning itself: only the two selected directories survive
+    assert(sc.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions, scanned ${sc.selectedPartitions.partitionCount}")
+  }
+
+  test("c16's bucketed join subtree has no shuffle and no sort — the on-disk layout is consumed directly") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry.queries("c16_bucketed_join")(spark, sf)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smj = inner.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "bucketed join should plan as sort-merge")
+    // the join's INPUTS must be exchange-free and sort-free (the final
+    // aggregation above it legitimately shuffles on the group keys)
+    val offenders = smj.head.children.flatMap(_.collect {
+      case e: ShuffleExchangeExec => s"shuffle: $e"
+      case s: SortExec => s"sort: $s"
+    })
+    assert(offenders.isEmpty,
+      s"bucketed layout not consumed — join inputs re-shuffle/re-sort: $offenders")
+  }
 }
