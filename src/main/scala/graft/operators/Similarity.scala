@@ -300,7 +300,61 @@ object Similarity {
       .select(col("qid"), col("n_true"), col("n_hit"), col("recall_pct"))
   }
 
+  /** PRODUCT QUANTIZATION encoder — the vector-compression format
+    * serving-scale ANN actually ships (FAISS's PQ): the 64-dim vector
+    * splits into M=8 contiguous 8-dim SUBSPACES, each subvector snaps
+    * to its nearest of K=4 sub-centroids (L2, seeds = the subvectors
+    * of vectors 0..3 — the deterministic n5-style seeding), and the
+    * vector is stored as 8 2-bit codes (16 bits total vs 2048 — a
+    * 128× compression). Reported per label: the packed-code checksum,
+    * distinct packed codes, and total quantization distortion (the
+    * accuracy-vs-compression dial).
+    *
+    * Scale shape: the codebook is driver-held K·M·8 doubles inlined as
+    * typed literals (independent of corpus size) so encoding is a PURE
+    * MAP over the corpus — 32 fused fold expressions, no shuffle, no
+    * join — followed by the K-row label rollup. Exactness: float→
+    * double widening, fixed-order left folds, first-index argmin on
+    * both engines; distortion rounds per subspace THEN sums as exact
+    * decimal, so addition order cannot flake the hash.
+    */
+  val n8PqEncode: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    // driver-held codebook seeds: full vectors 0..3, subspace-sliced
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // squared L2 of subspace m against seed k's subvector
+    def sq(m: Int, k: Int): Column =
+      aggregate(
+        zip_with(slice(col("embedding"), m * 8 + 1, 8),
+                 lit(seeds(k).slice(m * 8, m * 8 + 8).toArray),
+                 (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, v) => acc + v)
+    var df = e
+    for (m <- 0 until 8) {
+      df = df.withColumn(s"dl_$m", array(sq(m, 0), sq(m, 1), sq(m, 2), sq(m, 3)))
+        .withColumn(s"code_$m",
+          array_position(col(s"dl_$m"), array_min(col(s"dl_$m"))) - 1)
+        .withColumn(s"err6_$m",
+          round(array_min(col(s"dl_$m")), 6).cast("decimal(22,6)"))
+    }
+    val codeKey = (0 until 8)
+      .map(m => col(s"code_$m") * lit(1L << (2 * m)))
+      .reduce(_ + _)
+    val err6 = (0 until 8).map(m => col(s"err6_$m")).reduce(_ + _)
+    df.withColumn("code_key", codeKey)
+      .withColumn("err6", err6)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("code_key")).as("sum_code_key"),
+           countDistinct(col("code_key")).as("n_distinct_codes"),
+           round(sum(col("err6")).cast(DoubleType), 6).as("total_distortion"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n8_pq_encode" -> n8PqEncode,
     "n7_ann_recall" -> n7AnnRecall,
     "n1_cosine_brute_topk" -> n1BruteTopK,
     "n2_lsh_buckets" -> n2LshBuckets,
@@ -327,6 +381,32 @@ object Similarity {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // codebook rebuilt in SQL from vectors 0..3 (the n5 pattern); the
+    // per-(vector, subspace) distances regroup into k-ordered lists so
+    // argmin tie order matches Spark's first-index array_position
+    "n8_pq_encode" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cb AS (SELECT vec_id AS k, emb AS ce FROM e WHERE vec_id < 4),
+        |sub AS (SELECT v.vec_id, v.label, ms.m, c.k,
+        |  list_sum(list_transform(
+        |    list_zip(v.emb[ms.m*8+1 : ms.m*8+8], c.ce[ms.m*8+1 : ms.m*8+8]),
+        |    p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM e v CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+        |           CROSS JOIN cb c),
+        |enc AS (SELECT vec_id, label, m,
+        |  list_position(dl, list_min(dl)) - 1 AS code,
+        |  CAST(round(list_min(dl), 6) AS DECIMAL(22,6)) AS err6
+        |  FROM (SELECT vec_id, label, m, list(dist ORDER BY k) AS dl
+        |        FROM sub GROUP BY vec_id, label, m)),
+        |vc AS (SELECT vec_id, label,
+        |  CAST(sum(code * (1::BIGINT << (2*m))) AS BIGINT) AS code_key,
+        |  sum(err6) AS err6v
+        |  FROM enc GROUP BY vec_id, label)
+        |SELECT label, count(1) AS n_vecs,
+        |  CAST(sum(code_key) AS BIGINT) AS sum_code_key,
+        |  count(DISTINCT code_key) AS n_distinct_codes,
+        |  round(CAST(sum(err6v) AS DOUBLE), 6) AS total_distortion
+        |FROM vc GROUP BY label""".stripMargin,
     "n7_ann_recall" ->
       s"""WITH bb AS (SELECT vec_id, embedding, $sqlBucket AS bucket FROM embeddings),
          |t0 AS (
