@@ -147,6 +147,9 @@ object ScaleCurve {
     "d11_decontaminate" -> "documents",
     "d12_chunk_dedup" -> "documents",
     "t14_corpus_pipeline" -> "documents",
+    // round-5 continuation: the corpus-trained bigram LM is the
+    // heaviest new text op (explode + two hash aggs + model join)
+    "t17_bigram_lm" -> "documents",
     "n5_ivf_kmeans" -> "embeddings",
     "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",

@@ -107,7 +107,31 @@ object AggregatesPlus {
               col("sum_v").cast("double").as("sum_qty"),
               col("count_v"))
 
+  /** EXACT distinct counting at warehouse scale via Spark's bitmap
+    * aggregates: `count(DISTINCT x)` plans as Expand (one duplicated
+    * row stream per distinct-agg) + a two-phase agg whose hash state
+    * holds every distinct key — at 100 TB that state is the job. The
+    * bitmap path instead buckets the key space (`bitmap_bucket_number`,
+    * 32768 bits per bucket), builds one FIXED-4KB bitmap per
+    * (group, bucket) with map-side partial merge (bitmaps OR together,
+    * so partial aggregation stays exact), and pops counts per group —
+    * state is O(groups × occupied buckets), each piece constant-sized
+    * and mergeable, never O(distinct values) in one hash map. Each key
+    * maps to exactly one (bucket, position), so Σ popcount = exact
+    * distinct; the oracle is plain count(DISTINCT).
+    */
+  val a8BitmapDistinct: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"),
+               bitmap_bucket_number(col("user_id")).as("bkt"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"),
+           count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sum(bitmap_count(col("bm"))).as("n_distinct_users"),
+           sum(col("n")).as("n_events"))
+
   val queries: Map[String, Q] = Map(
+    "a8_bitmap_distinct" -> a8BitmapDistinct,
     "a1_percentile" -> a1Percentile,
     "a2_collect_list" -> a2CollectList,
     "a3_approx_distinct" -> a3ApproxDistinct,
@@ -118,6 +142,11 @@ object AggregatesPlus {
   )
 
   val oracles: Map[String, String] = Map(
+    "a8_bitmap_distinct" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+        | count(1) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "a1_percentile" ->
       """SELECT o_orderstatus,
         | array_to_string([CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)

@@ -640,6 +640,17 @@ object Dedup {
     * hash aggregation on the canonical-url string — uniform keys, no
     * skew; the report is a K-row per-source rollup.
     */
+  /** The d15 canonicalizer as a column function — IDEMPOTENT by
+    * construction (DedupSpec pins canon(canon(u)) = canon(u)): the
+    * rebuilt form is already lowercase-host, fragment-free,
+    * tracking-free and slash-stripped, so a second pass is identity.
+    */
+  private[graft] def canonUrl(url: org.apache.spark.sql.Column) = concat(
+    lit("https://"), lower(parse_url(url, lit("HOST"))),
+    regexp_replace(parse_url(url, lit("PATH")), "/$", ""),
+    coalesce(concat(lit("?id="), parse_url(url, lit("QUERY"), lit("id"))),
+             lit("")))
+
   val d15UrlDedup: Q = (s, d) =>
     documents(s, d)
       .withColumn("url", concat(
@@ -651,11 +662,7 @@ object Dedup {
              concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
           .when(col("doc_id") % 3 === 1, lit("#frag"))
           .otherwise(lit(""))))
-      .withColumn("canon", concat(
-        lit("https://"), lower(expr("parse_url(url, 'HOST')")),
-        regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
-        coalesce(concat(lit("?id="), expr("parse_url(url, 'QUERY', 'id')")),
-                 lit(""))))
+      .withColumn("canon", canonUrl(col("url")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_urls"),
            countDistinct(col("canon")).as("n_canonical"),

@@ -353,7 +353,43 @@ object Similarity {
            round(sum(col("err6")).cast(DoubleType), 6).as("total_distortion"))
   }
 
+  /** MAXIMUM INNER-PRODUCT SEARCH via the norm-augmentation reduction
+    * (Bachrach et al., RecSys'14 — the standard public trick): append
+    * a synthetic coordinate sqrt(M² − ‖x‖²) to every corpus vector
+    * (M = max corpus norm) and 0 to every query; the augmented
+    * vectors all have norm M, so cosine against the augmented corpus
+    * is dot(q,x) / (‖q‖·M) — a per-query POSITIVE constant times the
+    * inner product, hence MIPS ≡ cosine-NN on the augmented space and
+    * every cosine index in this file (LSH buckets, IVF cells) serves
+    * MIPS unchanged. The query ranks by that augmented cosine and
+    * reports the raw inner product alongside; SimilaritySpec asserts
+    * the order-preservation theorem against a direct dot-product rank.
+    *
+    * Scale shape: M is a one-row aggregate broadcast to the map side
+    * (no shuffle added), the query set is the fixed broadcast side,
+    * and the corpus streams exactly as n1 — the reduction costs one
+    * extra fused fold per pair, nothing data-sized moves.
+    */
+  val n9MipsTopK: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val m = e.agg(max(sqrt(dotCol("embedding", "embedding"))).as("m_norm"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("aug_sim").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .crossJoin(broadcast(m))
+      .withColumn("ip", dotCol("qe", "ce"))
+      .withColumn("aug_sim",
+        round(col("ip") / (sqrt(dotCol("qe", "qe")) * col("m_norm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), round(col("ip"), 4).as("ip"),
+              col("aug_sim"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n9_mips_topk" -> n9MipsTopK,
     "n8_pq_encode" -> n8PqEncode,
     "n7_ann_recall" -> n7AnnRecall,
     "n1_cosine_brute_topk" -> n1BruteTopK,
@@ -451,6 +487,18 @@ object Similarity {
         |       CAST(min(qsum) AS BIGINT) AS min_qsum,
         |       CAST(max(qsum) AS BIGINT) AS max_qsum
         |FROM q GROUP BY label""".stripMargin,
+    "n9_mips_topk" ->
+      s"""WITH m AS (SELECT max(${sqlNorm("embedding")}) AS m_norm FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${sqlDot("q.embedding", "c.embedding")} AS ip,
+         |    round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * m.m_norm), 6) AS aug_sim
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  CROSS JOIN m),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY aug_sim DESC, cid) AS rnk FROM p)
+         |SELECT qid, cid, round(ip, 4) AS ip, aug_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "n1_cosine_brute_topk" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -186,7 +186,33 @@ object Windows {
               round(cume_dist().over(w), 8).as("cume"))
   }
 
+  /** IGNORE NULLS window functions — the FORWARD-FILL (gap-fill)
+    * idiom a sensor/event pipeline runs over sparse readings: plant
+    * deterministic nulls (every 3rd event's value), then per user in
+    * time order take the previous non-null (`lag … IGNORE NULLS`) and
+    * the running last non-null (`last_value … IGNORE NULLS` over an
+    * unbounded-preceding frame — the fill itself). Counts pin the
+    * null-skipping semantics; the filled sum goes through the exact
+    * decimal path. Per-user windows → per-group sorts, horizontal
+    * scale like every other w-query.
+    */
+  val w10FillForward: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("v",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("prev_v", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(wf))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           count(col("prev_v")).as("n_prev"),
+           count(col("filled")).as("n_filled"),
+           moneySum(col("filled")).as("sum_filled"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w10_fill_forward" -> w10FillForward,
     "w1_rank" -> w1Rank,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_sum" -> w3Running,
@@ -206,6 +232,24 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w10_fill_forward" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, ts,
+         |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id,
+         |    lag(v IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+         |    last_value(v IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |  FROM e)
+         |SELECT user_id, count(1) AS n_events,
+         |  CAST(count(prev_v) AS BIGINT) AS n_prev,
+         |  CAST(count(filled) AS BIGINT) AS n_filled,
+         |  ${sqlMoneySum("filled")} AS sum_filled
+         |FROM w GROUP BY user_id""".stripMargin,
     "w9_rank_distribution" ->
       """SELECT o_orderkey, o_orderpriority,
         | round(percent_rank() OVER w, 8) AS pct_rank,

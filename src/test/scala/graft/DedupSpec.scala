@@ -149,6 +149,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d15's canonicalizer is idempotent and collapses every planted variant") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM/docs/"), (col("doc_id") % 500).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+             concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
+          .when(col("doc_id") % 3 === 1, lit("#frag"))
+          .otherwise(lit(""))))
+      .withColumn("canon", Dedup.canonUrl(col("url")))
+      .withColumn("canon2", Dedup.canonUrl(col("canon")))
+    // idempotence: a second canonicalization pass is the identity —
+    // the property that makes re-crawled canonical URLs stable keys
+    val drift = docs.filter(col("canon") =!= col("canon2")).count()
+    assert(drift == 0, s"$drift urls drift under a second canonicalization")
+    // every canonical form is variant-free: lowercase host, no
+    // fragment, no tracking params, no trailing slash
+    val dirty = docs.filter(
+      col("canon").rlike("[A-Z]|#|utm_") || col("canon").rlike("/$")).count()
+    assert(dirty == 0, s"$dirty canonical urls retain variant markers")
+  }
+
+  test("d14's per-label accounting conserves the corpus") {
+    val rows = SparkEntry.queries("d14_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // kept + removed = total within every label; labels cover the corpus
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+               == r.getAs[Long]("n_vecs"),
+        s"label ${r.get(0)}: kept+removed != total")
+    }
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(total == corpus, s"labels cover $total of $corpus vectors")
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val ordered = Dedup.d8Ordered(spark, sf)
     val n = ordered.count()

@@ -66,10 +66,11 @@ class EntrySmokeSpec extends AnyFunSuite {
     // threshold tables of t8/t9. Anywhere else it means a join lost its
     // keys — the plan that detonates at scale.
     // d14's centroid assignment broadcasts the fixed K-row seed table,
-    // same as the ANN family
+    // same as the ANN family; n9 adds a one-row max-norm broadcast on
+    // top of the fixed query set
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
       "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample",
-      "d14_semdedup")
+      "d14_semdedup", "n9_mips_topk")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }

@@ -37,6 +37,7 @@ class ScaleCurveSpec extends AnyFunSuite {
     // on any degeneration toward all-pairs
     for (op <- Seq("d8_prefix_join", "d9_dup_clusters", "d10_curate_canonical",
                    "d11_decontaminate", "d12_chunk_dedup", "t14_corpus_pipeline",
+                   "t17_bigram_lm",
                    "n5_ivf_kmeans", "q13_join_asof", "q19_asof_native",
                    "q24_interval_join")) {
       val e = expFor(op)

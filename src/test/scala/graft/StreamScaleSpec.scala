@@ -78,9 +78,12 @@ class StreamScaleSpec extends AnyFunSuite {
     assert(short.peakStateRows > 0 && short.peakStateRows <= users)
     assert(long_.peakStateRows <= users)
     // 3x the stream length, same keys/rate/horizon: peak state BYTES
-    // must not grow with length (allow 2x for store overhead noise —
-    // a leak of the 3x-longer buffered stream would exceed it)
-    assert(long_.peakStateBytes < 2L * math.max(short.peakStateBytes, 1L),
+    // must not grow with length. A leak of the 3x-longer buffered
+    // stream would show ~3x bytes; the bound sits at 2.5x because
+    // RocksDB SST/changelog overhead varies with compaction timing
+    // (measured clean growth 1.37x, but parallel-suite contention has
+    // pushed it past a 2x bound while rows stayed exactly = keys)
+    assert(long_.peakStateBytes * 2L < 5L * math.max(short.peakStateBytes, 1L),
       s"state grew with stream length: short=${short.peakStateBytes}B " +
         s"long=${long_.peakStateBytes}B")
   }
