@@ -388,7 +388,112 @@ object Similarity {
               col("aug_sim"), col("rnk"))
   }
 
+  /** IVF + PQ — the composite a serving-scale vector store actually
+    * runs (FAISS `IVFx,PQy`): a coarse 16-cell inverted index prunes
+    * the corpus to the probed cells, and within them distances are
+    * computed AGAINST THE 16-BIT PQ CODES via asymmetric distance
+    * computation (ADC) — the query precomputes one 8×4 table of
+    * subspace distances to the sub-centroids, and a candidate's
+    * approximate distance is eight table lookups summed, never
+    * touching the raw vector.
+    *
+    * Scale shape, piece by piece:
+    * - corpus encode is a PURE MAP (cell = full-dim L2 argmin against
+    *   16 driver-held centroids, codes = n8's subspace argmin against
+    *   the driver-held 8×4 codebook) — no shuffle, no join; after it
+    *   the corpus rides as (cell, 8 codes) ≈ 5 bytes/vector, and at
+    *   100 TB the raw vectors are never re-read.
+    * - the ADC table is computed ONCE per query on the 8-row query
+    *   set (the classic ADC trick — without it each pair recomputes
+    *   32 subspace distances), then broadcast.
+    * - the search is a broadcast HASH join on the probed cell id (an
+    *   equi key — no nested loop), cost O(candidates in probed
+    *   cells), i.e. the inverted-list scan.
+    * Exactness: per-subspace lookups round to 6 decimals and sum as
+    * exact decimal (order-proof); ranking ties break on cid; probe
+    * ranking ties break on cell — all replayed verbatim by the
+    * oracle, which rebuilds both codebooks from the table in SQL.
+    */
+  val n10IvfPq: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    // driver-held codebooks: PQ seeds = vectors 0..3 (n8's seeding),
+    // coarse centroids = vectors 100..115 (n4's fixed-probe seeding)
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val cents: Seq[Seq[Double]] =
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // squared L2 of subspace m of `c` against PQ seed k's subvector
+    def sqSub(c: String, m: Int, k: Int): Column =
+      aggregate(
+        zip_with(slice(col(c), m * 8 + 1, 8),
+                 lit(seeds(k).slice(m * 8, m * 8 + 8).toArray),
+                 (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, v) => acc + v)
+    // full-dim squared L2 of `c` against coarse centroid j
+    def sqCent(c: String, j: Int): Column =
+      aggregate(
+        zip_with(col(c), lit(cents(j).toArray),
+                 (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def cdlOf(c: String): Column = array((0 until 16).map(j => sqCent(c, j)): _*)
+
+    // corpus: cell + 8 PQ codes, one map pass (first-index argmin ≡
+    // lowest cell/code on ties, matching the oracle's list_position)
+    var cor = e.select(col("vec_id").as("cid"), col("embedding"))
+      .withColumn("ccdl", cdlOf("embedding"))
+      .withColumn("cell",
+        (array_position(col("ccdl"), array_min(col("ccdl"))) - 1).cast("int"))
+    for (m <- 0 until 8) {
+      val dl = array(sqSub("embedding", m, 0), sqSub("embedding", m, 1),
+                     sqSub("embedding", m, 2), sqSub("embedding", m, 3))
+      cor = cor.withColumn(s"dl_$m", dl)
+        .withColumn(s"code_$m",
+          (array_position(col(s"dl_$m"), array_min(col(s"dl_$m"))) - 1).cast("int"))
+    }
+    cor = cor.select(col("cid") +: col("cell") +:
+      (0 until 8).map(m => col(s"code_$m")): _*)
+
+    // queries: ADC tables (once per query) + top-2 probe cells by
+    // (distance, cell) — a window over the exploded 16-cell list
+    var q1 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    for (m <- 0 until 8)
+      q1 = q1.withColumn(s"qdl_$m",
+        array(sqSub("qe", m, 0), sqSub("qe", m, 1),
+              sqSub("qe", m, 2), sqSub("qe", m, 3)))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cd"), col("pcell"))
+    val probes = q1
+      .withColumn("qcdl", cdlOf("qe"))
+      .select(col("qid") +: posexplode(col("qcdl")).as(Seq("pcell", "cd")) +:
+        (0 until 8).map(m => col(s"qdl_$m")): _*)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 2)
+      .select(col("qid") +: col("pcell").cast("int").as("pcell") +:
+        (0 until 8).map(m => col(s"qdl_$m")): _*)
+
+    // ADC: eight table lookups, rounded then summed as exact decimal
+    val ad6 = (0 until 8).map { m =>
+      round(element_at(col(s"qdl_$m"), col(s"code_$m") + 1), 6)
+        .cast("decimal(22,6)")
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("ad6"), col("cid"))
+    cor.join(broadcast(probes),
+             col("cell") === col("pcell") && col("qid") =!= col("cid"))
+      .withColumn("ad6", ad6)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), col("cell"),
+              round(col("ad6").cast(DoubleType), 6).as("approx_dist"),
+              col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n10_ivf_pq" -> n10IvfPq,
     "n9_mips_topk" -> n9MipsTopK,
     "n8_pq_encode" -> n8PqEncode,
     "n7_ann_recall" -> n7AnnRecall,
@@ -487,6 +592,51 @@ object Similarity {
         |       CAST(min(qsum) AS BIGINT) AS min_qsum,
         |       CAST(max(qsum) AS BIGINT) AS max_qsum
         |FROM q GROUP BY label""".stripMargin,
+    // both codebooks rebuilt from the table in SQL (the n8 pattern);
+    // sub/enc replay the PQ encoding, cas/cellof the coarse
+    // assignment, probes the top-2 window, and the ADC sum uses the
+    // same round-then-decimal-sum as the Spark side
+    "n10_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cb AS (SELECT vec_id AS k, emb AS ce FROM e WHERE vec_id < 4),
+        |cent AS (SELECT vec_id - 100 AS cell, emb AS ce FROM e
+        |         WHERE vec_id >= 100 AND vec_id < 116),
+        |sub AS (SELECT v.vec_id, ms.m, c.k,
+        |  list_sum(list_transform(
+        |    list_zip(v.emb[ms.m*8+1 : ms.m*8+8], c.ce[ms.m*8+1 : ms.m*8+8]),
+        |    p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM e v CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+        |           CROSS JOIN cb c),
+        |subl AS (SELECT vec_id, m, list(dist ORDER BY k) AS dl
+        |         FROM sub GROUP BY vec_id, m),
+        |enc AS (SELECT vec_id, m, list_position(dl, list_min(dl)) - 1 AS code
+        |        FROM subl),
+        |cas AS (SELECT v.vec_id, c.cell,
+        |  list_sum(list_transform(list_zip(v.emb, c.ce),
+        |    p -> (p[1]-p[2])*(p[1]-p[2]))) AS cd
+        |  FROM e v CROSS JOIN cent c),
+        |cellof AS (SELECT vec_id,
+        |  CAST(list_position(cdl, list_min(cdl)) - 1 AS INT) AS cell
+        |  FROM (SELECT vec_id, list(cd ORDER BY cell) AS cdl
+        |        FROM cas GROUP BY vec_id)),
+        |probes AS (SELECT vec_id AS qid, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+        |  FROM cas WHERE vec_id < 8) WHERE rn <= 2),
+        |qtab AS (SELECT vec_id AS qid, m, dl FROM subl WHERE vec_id < 8),
+        |cand AS (SELECT p.qid, co.vec_id AS cid, co.cell
+        |         FROM probes p JOIN cellof co
+        |           ON co.cell = p.cell AND co.vec_id <> p.qid),
+        |approx AS (SELECT ca.qid, ca.cid, ca.cell,
+        |  sum(CAST(round(q.dl[en.code + 1], 6) AS DECIMAL(22,6))) AS ad6
+        |  FROM cand ca
+        |  JOIN enc en ON en.vec_id = ca.cid
+        |  JOIN qtab q ON q.qid = ca.qid AND q.m = en.m
+        |  GROUP BY ca.qid, ca.cid, ca.cell),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY ad6, cid) AS rnk FROM approx)
+        |SELECT qid, cid, cell, round(CAST(ad6 AS DOUBLE), 6) AS approx_dist, rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "n9_mips_topk" ->
       s"""WITH m AS (SELECT max(${sqlNorm("embedding")}) AS m_norm FROM embeddings),
          |p AS (
