@@ -651,17 +651,33 @@ object Dedup {
     coalesce(concat(lit("?id="), parse_url(url, lit("QUERY"), lit("id"))),
              lit("")))
 
+  /** The deterministic synthetic crawl URL (documents carry no url
+    * column): mixed-case host, trailing-slash/utm/fragment variants
+    * planted by doc_id residue. Shared by d15, t18, and DedupSpec;
+    * `sqlSyntheticUrl` is its oracle twin.
+    */
+  private[graft] def syntheticUrl: org.apache.spark.sql.Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
+    lit(".Example.COM/docs/"), (col("doc_id") % 500).cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+         concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
+      .when(col("doc_id") % 3 === 1, lit("#frag"))
+      .otherwise(lit("")))
+
+  private[graft] val sqlSyntheticUrl: String =
+    """'https://' ||
+      |    CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END ||
+      |    '.Example.COM/docs/' || CAST(doc_id % 500 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0
+      |           THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+      |         WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END""".stripMargin
+
   val d15UrlDedup: Q = (s, d) =>
     documents(s, d)
-      .withColumn("url", concat(
-        lit("https://"),
-        when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
-        lit(".Example.COM/docs/"), (col("doc_id") % 500).cast("string"),
-        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-             concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
-          .when(col("doc_id") % 3 === 1, lit("#frag"))
-          .otherwise(lit(""))))
+      .withColumn("url", syntheticUrl)
       .withColumn("canon", canonUrl(col("url")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_urls"),
@@ -755,19 +771,13 @@ object Dedup {
     // the URL builder and every canonicalization rule replayed with
     // regexes (the same HOST/PATH/QUERY splits parse_url performs)
     "d15_url_dedup" ->
-      """WITH u AS (
+      s"""WITH u AS (
         |  SELECT doc_id, source,
-        |    'https://' ||
-        |    CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END ||
-        |    '.Example.COM/docs/' || CAST(doc_id % 500 AS VARCHAR) ||
-        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
-        |    CASE WHEN doc_id % 3 = 0
-        |           THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
-        |         WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |    $sqlSyntheticUrl AS url
         |  FROM documents),
         |c AS (SELECT source,
         |  'https://' || lower(regexp_extract(url, 'https://([^/]+)/', 1)) ||
-        |  regexp_replace(regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1), '/$', '') ||
+        |  regexp_replace(regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1), '/$$', '') ||
         |  CASE WHEN regexp_extract(url, '[?&]id=([0-9]*)', 1) <> ''
         |       THEN '?id=' || regexp_extract(url, '[?&]id=([0-9]*)', 1)
         |       ELSE '' END AS canon

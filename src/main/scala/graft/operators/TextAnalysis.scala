@@ -488,7 +488,48 @@ object TextAnalysis {
            min(col("doc_id")).as("min_doc"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the GROUP split an eval-
+    * honest training pipeline needs where t7's per-document hash split
+    * is NOT enough: near-duplicate pages from one site land in
+    * different splits under a per-doc hash, so the val set "tests" on
+    * paraphrases of training data. Here the split key is the CANONICAL
+    * DOMAIN (lowercased `parse_url` host of the crawl URL, d15's
+    * canonicalization family): every document of a domain lands in the
+    * same split by construction, so site-level near-dups cannot
+    * straddle the boundary. The report carries the verification an ML
+    * platform actually runs — `max_domain_splits`, the maximum number
+    * of distinct splits any domain touches, which MUST be 1.
+    *
+    * Scale shape: domain + split are map-side expressions (no RNG, no
+    * partitioning dependence — same doc → same split on any cluster);
+    * the report is one hash agg on the K-valued split key, and the
+    * leak check is a (domain)-keyed agg reduced to ONE row and
+    * broadcast back. With coarse groups the 80/10/10 targets are
+    * approximate per split — the inherent group-split trade-off the
+    * counts make visible.
+    */
+  val t18GroupSplit: Q = (s, d) => {
+    val assigned = documents(s, d)
+      .withColumn("domain",
+        lower(parse_url(graft.operators.Dedup.syntheticUrl, lit("HOST"))))
+      .withColumn("h", expr(
+        """cast(conv(substring(md5(concat('gsplit:', domain)), 1, 8),
+          |          16, 10) as bigint) % 100""".stripMargin))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test"))
+    val leak = assigned.groupBy(col("domain"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k")).as("max_domain_splits"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("domain")).as("n_domains"),
+           countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(broadcast(leak))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t18_group_split" -> t18GroupSplit,
     "t16_concentration" -> t16Concentration,
     "t17_bigram_lm" -> t17BigramLm,
     "t15_domain_filter" -> t15DomainFilter,
@@ -509,6 +550,30 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // the shared synthetic-URL builder + the HOST regex twin of
+    // parse_url (d15's dialect), then the same salted-hash split
+    "t18_group_split" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang,
+         |    ${graft.operators.Dedup.sqlSyntheticUrl} AS url
+         |  FROM documents),
+         |a AS (SELECT lang,
+         |  lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS domain
+         |  FROM u),
+         |sp AS (SELECT lang, domain,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |    ('0x' || substr(md5('gsplit:' || domain), 1, 8))::BIGINT % 100 AS h
+         |    FROM a)),
+         |leak AS (SELECT max(k) AS max_domain_splits FROM
+         |  (SELECT domain, count(DISTINCT split) AS k FROM sp GROUP BY domain))
+         |SELECT split, count(1) AS n_docs,
+         |  count(DISTINCT domain) AS n_domains,
+         |  count(DISTINCT lang) AS n_langs,
+         |  max_domain_splits
+         |FROM sp CROSS JOIN leak
+         |GROUP BY split, max_domain_splits""".stripMargin,
     "t16_concentration" ->
       s"""WITH t AS ($sqlDocs),
          |p AS (SELECT source, CAST(length(ws) AS BIGINT) AS n,

@@ -151,15 +151,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("d15's canonicalizer is idempotent and collapses every planted variant") {
     val docs = graft.sources.Tables.documents(spark, sf)
-      .withColumn("url", concat(
-        lit("https://"),
-        when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
-        lit(".Example.COM/docs/"), (col("doc_id") % 500).cast("string"),
-        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-             concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
-          .when(col("doc_id") % 3 === 1, lit("#frag"))
-          .otherwise(lit(""))))
+      .withColumn("url", Dedup.syntheticUrl)
       .withColumn("canon", Dedup.canonUrl(col("url")))
       .withColumn("canon2", Dedup.canonUrl(col("canon")))
     // idempotence: a second canonicalization pass is the identity —

@@ -68,9 +68,11 @@ class EntrySmokeSpec extends AnyFunSuite {
     // d14's centroid assignment broadcasts the fixed K-row seed table,
     // same as the ANN family; n9 adds a one-row max-norm broadcast on
     // top of the fixed query set
+    // t18 broadcasts its ONE-ROW leak-check aggregate back onto the
+    // K-row split report — fixed-size by construction
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
       "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample",
-      "d14_semdedup", "n9_mips_topk")
+      "d14_semdedup", "n9_mips_topk", "t18_group_split")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
