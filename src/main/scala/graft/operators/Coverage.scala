@@ -293,7 +293,38 @@ object Coverage {
       .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** SCHEMA EVOLUTION on read (`mergeSchema`) — the data-lake reality
+    * that a corpus accumulated over years is never one schema: an old
+    * batch carries `o_totalprice`, a newer one dropped it and added
+    * `o_orderpriority`. The merged read presents the UNION schema with
+    * nulls where a batch lacks the column, and the aggregation pattern
+    * downstream code must use (`count(col)` / null-skipping sums, not
+    * `count(*)`) is what the query reports per status. Merging footers
+    * is a planning-time cost over file METADATA (per-file footer reads
+    * are distributed); the scan itself stays columnar with constant
+    * null vectors for absent columns — no row-level rewrite of old
+    * batches, which at 100 TB is the entire point.
+    */
+  val c17MergeSchema: Q = (s, d) => {
+    val out = scratchDir("c17_evolve")
+    val o = orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/b1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("o_totalprice")).as("n_with_price"),
+           count(col("o_orderpriority")).as("n_with_priority"),
+           moneySum(col("o_totalprice")).as("sum_price"),
+           min(col("o_orderpriority")).as("first_priority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c17_merge_schema" -> c17MergeSchema,
     "c15_partitioned_prune" -> c15PartitionedPrune,
     "c16_bucketed_join" -> c16BucketedJoin,
     "c14_unpivot" -> c14Unpivot,
@@ -313,6 +344,19 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the merged union-schema read ≡ per-batch CASE projections of
+    // the flat table (column absent in a batch → NULL)
+    "c17_merge_schema" ->
+      s"""SELECT o_orderstatus, count(1) AS n_rows,
+         |  CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+         |    AS n_with_price,
+         |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+         |    AS n_with_priority,
+         |  ${sqlMoneySum("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END")}
+         |    AS sum_price,
+         |  min(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+         |    AS first_priority
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // a lossless partitioned round-trip ≡ the filter on the flat table
     "c15_partitioned_prune" ->
       """SELECT source, lang, count(1) AS n_docs,
