@@ -167,7 +167,12 @@ object ScaleCurve {
     "d9_dup_clusters" -> "documents",
     "d10_curate_canonical" -> "documents",
     "t14_corpus_pipeline" -> "documents",
-    "q24_interval_join" -> "events")
+    "q24_interval_join" -> "events",
+    // d8's shallow fit already has the data term dominant (0.54,
+    // wall 2.2→7.4 s over sf0.1→sf1) — it rides the deep series
+    // because it is the TOP BENCH RESIDENT: the decade fit is the
+    // direct answer to "how does the heaviest op scale at 300×"
+    "d8_prefix_join" -> "documents")
 
   private def time2(body: => Unit): Double = {
     val ts = (1 to 2).map { _ =>

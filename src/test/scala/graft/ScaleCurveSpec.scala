@@ -65,7 +65,8 @@ class ScaleCurveSpec extends AnyFunSuite {
     //    adjacent 3x step, which is why the decade pair carries this);
     //  - the decade growth exponent stays sub-quadratic.
     for (op <- Seq("d9_dup_clusters", "d10_curate_canonical",
-                   "t14_corpus_pipeline", "q24_interval_join")) {
+                   "t14_corpus_pipeline", "q24_interval_join",
+                   "d8_prefix_join")) {
       val pts = deepSeries(op)
       assert(pts.size >= 4, s"$op deep series incomplete: $pts")
       val (n1, s1) = pts(1) // sf3
