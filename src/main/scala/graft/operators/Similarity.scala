@@ -427,20 +427,24 @@ object Similarity {
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    // squared L2 of subspace m of `c` against PQ seed k's subvector
-    def sqSub(c: String, m: Int, k: Int): Column =
-      aggregate(
-        zip_with(slice(col(c), m * 8 + 1, 8),
-                 lit(seeds(k).slice(m * 8, m * 8 + 8).toArray),
-                 (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-        lit(0.0), (acc, v) => acc + v)
-    // full-dim squared L2 of `c` against coarse centroid j
-    def sqCent(c: String, j: Int): Column =
-      aggregate(
-        zip_with(col(c), lit(cents(j).toArray),
-                 (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-        lit(0.0), (acc, v) => acc + v)
-    def cdlOf(c: String): Column = array((0 until 16).map(j => sqCent(c, j)): _*)
+    // distance LISTS as nested higher-order folds over LITERAL
+    // array-of-array codebooks — one expression per list instead of
+    // one fold per (codebook entry): the flat form (16 + 8×4 separate
+    // folds) measured ~1.5 s of pure plan/codegen-compile weight at
+    // ANY corpus size; this tree is ~6× smaller and arithmetic-
+    // identical (same left folds, same element order)
+    def sqListVs(c: Column, book: Seq[Seq[Double]]): Column =
+      transform(typedLit(book), ref =>
+        aggregate(
+          zip_with(c, ref,
+                   (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (acc, v) => acc + v))
+    // per-subspace 4-entry distance list of `c` against the PQ seeds
+    def dlOf(c: String, m: Int): Column =
+      sqListVs(slice(col(c), m * 8 + 1, 8),
+               seeds.map(_.slice(m * 8, m * 8 + 8)))
+    // 16-entry full-dim distance list against the coarse centroids
+    def cdlOf(c: String): Column = sqListVs(col(c), cents)
 
     // corpus: cell + 8 PQ codes, one map pass (first-index argmin ≡
     // lowest cell/code on ties, matching the oracle's list_position)
@@ -449,9 +453,7 @@ object Similarity {
       .withColumn("cell",
         (array_position(col("ccdl"), array_min(col("ccdl"))) - 1).cast("int"))
     for (m <- 0 until 8) {
-      val dl = array(sqSub("embedding", m, 0), sqSub("embedding", m, 1),
-                     sqSub("embedding", m, 2), sqSub("embedding", m, 3))
-      cor = cor.withColumn(s"dl_$m", dl)
+      cor = cor.withColumn(s"dl_$m", dlOf("embedding", m))
         .withColumn(s"code_$m",
           (array_position(col(s"dl_$m"), array_min(col(s"dl_$m"))) - 1).cast("int"))
     }
@@ -463,9 +465,7 @@ object Similarity {
     var q1 = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     for (m <- 0 until 8)
-      q1 = q1.withColumn(s"qdl_$m",
-        array(sqSub("qe", m, 0), sqSub("qe", m, 1),
-              sqSub("qe", m, 2), sqSub("qe", m, 3)))
+      q1 = q1.withColumn(s"qdl_$m", dlOf("qe", m))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cd"), col("pcell"))
     val probes = q1
       .withColumn("qcdl", cdlOf("qe"))
