@@ -37,6 +37,48 @@ class SimilaritySpec extends AnyFunSuite {
         s"only-got=${got -- expected} only-expected=${expected -- got}")
   }
 
+  test("n10: ADC lookup distance IS the distance to the PQ-reconstructed vector") {
+    // the identity product quantization rests on: because subspaces
+    // are disjoint coordinate blocks, sum_m ||q_m - c[m][code_m]||^2
+    // (eight table lookups) equals ||q - decode(codes)||^2 (distance
+    // to the reconstructed vector). Recompute both sides in plain
+    // Scala from the raw table and check the query's approx_dist
+    // against the reconstruction distance — proving the lookups
+    // really are distances to decoded vectors, not just consistent
+    // bookkeeping.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vecs = e.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    val seeds = (0L until 4L).map(vecs)
+    def subDist(v: Array[Double], m: Int, k: Int): Double =
+      (0 until 8).foldLeft(0.0) { (a, i) =>
+        val d = v(m * 8 + i) - seeds(k)(m * 8 + i); a + d * d
+      }
+    def codesOf(v: Array[Double]): Seq[Int] =
+      (0 until 8).map { m =>
+        val ds = (0 until 4).map(k => subDist(v, m, k))
+        ds.indexOf(ds.min)
+      }
+    def decode(codes: Seq[Int]): Array[Double] =
+      (0 until 64).map(i => seeds(codes(i / 8))(i)).toArray
+    val rows = SparkEntry.queries("n10_ivf_pq")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, cid) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      val ad = r.getAs[Double]("approx_dist")
+      val q = vecs(qid)
+      val rec = decode(codesOf(vecs(cid)))
+      val recDist = q.indices.foldLeft(0.0) { (a, i) =>
+        val d = q(i) - rec(i); a + d * d
+      }
+      // ad rounds each of 8 subspace terms to 1e-6 before summing →
+      // the two sides agree within 8 * 5e-7 plus float-fold noise
+      assert(math.abs(ad - recDist) < 5e-6,
+        s"($qid,$cid): ADC $ad != reconstruction distance $recDist")
+    }
+  }
+
   test("a8: bitmap popcount sum equals count(DISTINCT) exactly") {
     val got = SparkEntry.queries("a8_bitmap_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
