@@ -26,7 +26,8 @@ object SparkEntry {
     operators.WindowsBatch.queries ++
     operators.UdfSurface.queries ++
     operators.Coverage.queries ++
-    operators.SqlSurface.queries
+    operators.SqlSurface.queries ++
+    operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     operators.WindowsBatch.oracles ++
     operators.UdfSurface.oracles ++
     operators.Coverage.oracles ++
-    operators.SqlSurface.oracles
+    operators.SqlSurface.oracles ++
+    operators.Graph.oracles
 }

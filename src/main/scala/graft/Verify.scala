@@ -20,7 +20,14 @@ object Verify {
     // exit non-zero at the end — a local regression is loud instead of
     // surfacing only as a silently missing output dir.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to the
+    // named queries (the driver never sets it, so the gate always runs
+    // the full surface).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -323,7 +323,55 @@ object Coverage {
            min(col("o_orderpriority")).as("first_priority"))
   }
 
+  /** SCD2 dimension build + point-in-time snapshot — the versioned-
+    * data-management pattern (slowly-changing dimension, CDC compact)
+    * over the event log: per user, consecutive same-state events
+    * collapse to version rows (change detection via lag), each version
+    * carries [valid_from, valid_to) from its successor via lead, and a
+    * probe timestamp reconstructs the as-of state — time travel over a
+    * plain parquet log, no table format required.
+    *
+    * Scale shape: both window passes partition by user_id — ONE hash
+    * exchange on the natural key, then two in-partition sorted scans;
+    * the probe instant derives from the global (min, max) epoch-micros
+    * midpoint, a one-row aggregate broadcast back (integer micros, so
+    * both engines compute the identical instant — no interval
+    * arithmetic). The final report is a K-valued hash agg on state.
+    * At 100 TB the event log shuffles once by entity and every
+    * partition builds its dimension slice independently — the same
+    * one-exchange discipline as w2/w10.
+    */
+  val c18Scd2Snapshot: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type").as("state"),
+              expr("unix_micros(ts)").as("us"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val versions = ev
+      .withColumn("prev_state", lag(col("state"), 1).over(byUser))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_from", col("us"))
+      .withColumn("valid_to", lead(col("us"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("event_id"))))
+    val probe = events(s, d).agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").as("p_us"))
+    versions.crossJoin(broadcast(probe))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_versions"),
+           sum(col("valid_to").isNull.cast("long")).as("n_current"),
+           sum((col("valid_from") <= col("p_us") &&
+                (col("valid_to").isNull || col("valid_to") > col("p_us")))
+             .cast("long")).as("n_at_probe"),
+           sum(when(col("valid_to").isNotNull,
+                    col("valid_to") - col("valid_from")))
+             .as("closed_dur_us"),
+           min(col("user_id")).as("min_user"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c18_scd2_snapshot" -> c18Scd2Snapshot,
     "c17_merge_schema" -> c17MergeSchema,
     "c15_partitioned_prune" -> c15PartitionedPrune,
     "c16_bucketed_join" -> c16BucketedJoin,
@@ -344,6 +392,32 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical SCD2 build: lag change-detect, lead validity interval,
+    // integer-micros midpoint probe
+    "c18_scd2_snapshot" ->
+      """WITH ev AS (SELECT user_id, event_type AS state,
+        |              epoch_us(ts) AS us, event_id FROM events),
+        |v0 AS (SELECT *, lag(state) OVER
+        |         (PARTITION BY user_id ORDER BY us, event_id)
+        |         AS prev_state FROM ev),
+        |v1 AS (SELECT user_id, state, us AS valid_from, event_id FROM v0
+        |       WHERE prev_state IS NULL OR prev_state <> state),
+        |v2 AS (SELECT *, lead(valid_from) OVER
+        |         (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |         AS valid_to FROM v1),
+        |pr AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+        |         AS p_us FROM events)
+        |SELECT state, count(1) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_current,
+        |  CAST(sum(CASE WHEN valid_from <= p_us
+        |                 AND (valid_to IS NULL OR valid_to > p_us)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_at_probe,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+        |            THEN valid_to - valid_from END) AS BIGINT)
+        |    AS closed_dur_us,
+        |  min(user_id) AS min_user
+        |FROM v2 CROSS JOIN pr GROUP BY state""".stripMargin,
     // the merged union-schema read ≡ per-batch CASE projections of
     // the flat table (column absent in a batch → NULL)
     "c17_merge_schema" ->

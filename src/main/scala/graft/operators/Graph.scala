@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Graph analytics over the crawl corpus — the link-structure family
+  * that complements the dedup module's connected components (d9):
+  * where CC answers "which pages are the same", PageRank answers
+  * "which sites matter", the centrality prior most quality-weighted
+  * training-data mixtures use as a feature.
+  *
+  * The link graph is derived deterministically from the corpus
+  * (documents carry no link column): nodes are the crawl sources and
+  * each document contributes one out-edge from its own source to the
+  * source whose lexicographic rank is `doc_id % n_nodes` — a pure
+  * function of (doc_id, source) both engines replay exactly.
+  *
+  * Scale shape: the edge list is ONE hash aggregation over the corpus
+  * on (src, dst) — the only corpus-sized shuffle in the whole query;
+  * everything after runs on the K-node aggregate. Each power iteration
+  * is edges ⋈ out-degree ⋈ ranks on `src` followed by a hash agg on
+  * `dst` — with K-row rank/degree tables Catalyst broadcasts both
+  * sides, and at web scale (1e9 nodes) the identical plan shape runs
+  * as a co-partitioned shuffle join keyed on `src`, the same iterative
+  * discipline d9's label propagation uses (`Dedup.scala` d9 scaladoc).
+  * Ranks are integer parts-per-million with damping 0.85 applied as
+  * `150000 + (850000 * inmass) DIV 1000000`; per-edge mass transfer is
+  * `(r * w) DIV outw`. Integer division at fixed points makes every
+  * iteration bit-identical across engines and partitionings — the same
+  * transcendental-free discipline as t16/t17 — and sums of per-edge
+  * integer terms are order-independent, so the result is stable under
+  * any shuffle. Every node has out-degree ≥ 1 by construction (each
+  * source owns at least one document), so there is no dangling-mass
+  * term to redistribute.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val iters = 3
+
+  /** One power-iteration step: ranks(node, r) -> updated ranks. */
+  private def step(nodes: DataFrame, edges: DataFrame,
+                   outdeg: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(outdeg, "src")
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"),
+              expr("(r * w) DIV outw").as("c"))
+      .groupBy(col("node"))
+      .agg(sum(col("c")).as("inmass"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+              expr("150000 + (850000 * coalesce(inmass, 0)) DIV 1000000")
+                .as("r"))
+  }
+
+  val g1PageRank: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    // K-row node table with a dense lexicographic id. The single-
+    // partition window is K rows (crawl-source count), not corpus rows.
+    val nodes = docs.select(col("source").as("node")).distinct()
+      .withColumn("nid",
+        (row_number().over(Window.orderBy(col("node"))) - 1).cast("long"))
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    val edges = docs.select(col("doc_id"), col("source").as("src"))
+      .crossJoin(broadcast(nn))
+      .withColumn("dst_nid", col("doc_id") % col("nn"))
+      .join(broadcast(nodes.select(col("node").as("dst"),
+                                   col("nid").as("dst_nid"))),
+            "dst_nid")
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val indeg = edges.groupBy(col("dst")).agg(sum(col("w")).as("inw"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters)
+      ranks = step(nodes, edges, outdeg, ranks)
+    ranks
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"))
+      .join(indeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"), col("r").as("rank_ppm"),
+              col("outw").as("out_w"),
+              coalesce(col("inw"), lit(0L)).as("in_w"))
+  }
+
+  /** The oracle unrolls the same three integer-ppm iterations as CTEs;
+    * DuckDB `//` is Spark `DIV` on the all-positive operands here.
+    */
+  private val g1Oracle: String = {
+    def stepSql(prev: String, out: String): String =
+      s"""c_$out AS (SELECT e.dst AS node,
+         |  CAST(sum((r.r * e.w) // o.outw) AS BIGINT) AS inmass
+         |  FROM edges e JOIN outd o USING (src)
+         |  JOIN $prev r ON r.node = e.src GROUP BY 1),
+         |$out AS (SELECT n.node,
+         |  CAST(150000 + (850000 * coalesce(c.inmass, 0)) // 1000000
+         |       AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c_$out c USING (node))""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+       |         AS nid
+       |  FROM (SELECT DISTINCT source AS node FROM documents)),
+       |nn AS (SELECT count(1) AS nn FROM nodes),
+       |edges AS (
+       |  SELECT d.source AS src, n2.node AS dst, count(1) AS w
+       |  FROM documents d CROSS JOIN nn JOIN nodes n2
+       |    ON d.doc_id % nn.nn = n2.nid
+       |  GROUP BY 1, 2),
+       |outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+       |         FROM edges GROUP BY 1),
+       |ind AS (SELECT dst, CAST(sum(w) AS BIGINT) AS inw
+       |        FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${stepSql("r0", "r1")},
+       |${stepSql("r1", "r2")},
+       |${stepSql("r2", "r3")}
+       |SELECT r.node, r.r AS rank_ppm, o.outw AS out_w,
+       |       coalesce(i.inw, 0) AS in_w
+       |FROM r3 r JOIN outd o ON o.src = r.node
+       |LEFT JOIN ind i ON i.dst = r.node""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g1_pagerank" -> g1PageRank,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_pagerank" -> g1Oracle,
+  )
+}

@@ -528,7 +528,95 @@ object TextAnalysis {
       .crossJoin(broadcast(leak))
   }
 
+  /** BM25 ranking for a fixed query — the retrieval scorer a
+    * RAG-style training pipeline runs over the corpus where t8's raw
+    * TF-IDF is only a weighting. Same one-exchange shape as t8: the
+    * exploded token stream feeds document length, term frequency and
+    * document frequency; corpus stats (N, total tokens) reduce to ONE
+    * row and broadcast back onto the per-(doc, term) score map.
+    *
+    * Arithmetic is integer at fixed points (the t16/t17 discipline) so
+    * both engines replay it bit-exactly: the Robertson log-idf is
+    * replaced by the documented rational idf `(N - df) * 1000 DIV df`
+    * (same ordering, zero for terms in over half the corpus — the
+    * stopword suppression BM25's idf exists for, visible on 'the'),
+    * and the length norm `1 - b + b * dl/avgdl` with k1 = 1.2,
+    * b = 0.75 becomes `250000 + (750000 * dl * N) DIV total_tokens`
+    * ppm. Per-term score = idf_milli * tfc_milli (micro units), summed
+    * per document; top-10 by (score desc, doc_id) is a global
+    * TakeOrderedAndProject — no full sort at any scale.
+    */
+  val t19Bm25: Q = (s, d) => {
+    org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = Seq("spark", "merge", "window", "the")
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              expr("shingles(lower(text), 1)").as("term"))
+    val dl = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("tot"), count(lit(1)).as("nd"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.filter(col("term").isin(qTerms: _*))
+      .select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_milli", expr("((nd - df) * 1000) DIV df"))
+      .withColumn("norm_ppm",
+        expr("250000 + (750000 * dl * nd) DIV tot"))
+      .withColumn("tfc_milli", expr(
+        "(tf * 2200000000) DIV (tf * 1000000 + (1200000 * norm_ppm) DIV 1000000)"))
+      .withColumn("term_micro", expr("idf_milli * tfc_milli"))
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+           count(lit(1)).as("n_hit"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** One BPE-training merge round — the inner loop of tokenizer
+    * training, which at corpus scale is exactly this map-reduce job
+    * repeated: count adjacent symbol pairs, pick the most frequent,
+    * apply the merge, re-derive the vocabulary. Pair emission is a
+    * map-side explode linear in corpus characters feeding ONE hash
+    * agg; the winning pair is a 1-row TakeOrdered broadcast (ties
+    * break lexicographically, so the round is deterministic — the
+    * property that makes a distributed tokenizer build reproducible);
+    * the merge itself is a map-only `replace` (leftmost
+    * non-overlapping in both engines) and the before/after vocabulary
+    * sizes are distinct aggregates over words. Real BPE iterates this
+    * job ~50k times; one round is the unit of distributed work.
+    */
+  val t20BpePairs: Q = (s, d) => {
+    val words = docs(s, d)
+      .select(explode(col("ws")).as("w"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("pc"))
+    val top = pairs
+      .orderBy(col("pc").desc, col("pair")).limit(1)
+    val merged = words.crossJoin(broadcast(top))
+      .select(col("pair"), col("pc"), col("w"),
+              expr("replace(w, pair, 'Ø')").as("mw"))
+    merged.groupBy(col("pair"), col("pc"))
+      .agg(countDistinct(col("w")).as("vocab_before"),
+           countDistinct(col("mw")).as("vocab_after"),
+           sum((col("w") =!= col("mw")).cast("long")).as("n_occ_merged"))
+      .select(col("pair").as("top_pair"), col("pc").as("pair_count"),
+              col("vocab_before"), col("vocab_after"), col("n_occ_merged"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t19_bm25" -> t19Bm25,
+    "t20_bpe_pairs" -> t20BpePairs,
     "t18_group_split" -> t18GroupSplit,
     "t16_concentration" -> t16Concentration,
     "t17_bigram_lm" -> t17BigramLm,
@@ -550,6 +638,56 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same integer-ppm BM25 pipeline: rational idf, length norm,
+    // saturating tf component, micro-unit per-term scores
+    "t19_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, lang, count(1) AS dl FROM toks GROUP BY 1, 2),
+        |st AS (SELECT CAST(sum(dl) AS BIGINT) AS tot, count(1) AS nd FROM dl),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM toks
+        |       WHERE term IN ('spark', 'merge', 'window', 'the')
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |        WHERE term IN ('spark', 'merge', 'window', 'the')
+        |        GROUP BY 1),
+        |sc AS (SELECT t.doc_id, d2.lang,
+        |         (((nd - df) * 1000) // df) *
+        |         ((t.tf * 2200000000) //
+        |          (t.tf * 1000000 +
+        |           (1200000 * (250000 + (750000 * d2.dl * nd) // tot))
+        |             // 1000000)) AS term_micro
+        |       FROM tf t JOIN dfq USING (term)
+        |       JOIN dl d2 ON d2.doc_id = t.doc_id CROSS JOIN st),
+        |ag AS (SELECT doc_id, lang, CAST(sum(term_micro) AS BIGINT)
+        |         AS score_micro, count(1) AS n_hit
+        |       FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY score_micro DESC, doc_id) AS rnk FROM ag)
+        |SELECT doc_id, lang, score_micro, n_hit, rnk FROM r
+        |WHERE rnk <= 10""".stripMargin,
+    // one BPE merge round: sliding char-pair emit, lexicographic-tie
+    // top pair, leftmost-non-overlapping replace in both engines
+    "t20_bpe_pairs" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |w AS (SELECT unnest(ws) AS w FROM t),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |               i -> substr(w, i, 2))) AS pair
+        |      FROM w WHERE length(w) >= 2),
+        |pc AS (SELECT pair, count(1) AS pc FROM p GROUP BY 1),
+        |top AS (SELECT pair, pc FROM pc ORDER BY pc DESC, pair LIMIT 1),
+        |m AS (SELECT top.pair, top.pc, w.w,
+        |        replace(w.w, top.pair, 'Ø') AS mw
+        |      FROM w CROSS JOIN top)
+        |SELECT pair AS top_pair, pc AS pair_count,
+        |  count(DISTINCT w) AS vocab_before,
+        |  count(DISTINCT mw) AS vocab_after,
+        |  CAST(sum(CASE WHEN w <> mw THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_occ_merged
+        |FROM m GROUP BY 1, 2""".stripMargin,
     // the shared synthetic-URL builder + the HOST regex twin of
     // parse_url (d15's dialect), then the same salted-hash split
     "t18_group_split" ->

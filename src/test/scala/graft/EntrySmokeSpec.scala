@@ -70,9 +70,13 @@ class EntrySmokeSpec extends AnyFunSuite {
     // top of the fixed query set
     // t18 broadcasts its ONE-ROW leak-check aggregate back onto the
     // K-row split report — fixed-size by construction
+    // g1 broadcasts the one-row node count onto the corpus edge map;
+    // t19 the one-row (N, total-token) stats; t20 the one-row winning
+    // pair — all fixed-size by construction
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
       "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample",
-      "d14_semdedup", "n9_mips_topk", "t18_group_split")
+      "d14_semdedup", "n9_mips_topk", "t18_group_split",
+      "g1_pagerank", "t19_bm25", "t20_bpe_pairs", "c18_scd2_snapshot")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
