@@ -13,8 +13,13 @@ import graft.sources.Tables._
   * The link graph is derived deterministically from the corpus
   * (documents carry no link column): nodes are the crawl sources and
   * each document contributes one out-edge from its own source to the
-  * source whose lexicographic rank is `doc_id % n_nodes` — a pure
-  * function of (doc_id, source) both engines replay exactly.
+  * source whose lexicographic rank is a salted md5 of the doc id mod
+  * n_nodes — a pure function of (doc_id, source) both engines replay
+  * exactly (t18's hash dialect). A hash destination matters: the
+  * corpus assigns sources round-robin by doc_id, so any residue rule
+  * `doc_id % n` builds a PERMUTATION graph — doubly stochastic, whose
+  * PageRank fixed point is exactly uniform (GraphSpec guards
+  * non-degeneracy).
   *
   * Scale shape: the edge list is ONE hash aggregation over the corpus
   * on (src, dst) — the only corpus-sized shuffle in the whole query;
@@ -66,7 +71,9 @@ object Graph {
     val nn = nodes.agg(count(lit(1)).as("nn"))
     val edges = docs.select(col("doc_id"), col("source").as("src"))
       .crossJoin(broadcast(nn))
-      .withColumn("dst_nid", col("doc_id") % col("nn"))
+      .withColumn("dst_nid", expr(
+        """cast(conv(substring(md5(concat('g1:', cast(doc_id as string))),
+          |          1, 8), 16, 10) as bigint)""".stripMargin) % col("nn"))
       .join(broadcast(nodes.select(col("node").as("dst"),
                                    col("nid").as("dst_nid"))),
             "dst_nid")
@@ -106,7 +113,8 @@ object Graph {
        |edges AS (
        |  SELECT d.source AS src, n2.node AS dst, count(1) AS w
        |  FROM documents d CROSS JOIN nn JOIN nodes n2
-       |    ON d.doc_id % nn.nn = n2.nid
+       |    ON ('0x' || substr(md5('g1:' || CAST(d.doc_id AS VARCHAR)),
+       |        1, 8))::BIGINT % nn.nn = n2.nid
        |  GROUP BY 1, 2),
        |outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
        |         FROM edges GROUP BY 1),

@@ -543,8 +543,12 @@ object TextAnalysis {
     * and the length norm `1 - b + b * dl/avgdl` with k1 = 1.2,
     * b = 0.75 becomes `250000 + (750000 * dl * N) DIV total_tokens`
     * ppm. Per-term score = idf_milli * tfc_milli (micro units), summed
-    * per document; top-10 by (score desc, doc_id) is a global
-    * TakeOrderedAndProject — no full sort at any scale.
+    * per document; the global rank-10 filter over the empty window
+    * partition is rewritten by Catalyst (`LimitPushDownThroughWindow`)
+    * into `TakeOrderedAndProject(limit=10)` — per-partition top-10 +
+    * driver merge, with the window ranking only the surviving 10 rows
+    * — so the full scored set never rides an exchange (SqlPlanSpec
+    * pins the rewrite).
     */
   val t19Bm25: Q = (s, d) => {
     org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)

@@ -119,4 +119,36 @@ class SqlPlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"bucketed layout not consumed — join inputs re-shuffle/re-sort: $offenders")
   }
+
+  test("t19's global top-10 rewrites to TakeOrderedAndProject below the window") {
+    val p = plan("t19_bm25")
+    // LimitPushDownThroughWindow turns `filter(rnk <= 10)` over the
+    // empty-partition window into a global top-k: per-partition top-10
+    // + driver merge, window ranks only the surviving rows
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      "rank filter should rewrite to a rank-limit, not a global sort")
+  }
+
+  test("t20's winning pair is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("t20_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject(limit=1"),
+      "top-1 pair selection must be per-partition top-k + driver merge")
+  }
+
+  test("c18's two window passes share ONE exchange on the entity key") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry.queries("c18_scd2_snapshot")(spark, sf)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val userKeyed = inner.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("user_id") => e
+    }
+    assert(userKeyed.size == 1,
+      s"SCD2 build should shuffle the log ONCE by user_id, saw ${userKeyed.size}")
+  }
 }
