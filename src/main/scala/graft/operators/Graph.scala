@@ -61,24 +61,10 @@ object Graph {
   }
 
   val g1PageRank: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
-    // K-row node table with a dense lexicographic id. The single-
-    // partition window is K rows (crawl-source count), not corpus rows.
-    val nodes = docs.select(col("source").as("node")).distinct()
-      .withColumn("nid",
-        (row_number().over(Window.orderBy(col("node"))) - 1).cast("long"))
-    val nn = nodes.agg(count(lit(1)).as("nn"))
-    val edges = docs.select(col("doc_id"), col("source").as("src"))
-      .crossJoin(broadcast(nn))
-      .withColumn("dst_nid", expr(
-        """cast(conv(substring(md5(concat('g1:', cast(doc_id as string))),
-          |          1, 8), 16, 10) as bigint)""".stripMargin) % col("nn"))
-      .join(broadcast(nodes.select(col("node").as("dst"),
-                                   col("nid").as("dst_nid"))),
-            "dst_nid")
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
+    // K-row node table (crawl-source count); the edge list is the one
+    // corpus-sized aggregation (see edgeList below)
+    val nodes = documents(s, d).select(col("source").as("node")).distinct()
+    val edges = edgeList(s, d)
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val indeg = edges.groupBy(col("dst")).agg(sum(col("w")).as("inw"))
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
@@ -130,11 +116,105 @@ object Graph {
        |LEFT JOIN ind i ON i.dst = r.node""".stripMargin
   }
 
+  /** The shared deterministic edge derivation (see g1's scaladoc):
+    * (src, dst, w) with dst a salted-md5 pick over the node set.
+    */
+  private def edgeList(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val nodes = docs.select(col("source").as("node")).distinct()
+      .withColumn("nid",
+        (row_number().over(Window.orderBy(col("node"))) - 1).cast("long"))
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    docs.select(col("doc_id"), col("source").as("src"))
+      .crossJoin(broadcast(nn))
+      .withColumn("dst_nid", expr(
+        """cast(conv(substring(md5(concat('g1:', cast(doc_id as string))),
+          |          1, 8), 16, 10) as bigint)""".stripMargin) % col("nn"))
+      .join(broadcast(nodes.select(col("node").as("dst"),
+                                   col("nid").as("dst_nid"))),
+            "dst_nid")
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Triangle count + global clustering coefficient — the community-
+    * structure diagnostic over the same derived link graph.
+    *
+    * The join is VERTEX-ORDERED (the Suri–Vassilvitskii MapReduce
+    * discipline): undirected edges keep only `a < b`, wedges come from
+    * E(a,b) ⋈ E(b,c) on the shared vertex `b` (so `a < b < c` by
+    * construction and every triangle is generated exactly once), and
+    * closure is a semi-check join against E(a,c). Ordering bounds the
+    * per-vertex fan-out by the ordered degree (≤ arboricity on real
+    * graphs) — the reason this plan survives power-law degree skew
+    * where a naive all-neighbors join detonates on the hub vertices.
+    *
+    * Scale shape: the corpus is touched ONCE (the g1 edge aggregation);
+    * everything after runs on the O(nodes²)-bounded edge aggregate,
+    * keyed joins only. Wedge count is Σ_v C(deg_v, 2) off a degree
+    * agg; the clustering coefficient 3·triangles/wedges reports in
+    * integer basis points (the t16 discipline).
+    */
+  val g2Triangles: Q = (s, d) => {
+    val und = edgeList(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = und.select(col("a"), col("b"))
+      .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("deg2"),
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), expr("deg2 DIV 2").as("n_edges"),
+              col("n_wedges"), col("n_triangles"),
+              expr("(3 * n_triangles * 10000) DIV n_wedges")
+                .as("clustering_bp"))
+  }
+
+  private val g2Oracle: String =
+    """WITH nodes AS (
+      |  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+      |         AS nid
+      |  FROM (SELECT DISTINCT source AS node FROM documents)),
+      |nn AS (SELECT count(1) AS nn FROM nodes),
+      |edges AS (
+      |  SELECT d.source AS src, n2.node AS dst
+      |  FROM documents d CROSS JOIN nn JOIN nodes n2
+      |    ON ('0x' || substr(md5('g1:' || CAST(d.doc_id AS VARCHAR)),
+      |        1, 8))::BIGINT % nn.nn = n2.nid
+      |  GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM edges WHERE src <> dst),
+      |tri AS (SELECT count(1) AS n_triangles
+      |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+      |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |deg AS (SELECT v, count(1) AS deg FROM
+      |          (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      |        GROUP BY v),
+      |st AS (SELECT count(1) AS n_nodes, CAST(sum(deg) AS BIGINT) AS deg2,
+      |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      |       FROM deg)
+      |SELECT n_nodes, deg2 // 2 AS n_edges, n_wedges, n_triangles,
+      |  (3 * n_triangles * 10000) // n_wedges AS clustering_bp
+      |FROM st CROSS JOIN tri""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1PageRank,
+    "g2_triangles" -> g2Triangles,
   )
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1Oracle,
+    "g2_triangles" -> g2Oracle,
   )
 }

@@ -76,7 +76,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
       "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample",
       "d14_semdedup", "n9_mips_topk", "t18_group_split",
-      "g1_pagerank", "t19_bm25", "t20_bpe_pairs", "c18_scd2_snapshot")
+      "g1_pagerank", "g2_triangles", "t19_bm25", "t20_bpe_pairs",
+      "c18_scd2_snapshot")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
