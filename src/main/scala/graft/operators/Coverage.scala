@@ -370,7 +370,56 @@ object Coverage {
            min(col("user_id")).as("min_user"))
   }
 
+  /** CDC upsert/delete MERGE — the incremental-ingest compaction a
+    * lakehouse runs per batch, expressed as a plain keyed full-outer
+    * join (no table format required): the change batch carries
+    * insert/update/delete ops, the merged snapshot keeps untouched
+    * base rows, applies updates over matches, appends inserts, and
+    * drops deletes. The change batch is derived deterministically from
+    * the base table (updates: keys ≡ 3 mod 10 with a price bump and
+    * forced status; deletes: keys ≡ 7 mod 10; inserts: fresh keys in
+    * the negative id space — d13's collision-free convention).
+    *
+    * Scale shape: ONE co-partitioned join on the merge key — with the
+    * snapshot bucketed by key (the c16 layout) the base side never
+    * re-shuffles and a small change batch broadcasts; the report is a
+    * K-valued hash agg. Every engine-level MERGE INTO (Delta/Iceberg)
+    * lowers to exactly this plan.
+    */
+  val c19UpsertMerge: Q = (s, d) => {
+    val base = orders(s, d).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    // money rides as exact DECIMAL(18,2) through the merge (the Num
+    // discipline): the +100 update lands in decimal, never double
+    val changes = base
+      .filter(col("k") % 10 === 3 || col("k") % 10 === 7)
+      .select(col("k"),
+              when(col("k") % 10 === 3, lit("U")).otherwise(lit("D"))
+                .as("op"),
+              lit("X").as("new_status"),
+              (dec2(col("price")) + lit(100)).as("new_price"))
+      .unionByName(
+        base.filter(col("k") % 100 === 11).select(
+          (-col("k")).as("k"), lit("I").as("op"),
+          lit("N").as("new_status"),
+          (dec2(col("price")) + lit(0)).as("new_price")))
+    val merged = base.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+              when(col("op").isNotNull, col("new_status"))
+                .otherwise(col("status")).as("status"),
+              when(col("op").isNotNull, col("new_price"))
+                .otherwise(dec2(col("price")) + lit(0)).as("price"))
+    merged.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("price")).cast("double"), 2).as("sum_price"),
+           min(col("k")).as("min_key"),
+           max(col("k")).as("max_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c19_upsert_merge" -> c19UpsertMerge,
     "c18_scd2_snapshot" -> c18Scd2Snapshot,
     "c17_merge_schema" -> c17MergeSchema,
     "c15_partitioned_prune" -> c15PartitionedPrune,
@@ -392,6 +441,25 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the merge replayed as its set-algebra equivalent: untouched base
+    // rows + updated rows + inserts, deletes dropped; money in decimal
+    "c19_upsert_merge" ->
+      """WITH m AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + 0 AS price
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X',
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + 100
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N',
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + 0
+        |  FROM orders WHERE o_orderkey % 100 = 11)
+        |SELECT status, count(1) AS n_rows,
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS sum_price,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM m GROUP BY status""".stripMargin,
     // identical SCD2 build: lag change-detect, lead validity interval,
     // integer-micros midpoint probe
     "c18_scd2_snapshot" ->
