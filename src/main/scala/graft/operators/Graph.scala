@@ -136,6 +136,14 @@ object Graph {
             "dst_nid")
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
+      // The edge aggregate is K²-bounded and every consumer (degree
+      // tables, each power iteration, wedge/closure joins) references
+      // it repeatedly — without materialization Spark re-runs the
+      // corpus scan + aggregation once PER reference. Eager
+      // localCheckpoint cuts the plan here (d9's iterative-CC
+      // discipline): the corpus is read exactly once, downstream
+      // reuse hits the checkpointed blocks.
+      .localCheckpoint(true)
   }
 
   /** Triangle count + global clustering coefficient — the community-
