@@ -685,7 +685,60 @@ object Dedup {
            (count(lit(1)) - countDistinct(col("canon"))).as("n_dups_removed"),
            min(col("canon")).as("first_canon"))
 
+  /** Sketch-calibration eval — n7's index-quality measurement, for the
+    * dedup family: over the LSH candidate pairs (d3/d9's band-join
+    * edges), compare the MinHash ESTIMATE (matching permutations out
+    * of 8) against the EXACT shingle-set Jaccard (basis points,
+    * integer DIV), bucketed by estimate. This is the table a pipeline
+    * owner reads before trusting a 100 TB dedup to the sketch: it
+    * shows where the 8-permutation estimate is honest and how wide
+    * its error band is at each level.
+    *
+    * Scale shape: pairs come from the BANDING (bounded by bucket
+    * collisions, never all-pairs); the exact intersection is an
+    * (id, shingle)-keyed join of only the candidate docs' shingle
+    * sets — per-pair cost O(|A|+|B|), co-partitioned at scale; the
+    * estimate is a zip of two 8-long arrays. Everything is integer
+    * (match counts, basis points), so the rollup is order-proof.
+    */
+  val d16MinhashCalibration: Q = (s, d) => {
+    val mhArr = (0 until 8)
+      .map(j => s"array_min(transform(hs, h -> h ^ ${seedConsts(j)}L))")
+      .mkString("array(", ", ", ")")
+    val base = docs(s, d)
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("hs", expr(baseHashes))
+      .select(col("doc_id"), expr(mhArr).as("mh"),
+              array_distinct(col("sh")).as("shd"))
+    val sizes = base.select(col("doc_id"), col("mh"), size(col("shd")).as("nsh"))
+    val bands = bandTable(s, d)
+    val pairs = bands.toDF("a", "band").join(bands.toDF("b", "band_b"),
+        col("band") === col("band_b") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val ex = base.select(col("doc_id"), explode(col("shd")).as("tk"))
+    val inter = pairs
+      .join(ex.select(col("doc_id").as("a"), col("tk")), "a")
+      .join(ex.select(col("doc_id").as("b2"), col("tk").as("tk_b")),
+            col("b2") === col("b") && col("tk_b") === col("tk"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+    pairs.join(inter, Seq("a", "b"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("a"), col("mh").as("ma"),
+                         col("nsh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("mh").as("mb"),
+                         col("nsh").as("nb")), "b")
+      .withColumn("est_matches", expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("true_bp", expr("(ni * 10000) DIV (na + nb - ni)"))
+      .groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+           expr("CAST(sum(true_bp) DIV count(1) AS BIGINT)").as("avg_true_bp"),
+           min(col("true_bp")).as("min_true_bp"),
+           max(col("true_bp")).as("max_true_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d16_minhash_calibration" -> d16MinhashCalibration,
     "d14_semdedup" -> d14SemDedup,
     "d15_url_dedup" -> d15UrlDedup,
     "d11_decontaminate" -> d11Decontaminate,
@@ -741,6 +794,42 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full replay: bands → candidate pairs, distinct-shingle join for
+    // exact Jaccard, xor-permutation zip for the estimate, integer
+    // basis-point rollup by estimate level
+    "d16_minhash_calibration" -> {
+      val mhList = (0 until 8).map(sqlMh).mkString("[", ", ", "]")
+      val bands = (0 until 4).map { b =>
+        s"('$b:' || ${sqlMh(2 * b)} || '-' || ${sqlMh(2 * b + 1)})"
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS ($sqlDocs),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+         |hs0 AS (SELECT doc_id, $sqlBaseHashes AS hs,
+         |               list_distinct(sh) AS shd FROM s),
+         |mh AS (SELECT doc_id, $mhList AS mh, len(shd) AS nsh, shd FROM hs0),
+         |e AS (SELECT doc_id, unnest($bands) AS band FROM hs0),
+         |p AS (SELECT e1.doc_id AS a, e2.doc_id AS b FROM e e1
+         |      JOIN e e2 ON e1.band = e2.band AND e1.doc_id < e2.doc_id
+         |      GROUP BY 1, 2),
+         |ex AS (SELECT doc_id, unnest(shd) AS tk FROM mh),
+         |io AS (SELECT p.a, p.b, count(1) AS ni FROM p
+         |       JOIN ex xa ON xa.doc_id = p.a
+         |       JOIN ex xb ON xb.doc_id = p.b AND xb.tk = xa.tk
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT p.a, p.b, coalesce(io.ni, 0) AS ni
+         |       FROM p LEFT JOIN io USING (a, b)),
+         |j AS (SELECT pr.a, pr.b,
+         |        CAST(list_sum(list_transform(list_zip(ma.mh, mb.mh),
+         |          q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END))
+         |             AS INTEGER) AS est_matches,
+         |        (pr.ni * 10000) // (ma.nsh + mb.nsh - pr.ni) AS true_bp
+         |      FROM pr JOIN mh ma ON ma.doc_id = pr.a
+         |      JOIN mh mb ON mb.doc_id = pr.b)
+         |SELECT est_matches, count(1) AS n_pairs,
+         |  CAST(sum(true_bp) // count(1) AS BIGINT) AS avg_true_bp,
+         |  min(true_bp) AS min_true_bp, max(true_bp) AS max_true_bp
+         |FROM j GROUP BY 1""".stripMargin
+    },
     // seed-centroid assignment replayed like n5's oracle (same double
     // left-fold dot/norm, same csim DESC, cell ASC tie order), then the
     // within-cell pair search and min-id-keeper rule in plain SQL

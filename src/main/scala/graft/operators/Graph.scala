@@ -216,13 +216,78 @@ object Graph {
       |  (3 * n_triangles * 10000) // n_wedges AS clustering_bp
       |FROM st CROSS JOIN tri""".stripMargin
 
+  /** Two-hop NEIGHBORHOOD AGGREGATION — the message-passing primitive
+    * GNN feature pipelines run over the link graph (GraphSAGE-style
+    * neighbor sums, computed relationally): each node's feature is its
+    * own document count, hop 1 is the in-edge-weighted sum of neighbor
+    * features, hop 2 propagates hop 1 once more. Everything is integer
+    * (counts × edge weights), so each hop is an order-independent sum —
+    * bit-identical on any partitioning.
+    *
+    * Scale shape: identical to a PageRank step (g1) — one keyed join
+    * edges ⋈ features on `src` plus a hash agg on `dst` per hop,
+    * broadcast at K nodes, co-partitioned on the edge key at 1e9
+    * nodes; the corpus is touched once for the edge aggregate (shared,
+    * checkpointed) and once for the K-row feature table. Hop count is
+    * the GNN depth: each layer is one more join+agg, never a wider
+    * shuffle.
+    */
+  val g3NeighborAgg: Q = (s, d) => {
+    val feats = documents(s, d)
+      .groupBy(col("source").as("node"))
+      .agg(count(lit(1)).as("feat0"))
+    val edges = edgeList(s, d)
+    def hop(f: DataFrame, c: String, out: String): DataFrame = edges
+      .join(f.select(col("node").as("src"), col(c).as("fv")), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("w") * col("fv")).as(out))
+    val h1 = hop(feats, "feat0", "h1")
+    val h1Full = feats.select(col("node"))
+      .join(h1, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h1"), lit(0L)).as("h1"))
+    val h2 = hop(h1Full, "h1", "h2")
+    feats
+      .join(h1, Seq("node"), "left")
+      .join(h2, Seq("node"), "left")
+      .select(col("node"), col("feat0"),
+              coalesce(col("h1"), lit(0L)).as("h1"),
+              coalesce(col("h2"), lit(0L)).as("h2"))
+  }
+
+  private val g3Oracle: String =
+    """WITH nodes AS (
+      |  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+      |         AS nid
+      |  FROM (SELECT DISTINCT source AS node FROM documents)),
+      |nn AS (SELECT count(1) AS nn FROM nodes),
+      |edges AS (
+      |  SELECT d.source AS src, n2.node AS dst, count(1) AS w
+      |  FROM documents d CROSS JOIN nn JOIN nodes n2
+      |    ON ('0x' || substr(md5('g1:' || CAST(d.doc_id AS VARCHAR)),
+      |        1, 8))::BIGINT % nn.nn = n2.nid
+      |  GROUP BY 1, 2),
+      |feats AS (SELECT source AS node, count(1) AS feat0
+      |          FROM documents GROUP BY 1),
+      |h1 AS (SELECT e.dst AS node, CAST(sum(e.w * f.feat0) AS BIGINT) AS h1
+      |       FROM edges e JOIN feats f ON f.node = e.src GROUP BY 1),
+      |h1f AS (SELECT f.node, coalesce(h1.h1, 0) AS h1
+      |        FROM feats f LEFT JOIN h1 USING (node)),
+      |h2 AS (SELECT e.dst AS node, CAST(sum(e.w * h.h1) AS BIGINT) AS h2
+      |       FROM edges e JOIN h1f h ON h.node = e.src GROUP BY 1)
+      |SELECT f.node, f.feat0, coalesce(h1.h1, 0) AS h1,
+      |       coalesce(h2.h2, 0) AS h2
+      |FROM feats f LEFT JOIN h1 USING (node) LEFT JOIN h2 USING (node)"""
+      .stripMargin
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
+    "g3_neighbor_agg" -> g3NeighborAgg,
   )
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1Oracle,
     "g2_triangles" -> g2Oracle,
+    "g3_neighbor_agg" -> g3Oracle,
   )
 }

@@ -492,7 +492,54 @@ object Similarity {
               col("rnk"))
   }
 
+  /** TWO-STAGE retrieval — quantized-scan shortlist + full-precision
+    * re-rank (the ScaNN/FAISS serving pattern): stage 1 scans integer
+    * fixed-point codes (floor(x·100) per component — 4 bytes of exact
+    * integer arithmetic instead of a float dot) and keeps the top-8
+    * candidates per query by quantized dot; stage 2 fetches the FULL
+    * vectors for only those 8·|Q| survivors and re-ranks the top-3 by
+    * exact cosine. Both stage ranks are reported so rank swaps (the
+    * quantization error the re-rank exists to fix) are visible.
+    *
+    * Scale shape: stage 1 streams the code column only — at 100 TB the
+    * raw float vectors are never read by the scan, and the integer dot
+    * is a fused fold (order-independent integer sums, bit-identical on
+    * any partitioning). Stage 2's full-vector fetch is a broadcast
+    * hash join of the TINY shortlist against the corpus — full
+    * precision touches O(k·|Q|) rows, not O(N). Quantization uses
+    * floor, not round, so both engines agree at .5 boundaries.
+    */
+  val n11Rerank: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val codes = expr(
+      "transform(embedding, v -> cast(floor(cast(v as double) * 100.0) as bigint))")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), codes.as("qc"))
+    val c = e.select(col("vec_id").as("cid"), codes.as("cc"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("cid"))
+    val shortlist = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("qdot", expr(
+        """aggregate(zip_with(qc, cc, (a, b) -> a * b),
+          |          cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("rnk_approx", row_number().over(w1))
+      .filter(col("rnk_approx") <= 8)
+      .select(col("qid"), col("cid"), col("qdot"), col("rnk_approx"))
+    val qe = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    ce.join(broadcast(shortlist), "cid")
+      .join(broadcast(qe), "qid")
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("qdot").as("approx_dot"),
+              col("rnk_approx"), col("sim"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n11_rerank" -> n11Rerank,
     "n10_ivf_pq" -> n10IvfPq,
     "n9_mips_topk" -> n9MipsTopK,
     "n8_pq_encode" -> n8PqEncode,
@@ -522,6 +569,31 @@ object Similarity {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // stage 1 replayed over the same floor(x*100) codes (integer-exact
+    // dot, DESC/cid tie order), stage 2 re-fetches full vectors for the
+    // shortlist rows only and re-ranks by the shared cosine form
+    "n11_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |codes AS (SELECT vec_id,
+         |  list_transform(emb, x -> CAST(floor(x * 100.0) AS BIGINT)) AS c
+         |  FROM e),
+         |s0 AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |  CAST(list_sum(list_transform(list_zip(q.c, c.c),
+         |                               p -> p[1] * p[2])) AS BIGINT) AS qdot
+         |  FROM codes q JOIN codes c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |s1 AS (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY qdot DESC, cid) AS rnk_approx
+         |       FROM s0),
+         |sh AS (SELECT * FROM s1 WHERE rnk_approx <= 8),
+         |r0 AS (SELECT sh.qid, sh.cid, sh.qdot, sh.rnk_approx,
+         |  round(${sqlDot("q.emb", "c.emb")} /
+         |        (${sqlNorm("q.emb")} * ${sqlNorm("c.emb")}), 6) AS sim
+         |  FROM sh JOIN e q ON q.vec_id = sh.qid JOIN e c ON c.vec_id = sh.cid),
+         |r1 AS (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |       FROM r0)
+         |SELECT qid, cid, qdot AS approx_dot, rnk_approx, sim, rnk
+         |FROM r1 WHERE rnk <= 3""".stripMargin,
     // codebook rebuilt in SQL from vectors 0..3 (the n5 pattern); the
     // per-(vector, subspace) distances regroup into k-ordered lists so
     // argmin tie order matches Spark's first-index array_position

@@ -618,7 +618,48 @@ object TextAnalysis {
               col("vocab_before"), col("vocab_after"), col("n_occ_merged"))
   }
 
+  /** Stratified EXACT-quota sampling — the mixture-spec operator t9's
+    * rate sampler cannot express: "exactly `quota` docs per language",
+    * not "≈ rate · n". Selection is rank-by-salted-hash within each
+    * stratum, so membership is deterministic, uniform, and stable
+    * under re-runs and partitioning.
+    *
+    * Scale shape (two-phase oversample-then-trim): a naive per-stratum
+    * rank windows the WHOLE corpus through a lang-keyed sort. Instead
+    * the exact stratum counts (a K-row aggregate, broadcast) set a
+    * per-stratum hash-gate at 8× the quota rate, the gate runs as a
+    * map-side filter on the scan, and only the ~8·quota survivors per
+    * stratum pay the rank window — the sort input is O(quota), not
+    * O(stratum). Both phases are pure functions of (doc_id, lang), so
+    * the oracle replays them bit-exactly; the 8× margin makes a
+    * stratum shortfall vanishingly unlikely at any corpus size (and
+    * the gate disables itself — keep_ppm = 1e6 — for strata near the
+    * quota).
+    */
+  val t21StratifiedSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val quota = 12
+    val docsT = documents(s, d)
+    val gates = docsT.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr(s"(8L * $quota * 1000000) DIV n_lang")))
+    val surv = docsT.join(broadcast(gates), "lang")
+      .withColumn("hk", md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+      .filter(expr(
+        "cast(conv(substring(hk, 1, 8), 16, 10) as bigint) % 1000000")
+        < col("keep_ppm"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    surv.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= quota)
+      .groupBy(col("lang"), col("n_lang"))
+      .agg(count(lit(1)).as("n_sample"),
+           min(col("doc_id")).as("min_doc"),
+           sum(col("doc_id")).as("id_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t21_stratified_sample" -> t21StratifiedSample,
     "t19_bm25" -> t19Bm25,
     "t20_bpe_pairs" -> t20BpePairs,
     "t18_group_split" -> t18GroupSplit,
@@ -642,6 +683,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same two-phase replay: K-row gate from exact counts, map-side
+    // hash filter, rank-by-hash trim within each stratum
+    "t21_stratified_sample" ->
+      """WITH cnt AS (SELECT lang, count(1) AS n_lang FROM documents GROUP BY 1),
+        |g AS (SELECT lang, n_lang,
+        |        least(1000000, (8 * 12 * 1000000) // n_lang) AS keep_ppm
+        |      FROM cnt),
+        |sv AS (SELECT d.doc_id, d.lang, g.n_lang,
+        |         md5('strat:' || CAST(d.doc_id AS VARCHAR)) AS hk
+        |       FROM documents d JOIN g USING (lang)
+        |       WHERE ('0x' || substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)),
+        |              1, 8))::BIGINT % 1000000 < g.keep_ppm),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY lang ORDER BY hk, doc_id) AS rnk FROM sv)
+        |SELECT lang, n_lang, count(1) AS n_sample, min(doc_id) AS min_doc,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rnk <= 12 GROUP BY lang, n_lang""".stripMargin,
     // the same integer-ppm BM25 pipeline: rational idf, length norm,
     // saturating tf component, micro-unit per-term scores
     "t19_bm25" ->

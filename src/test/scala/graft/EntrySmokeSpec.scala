@@ -73,11 +73,13 @@ class EntrySmokeSpec extends AnyFunSuite {
     // g1 broadcasts the one-row node count onto the corpus edge map;
     // t19 the one-row (N, total-token) stats; t20 the one-row winning
     // pair — all fixed-size by construction
+    // n11's stage-1 quantized scan broadcasts the fixed 8-row query
+    // code set (n1's shape); g3 rides g1's one-row node-count edge map
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
       "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample",
       "d14_semdedup", "n9_mips_topk", "t18_group_split",
       "g1_pagerank", "g2_triangles", "t19_bm25", "t20_bpe_pairs",
-      "c18_scd2_snapshot")
+      "c18_scd2_snapshot", "n11_rerank", "g3_neighbor_agg")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
