@@ -130,7 +130,43 @@ object AggregatesPlus {
       .agg(sum(bitmap_count(col("bm"))).as("n_distinct_users"),
            sum(col("n")).as("n_events"))
 
+  /** MERGEABLE sketch columns — the two-level distinct-count pattern a
+    * warehouse actually runs at 100 TB: each shard (here user_id % 8,
+    * in production a partition/day/source) aggregates its slice into a
+    * serialized Datasketches HLL sketch (`hll_sketch_agg`, a fixed
+    * few-KB binary regardless of slice cardinality), the sketches
+    * PERSIST as a column, and any rollup — per type, per month, total
+    * — is `hll_union_agg` over the stored sketches with no second pass
+    * over the raw corpus. a3 shows the one-shot estimate; a9 shows the
+    * state being merged, which is the property that makes incremental
+    * refresh possible (union yesterday's sketch with today's).
+    *
+    * Sketch bytes are engine-specific, so no SQL oracle (rows-only by
+    * design, like a3/d13) — the query is SELF-CHECKING instead: the
+    * exact distinct rides along and `within_tol` bounds the merged
+    * estimate at 10× the lgK=12 standard error (~1.6%); a broken merge
+    * or column mix-up flips the rows-only hash on any engine.
+    */
+  val a9HllUnion: Q = (s, d) => {
+    val shardSketches = events(s, d)
+      .groupBy(col("event_type"), (col("user_id") % 8).as("shard"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = shardSketches
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+             .as("approx_users"),
+           count(lit(1)).as("n_shards"))
+    val exact = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .withColumn("within_tol",
+        abs(col("approx_users") - col("exact_users"))
+          .leq(greatest(col("exact_users") * 0.016 * 10, lit(10.0))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a9_hll_union" -> a9HllUnion,
     "a8_bitmap_distinct" -> a8BitmapDistinct,
     "a1_percentile" -> a1Percentile,
     "a2_collect_list" -> a2CollectList,

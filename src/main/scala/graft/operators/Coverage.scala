@@ -418,7 +418,161 @@ object Coverage {
            max(col("k")).as("max_key"))
   }
 
+  /** Z-ORDER clustering — the multi-dimensional layout complement to
+    * c15 (one-dim directory pruning) and c16 (one-key bucketing): when
+    * queries filter on TWO columns (user and time), sorting on either
+    * one leaves the other scattered across every file. Interleaving
+    * the bits of both dimensions (Morton code) and range-partitioning
+    * on the code gives every file a bounded BOX in (user, time) space,
+    * so parquet min/max row-group stats prune on BOTH predicates.
+    *
+    * The query itself proves the locality property exactly: user_id
+    * and event time each bucket to 32 levels (pure integer math both
+    * engines replay), the 10-bit z-code is written out range-
+    * partitioned, and the read-back rolls up per top-4-bit z-cell —
+    * each cell is by construction an 8×8 box, so min/max of both
+    * dimensions inside every cell land within a span of 8 (visible in
+    * the result, asserted by LayoutSpec per FILE, where the tb-sorted
+    * counter-layout spans the full user range in every file).
+    *
+    * Scale shape: coding is map-only over the scan (one one-row
+    * min/max broadcast for the time bounds); the write is ONE range
+    * exchange on the code — the same one-time layout cost as c16,
+    * amortized by every later two-predicate scan skipping all but
+    * O(selected boxes) of the corpus.
+    */
+  /** The (event, user-bucket, time-bucket, z-code) stream c20 writes —
+    * exposed so LayoutSpec can write the z layout and a single-dim
+    * counter-layout from the identical input and compare per-file
+    * pruning power.
+    */
+  private[graft] def c20Coded(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val bounds = ev.agg(expr("min(unix_micros(ts))").as("lo"),
+                        expr("max(unix_micros(ts)) + 1").as("hi"))
+    ev.select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("ub", col("user_id") % 32)
+      .withColumn("tb", expr("((us - lo) * 32) DIV (hi - lo)"))
+      // every bit term fully parenthesized: &/<</| precedence is NOT
+      // the same across SQL dialects, and an unparenthesized mix
+      // silently builds a different code in each engine
+      .withColumn("z", expr(
+        """(tb & 1) | ((tb & 2) << 1) | ((tb & 4) << 2) | ((tb & 8) << 3) |
+          |((tb & 16) << 4) |
+          |((ub & 1) << 1) | ((ub & 2) << 2) | ((ub & 4) << 3) |
+          |((ub & 8) << 4) | ((ub & 16) << 5)""".stripMargin))
+      .select(col("event_id"), col("ub"), col("tb"), col("z"))
+  }
+
+  val c20ZorderLayout: Q = (s, d) => {
+    val out = scratchDir("c20_zorder")
+    c20Coded(s, d)
+      .repartitionByRange(16, col("z"), col("event_id"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(expr("z DIV 64").as("z_cell"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+           min(col("tb")).as("min_tb"), max(col("tb")).as("max_tb"),
+           min(col("event_id")).as("min_event"))
+  }
+
+  /** Data-quality EXPECTATIONS — the constraint-validation pass a
+    * training-data pipeline runs before ingest (uniqueness, non-null,
+    * referential integrity, accepted ranges), reported as one row per
+    * check with checked/violation counts. A corpus at 100 TB cannot be
+    * eyeballed; this table is the contract.
+    *
+    * Scale shape: all range/null checks on a table fuse into ONE
+    * conditional-sum scan (a single agg, no per-check passes), fanned
+    * to rows by `stack` — two scans total for two tables; the FK check
+    * is the one keyed anti join (broadcast when the PK side's key
+    * column is small, co-partitioned otherwise). Nothing here is a
+    * second pass over the corpus per expectation, which is how these
+    * checks are naively written and why they then get skipped in
+    * production.
+    */
+  val c21Expectations: Q = (s, d) => {
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    val liChecks = li.agg(
+        count(lit(1)).as("n"),
+        sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long"))
+          .as("v_qty"),
+        sum((col("l_discount") < 0 || col("l_discount") > 0.1).cast("long"))
+          .as("v_disc"),
+        sum((col("l_extendedprice") <= 0).cast("long")).as("v_price"),
+        sum((col("l_linenumber") < 1 || col("l_linenumber") > 7).cast("long"))
+          .as("v_line"))
+      .select(expr(
+        """stack(4,
+          |  'li_quantity_in_1_50', n, v_qty,
+          |  'li_discount_in_0_10pct', n, v_disc,
+          |  'li_price_positive', n, v_price,
+          |  'li_linenumber_in_1_7', n, v_line)
+          |AS (check_name, n_checked, n_violations)""".stripMargin))
+    val oChecks = o.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+        sum(col("o_custkey").isNull.cast("long")).as("v_cust"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("v_total"),
+        sum((col("o_orderdate") < lit("1990-01-01").cast("date") ||
+             col("o_orderdate") > lit("2000-01-01").cast("date")).cast("long"))
+          .as("v_date"))
+      .select(expr(
+        """stack(4,
+          |  'o_orderkey_unique', n, v_dup,
+          |  'o_custkey_not_null', n, v_cust,
+          |  'o_totalprice_positive', n, v_total,
+          |  'o_orderdate_in_decade', n, v_date)
+          |AS (check_name, n_checked, n_violations)""".stripMargin))
+    val liN = li.agg(count(lit(1)).as("n_checked"))
+    val fk = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(liN))
+      .select(lit("li_orderkey_fk_orders").as("check_name"),
+              col("n_checked"), col("n_violations"))
+    liChecks.unionByName(oChecks).unionByName(fk)
+      .withColumn("passed", col("n_violations") === 0)
+  }
+
+  /** INCREMENTAL aggregate maintenance — the materialized-view refresh
+    * pattern: yesterday's aggregate state is a persisted TABLE of
+    * mergeable partials (count + decimal sum per group), today's delta
+    * batch aggregates alone, and the refreshed view is the union of
+    * partials re-aggregated — cost O(delta + groups), never a
+    * recompute over the full corpus. The oracle IS the full recompute,
+    * so the gate proves merge ≡ recompute exactly (the decimal sums
+    * make the merge order-independent; avg derives from the merged
+    * partials, never averaged-of-averages).
+    */
+  val c22IncrementalAgg: Q = (s, d) => {
+    val out = scratchDir("c22_state")
+    val o = orders(s, d).select(col("o_orderstatus").as("st"),
+                                col("o_orderkey").as("k"),
+                                dec2(col("o_totalprice")).as("p"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("st")).agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+    // yesterday's state persisted and read back: the refresh consumes
+    // the TABLE, not the plan that built it
+    partial(o.filter(col("k") % 10 =!= 9)).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .unionByName(partial(o.filter(col("k") % 10 === 9)))
+      .groupBy(col("st"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sp")).as("sp"))
+      .select(col("st").as("o_orderstatus"), col("n_rows"),
+              round(col("sp").cast("double"), 2).as("sum_price"),
+              round((col("sp").cast("double") / col("n_rows")), 2)
+                .as("avg_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c22_incremental_agg" -> c22IncrementalAgg,
+    "c21_expectations" -> c21Expectations,
+    "c20_zorder_layout" -> c20ZorderLayout,
     "c19_upsert_merge" -> c19UpsertMerge,
     "c18_scd2_snapshot" -> c18Scd2Snapshot,
     "c17_merge_schema" -> c17MergeSchema,
@@ -441,6 +595,74 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same integer bucketing + bit interleave, rolled up per
+    // top-4-bit cell — the parquet round-trip is lossless so the
+    // layout write drops out of the result
+    "c20_zorder_layout" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS hi
+        |           FROM events),
+        |c AS (SELECT event_id, user_id % 32 AS ub,
+        |        ((epoch_us(ts) - lo) * 32) // (hi - lo) AS tb
+        |      FROM events CROSS JOIN b),
+        |z AS (SELECT event_id, ub, tb,
+        |        (tb & 1) | ((tb & 2) << 1) | ((tb & 4) << 2) |
+        |        ((tb & 8) << 3) | ((tb & 16) << 4) |
+        |        ((ub & 1) << 1) | ((ub & 2) << 2) | ((ub & 4) << 3) |
+        |        ((ub & 8) << 4) | ((ub & 16) << 5) AS z
+        |      FROM c)
+        |SELECT z // 64 AS z_cell, count(1) AS n_events,
+        |  min(ub) AS min_ub, max(ub) AS max_ub,
+        |  min(tb) AS min_tb, max(tb) AS max_tb,
+        |  min(event_id) AS min_event
+        |FROM z GROUP BY 1""".stripMargin,
+    // each check replayed as a scalar aggregate; FK as NOT IN
+    "c21_expectations" ->
+      """WITH li AS (SELECT count(1) AS n,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN l_linenumber < 1 OR l_linenumber > 7
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_line
+        |  FROM lineitem),
+        |o AS (SELECT count(1) AS n,
+        |    count(1) - count(DISTINCT o_orderkey) AS v_dup,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS v_cust,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS v_total,
+        |    CAST(sum(CASE WHEN o_orderdate < DATE '1990-01-01'
+        |                    OR o_orderdate > DATE '2000-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+        |  FROM orders),
+        |fk AS (SELECT (SELECT count(1) FROM lineitem) AS n,
+        |    (SELECT count(1) FROM lineitem WHERE l_orderkey NOT IN
+        |       (SELECT o_orderkey FROM orders)) AS v
+        |),
+        |rows AS (
+        |  SELECT 'li_quantity_in_1_50' AS check_name, n AS n_checked,
+        |         v_qty AS n_violations FROM li
+        |  UNION ALL SELECT 'li_discount_in_0_10pct', n, v_disc FROM li
+        |  UNION ALL SELECT 'li_price_positive', n, v_price FROM li
+        |  UNION ALL SELECT 'li_linenumber_in_1_7', n, v_line FROM li
+        |  UNION ALL SELECT 'o_orderkey_unique', n, v_dup FROM o
+        |  UNION ALL SELECT 'o_custkey_not_null', n, v_cust FROM o
+        |  UNION ALL SELECT 'o_totalprice_positive', n, v_total FROM o
+        |  UNION ALL SELECT 'o_orderdate_in_decade', n, v_date FROM o
+        |  UNION ALL SELECT 'li_orderkey_fk_orders', n, v FROM fk)
+        |SELECT check_name, n_checked, n_violations,
+        |  n_violations = 0 AS passed
+        |FROM rows""".stripMargin,
+    // merge ≡ recompute: the oracle aggregates the FULL table directly
+    "c22_incremental_agg" ->
+      """SELECT o_orderstatus, count(1) AS n_rows,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(1), 2) AS avg_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // the merge replayed as its set-algebra equivalent: untouched base
     // rows + updated rows + inserts, deletes dropped; money in decimal
     "c19_upsert_merge" ->

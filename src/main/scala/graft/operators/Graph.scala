@@ -279,15 +279,79 @@ object Graph {
       |FROM feats f LEFT JOIN h1 USING (node) LEFT JOIN h2 USING (node)"""
       .stripMargin
 
+  /** Multi-source BFS — reachability distance from a seed set, the
+    * min-plus counterpart to g3's sum-product hops (crawl-frontier
+    * depth, link-distance-from-trusted-sites quality features). Seeds
+    * are the two lexicographically-first sources (deterministic);
+    * three relaxation rounds of dist(v) = min(dist(v), 1 + min over
+    * in-edges u→v of dist(u)), unreached encoded as the sentinel 99
+    * rather than NULL so `least` semantics never depend on either
+    * engine's null handling.
+    *
+    * Scale shape: each round is the SAME join+agg as a PageRank step —
+    * edges ⋈ dist on `src`, min-agg on `dst` — broadcast at K nodes,
+    * co-partitioned on the edge key at web scale; rounds never widen
+    * the shuffle. Distances are small integers, so every round is
+    * bit-identical on any partitioning (min is order-independent).
+    */
+  val g4Bfs: Q = (s, d) => {
+    val nodes = documents(s, d).select(col("source").as("node")).distinct()
+    val edges = edgeList(s, d).select(col("src"), col("dst")).distinct()
+    val seeds = nodes.orderBy(col("node")).limit(2)
+      .select(col("node"), lit(0L).as("seed_dist"))
+    var dist = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed_dist"), lit(99L)).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = edges
+        .join(dist.select(col("node").as("src"), col("dist").as("ds")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(least(lit(99L), min(col("ds")) + lit(1L)).as("nd"))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"),
+                least(col("dist"), coalesce(col("nd"), lit(99L))).as("dist"))
+    }
+    dist
+  }
+
+  private val g4Oracle: String = {
+    def round(prev: String, out: String): String =
+      s"""r_$out AS (SELECT e.dst AS node, least(99, min(p.dist) + 1) AS nd
+         |  FROM edges e JOIN $prev p ON p.node = e.src GROUP BY 1),
+         |$out AS (SELECT p.node, least(p.dist, coalesce(r.nd, 99)) AS dist
+         |  FROM $prev p LEFT JOIN r_$out r USING (node))"""
+        .stripMargin
+    s"""WITH nodes AS (
+       |  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+       |         AS nid
+       |  FROM (SELECT DISTINCT source AS node FROM documents)),
+       |nn AS (SELECT count(1) AS nn FROM nodes),
+       |edges AS (
+       |  SELECT DISTINCT d.source AS src, n2.node AS dst
+       |  FROM documents d CROSS JOIN nn JOIN nodes n2
+       |    ON ('0x' || substr(md5('g1:' || CAST(d.doc_id AS VARCHAR)),
+       |        1, 8))::BIGINT % nn.nn = n2.nid),
+       |seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 2),
+       |d0 AS (SELECT n.node,
+       |         CAST(CASE WHEN s.node IS NOT NULL THEN 0 ELSE 99 END AS BIGINT)
+       |           AS dist
+       |       FROM nodes n LEFT JOIN seeds s USING (node)),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")}
+       |SELECT node, dist FROM d3""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
     "g3_neighbor_agg" -> g3NeighborAgg,
+    "g4_bfs" -> g4Bfs,
   )
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1Oracle,
     "g2_triangles" -> g2Oracle,
     "g3_neighbor_agg" -> g3Oracle,
+    "g4_bfs" -> g4Oracle,
   )
 }

@@ -23,9 +23,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     // deliberate, self-checking exception (a3: HLL estimate; d13:
     // bloom bits DuckDB cannot replay)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("a3_approx_distinct", "d13_bloom_dedup"),
+    assert(noOracle ==
+        Set("a3_approx_distinct", "d13_bloom_dedup", "a9_hll_union"),
       s"rows-only set drifted: got $noOracle, " +
-        "expected Set(a3_approx_distinct, d13_bloom_dedup)")
+        "expected Set(a3_approx_distinct, d13_bloom_dedup, a9_hll_union)")
   }
 
   test("every query runs at sf0.001") {
@@ -42,6 +43,16 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("within_rsd")),
       "HLL estimate outside 10x the configured RSD")
+  }
+
+  test("a9's self-check bounds the merged-sketch estimate against the exact count") {
+    val rows = SparkEntry.queries("a9_hll_union")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")),
+      "merged HLL estimate outside 10x the lgK=12 standard error")
+    assert(rows.forall(_.getAs[Long]("n_shards") > 1),
+      "a9 must actually merge sketches from multiple shards")
   }
 
   // ONE plan sweep feeds both join lints (planning every query three
@@ -74,12 +85,15 @@ class EntrySmokeSpec extends AnyFunSuite {
     // t19 the one-row (N, total-token) stats; t20 the one-row winning
     // pair — all fixed-size by construction
     // n11's stage-1 quantized scan broadcasts the fixed 8-row query
-    // code set (n1's shape); g3 rides g1's one-row node-count edge map
+    // code set (n1's shape); g3/g4 ride g1's one-row node-count edge
+    // map; c20 broadcasts the one-row time bounds and c21 the one-row
+    // lineitem count onto the one-row FK-violation aggregate
     val allowed = Set("q11_join_cross", "n1_cosine_brute_topk", "n4_ivf_topk",
       "n5_ivf_kmeans", "n7_ann_recall", "t8_tfidf", "t9_mixture_sample",
       "d14_semdedup", "n9_mips_topk", "t18_group_split",
       "g1_pagerank", "g2_triangles", "t19_bm25", "t20_bpe_pairs",
-      "c18_scd2_snapshot", "n11_rerank", "g3_neighbor_agg")
+      "c18_scd2_snapshot", "n11_rerank", "g3_neighbor_agg",
+      "g4_bfs", "c20_zorder_layout", "c21_expectations")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }

@@ -151,4 +151,54 @@ class SqlPlanSpec extends AnyFunSuite {
     assert(userKeyed.size == 1,
       s"SCD2 build should shuffle the log ONCE by user_id, saw ${userKeyed.size}")
   }
+
+  test("c20's z-order files prune on BOTH dims; a time-sorted layout never prunes users") {
+    // The skipping argument made MEASURABLE: write the identical coded
+    // stream twice — range-partitioned on the z-code vs on the time
+    // bucket alone — and for every point predicate on a dim count the
+    // files whose [min,max] footer range would have to be read. Footer
+    // min/max is exactly what parquet row-group skipping consults, so
+    // "avg fraction of files matched" IS the expected scan fraction.
+    import org.apache.spark.sql.functions._
+    val coded = graft.operators.Coverage.c20Coded(spark, "/root/testdata/sf0.01")
+      .localCheckpoint(true)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_ztest_").toString
+    val tDir = java.nio.file.Files.createTempDirectory("graft_ttest_").toString
+    coded.repartitionByRange(16, col("z"), col("event_id"))
+      .write.mode("overwrite").parquet(zDir)
+    coded.repartitionByRange(16, col("tb"), col("event_id"))
+      .write.mode("overwrite").parquet(tDir)
+    def spans(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col("ub")).as("lu"), max(col("ub")).as("hu"),
+             min(col("tb")).as("lt"), max(col("tb")).as("ht"))
+        .collect()
+        .map(r => (r.getAs[Long]("lu"), r.getAs[Long]("hu"),
+                   r.getAs[Long]("lt"), r.getAs[Long]("ht")))
+    // avg over the 32 point predicates of the fraction of files whose
+    // footer range contains the probe
+    def scanFrac(fs: Array[(Long, Long, Long, Long)],
+                 lo: ((Long, Long, Long, Long)) => Long,
+                 hi: ((Long, Long, Long, Long)) => Long): Double =
+      (0L until 32L).map { k =>
+        fs.count(f => lo(f) <= k && k <= hi(f)).toDouble / fs.length
+      }.sum / 32.0
+    val zf = spans(zDir); val tf = spans(tDir)
+    assert(zf.length >= 8 && tf.length >= 8, "range write produced too few files")
+    val zUser = scanFrac(zf, _._1, _._2); val zTime = scanFrac(zf, _._3, _._4)
+    val tUser = scanFrac(tf, _._1, _._2); val tTime = scanFrac(tf, _._3, _._4)
+    // time-sorted: time predicates prune hard, user predicates read
+    // everything — the one-dim layout's blind spot
+    assert(tUser >= 0.9, s"time-sorted layout unexpectedly pruned users: $tUser")
+    // z-order: BOTH dims prune — every file is a bounded box
+    assert(zUser <= 0.6, s"z layout should prune user predicates, scan frac $zUser")
+    assert(zTime <= 0.6, s"z layout should prune time predicates, scan frac $zTime")
+    Seq(zDir, tDir).foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
