@@ -12,6 +12,7 @@ object Bench {
       // parallelism so tiny stages don't pay 32 tasks of scheduling
       // (map-side parallelism still follows the input splits)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -39,15 +39,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for. Read it as a nanos long (legacy conf) and surface a
-    * microsecond TimestampType column — integer `div` keeps full int64
-    * precision (a double round-trip would corrupt epoch-nanos).
+  /** `events.ts` has shipped in two physical shapes across driver data
+    * generations: parquet TIMESTAMP(NANOS) — which Spark has no native
+    * type for, so the legacy conf surfaces it as an epoch-nanos long —
+    * and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both
+    * to a microsecond TimestampType column: integer `div` keeps full
+    * int64 precision on the nanos path (a double round-trip would
+    * corrupt epoch-nanos), and the NTZ→LTZ cast is exact because every
+    * session here pins spark.sql.session.timeZone=UTC.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
