@@ -737,7 +737,50 @@ object Dedup {
            max(col("true_bp")).as("max_true_bp"))
   }
 
+  /** Character-level duplicated-substring detection — the
+    * boilerplate/template-contamination measure that shingle dedup
+    * (d3/d8) misses: two pages sharing a 32-char navigation header are
+    * not near-duplicate DOCUMENTS, but the shared span still inflates
+    * a training corpus. Each document emits fixed 32-char windows at
+    * stride 16 (two windows cover every 16-char span, so any shared
+    * run ≥ 47 chars is guaranteed to produce a colliding window); a
+    * window is "duplicated" when its hash occurs in ≥ 2 distinct
+    * documents. Reported per source as an integer-ppm duplicated
+    * fraction — the per-crawl boilerplate dashboard.
+    *
+    * Scale shape: text leaves the scan as 32-byte md5 hex only (the
+    * t14 slim-exchange discipline — the raw window never shuffles).
+    * ONE exchange on `h` serves both the (h, doc) grain aggregation
+    * and the distinct-doc count (a count over the h partition reuses
+    * the agg's clustering — no second shuffle); the per-source rollup
+    * shuffles K rows per doc. No all-pairs anything: a window shared
+    * by k docs costs k rows, not k².
+    */
+  val d17SubstringDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wins = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, greatest(length(text) - 31, 1), 16)"))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("source"),
+        md5(expr("substring(text, pos, 32)")).as("h"))
+    val perDoc = wins.groupBy(col("h"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val flagged = perDoc.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    flagged.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           sum(col("n")).as("n_windows"),
+           sum(when(col("nd") >= 2, col("n")).otherwise(lit(0L)))
+             .as("n_dup_windows"))
+      .select(col("source"), col("n_docs"), col("n_windows"),
+        col("n_dup_windows"),
+        expr("(n_dup_windows * 1000000) DIV n_windows").as("dup_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d17_substring_dedup" -> d17SubstringDedup,
     "d16_minhash_calibration" -> d16MinhashCalibration,
     "d14_semdedup" -> d14SemDedup,
     "d15_url_dedup" -> d15UrlDedup,
@@ -794,6 +837,26 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d17_substring_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text) - 31, 1), 16))
+        |      AS s
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source,
+        |         md5(substr(text, CAST(s AS INT), 32)) AS h
+        |  FROM pos),
+        |wd AS (SELECT h, doc_id, source, count(1) AS n
+        |       FROM w GROUP BY 1, 2, 3),
+        |f AS (SELECT *, count(1) OVER (PARTITION BY h) AS nd FROM wd)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST((sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) * 1000000)
+        |       // sum(n) AS BIGINT) AS dup_ppm
+        |FROM f GROUP BY source""".stripMargin,
     // full replay: bands → candidate pairs, distinct-shingle join for
     // exact Jaccard, xor-permutation zip for the estimate, integer
     // basis-point rollup by estimate level

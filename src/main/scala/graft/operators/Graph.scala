@@ -341,7 +341,90 @@ object Graph {
        |SELECT node, dist FROM d3""".stripMargin
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007,
+    * semi-synchronous variant) over the same derived link graph —
+    * the cheap community structure a mixture-balancing pipeline uses
+    * to cap per-community sampling (PageRank ranks nodes, LPA groups
+    * them). Labels start as the node's own id; each round every node
+    * adopts the weight-majority label among its neighbors, ties
+    * broken to the SMALLEST label — the deterministic tie rule that
+    * makes synchronous LPA reproducible across engines and
+    * partitionings (classic async LPA is run-order-dependent and
+    * un-oracle-able).
+    *
+    * Scale shape: identical join discipline to g1's power iteration —
+    * each round is neighbors ⋈ labels on `u` (broadcast at K nodes,
+    * co-partitioned keyed join at web scale) into a (v, label) hash
+    * agg, then a per-v top-1 window that reuses the agg's
+    * partitioning. The undirected neighbor list is built once from
+    * the K²-bounded edge aggregate; the corpus is touched once.
+    */
+  val g5LabelProp: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = documents(s, d).select(col("source").as("node")).distinct()
+      .withColumn("lbl",
+        (row_number().over(Window.orderBy(col("node"))) - 1).cast("long"))
+    val e = edgeList(s, d).filter(col("src") =!= col("dst"))
+    val nbrs = e.select(col("src").as("v"), col("dst").as("u"), col("w"))
+      .union(e.select(col("dst").as("v"), col("src").as("u"), col("w")))
+      .groupBy(col("v"), col("u")).agg(sum(col("w")).as("w"))
+    var labels = nodes.select(col("node"), col("lbl"))
+    for (_ <- 1 to iters) {
+      val cnt = nbrs
+        .join(labels.select(col("node").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(sum(col("w")).as("cw"))
+      val wPick = Window.partitionBy(col("v"))
+        .orderBy(col("cw").desc, col("lbl"))
+      val pick = cnt.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("lbl").as("new_lbl"))
+      labels = labels.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+  }
+
+  private val g5Oracle: String = {
+    def round(prev: String, k: Int): String =
+      s"""c$k AS (SELECT n.v, l.lbl, CAST(sum(n.w) AS BIGINT) AS cw
+         |  FROM nbrs n JOIN $prev l ON l.node = n.u GROUP BY 1, 2),
+         |p$k AS (SELECT v, lbl FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY v ORDER BY cw DESC, lbl) AS rn FROM c$k)
+         |  WHERE rn = 1),
+         |l$k AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+         |  FROM $prev l LEFT JOIN p$k p ON p.v = l.node)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+       |         AS nid
+       |  FROM (SELECT DISTINCT source AS node FROM documents)),
+       |nn AS (SELECT count(1) AS nn FROM nodes),
+       |edges AS (
+       |  SELECT d.source AS src, n2.node AS dst, count(1) AS w
+       |  FROM documents d CROSS JOIN nn JOIN nodes n2
+       |    ON ('0x' || substr(md5('g1:' || CAST(d.doc_id AS VARCHAR)),
+       |        1, 8))::BIGINT % nn.nn = n2.nid
+       |  GROUP BY 1, 2),
+       |e2 AS (SELECT * FROM edges WHERE src <> dst),
+       |nbrs AS (
+       |  SELECT v, u, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS v, dst AS u, w FROM e2
+       |    UNION ALL SELECT dst AS v, src AS u, w FROM e2)
+       |  GROUP BY 1, 2),
+       |l0 AS (SELECT node, nid AS lbl FROM nodes),
+       |${round("l0", 1)},
+       |${round("l1", 2)},
+       |${round("l2", 3)}
+       |SELECT l.node, l.lbl AS community, s.cs AS community_size
+       |FROM l3 l JOIN (SELECT lbl, count(1) AS cs FROM l3 GROUP BY 1) s
+       |  USING (lbl)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "g5_label_prop" -> g5LabelProp,
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
     "g3_neighbor_agg" -> g3NeighborAgg,
@@ -349,6 +432,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "g5_label_prop" -> g5Oracle,
     "g1_pagerank" -> g1Oracle,
     "g2_triangles" -> g2Oracle,
     "g3_neighbor_agg" -> g3Oracle,

@@ -538,7 +538,54 @@ object Similarity {
               col("rnk_approx"), col("sim"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    * retrievers — the standard way a hybrid search stack merges
+    * rankings whose scores live on incomparable scales. Retriever A
+    * ranks candidates by cosine similarity, retriever B by (negative)
+    * squared L2 distance; the fused score is Σ 1/(60+rank), carried
+    * as integer ppm (1000000 DIV (60+rank)) so the fusion — unlike
+    * the retriever scores themselves — is bit-identical across
+    * engines and never compares floats.
+    *
+    * Scale shape: the fixed 8-query set broadcasts onto the corpus
+    * (n1's build-side rule); both per-query ranks AND the fused rank
+    * are windows partitioned on qid, so candidate scoring exchanges
+    * ONCE and every window reuses that clustering. At 100 TB each
+    * retriever would be its own ANN shortlist (n3/n4) unioned before
+    * fusion — the fusion stage itself is already shortlist-sized.
+    */
+  val n12RrfFusion: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    val wL2 = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cid"))
+    val wFused = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_ppm").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("d2", expr(
+        """round(aggregate(zip_with(cast(qe as array<double>),
+          |                         cast(ce as array<double>),
+          |                         (x, y) -> (x - y) * (x - y)),
+          |                0D, (acc, v) -> acc + v), 6)""".stripMargin))
+      .withColumn("rnk_cos", row_number().over(wCos))
+      .withColumn("rnk_l2", row_number().over(wL2))
+      .withColumn("rrf_ppm",
+        expr("1000000 DIV (60 + rnk_cos) + 1000000 DIV (60 + rnk_l2)"))
+      .withColumn("rnk", row_number().over(wFused))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), col("rnk_cos").cast("long"),
+              col("rnk_l2").cast("long"), col("rrf_ppm"), col("rnk").cast("long"))
+      .toDF("qid", "cid", "rnk_cos", "rnk_l2", "rrf_ppm", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "n12_rrf_fusion" -> n12RrfFusion,
     "n11_rerank" -> n11Rerank,
     "n10_ivf_pq" -> n10IvfPq,
     "n9_mips_topk" -> n9MipsTopK,
@@ -721,6 +768,35 @@ object Similarity {
          |  CROSS JOIN m),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY aug_sim DESC, cid) AS rnk FROM p)
          |SELECT qid, cid, round(ip, 4) AS ip, aug_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // both retriever scores replay through the shared fold forms
+    // (rounded to 6 before ranking); the fusion itself is integer
+    "n12_rrf_fusion" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6)
+         |      AS sim,
+         |    round(list_sum(list_transform(
+         |      list_zip(q.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+         |      z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT qid, cid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+         |    AS rnk_cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid)
+         |    AS rnk_l2
+         |  FROM p),
+         |f AS (SELECT qid, cid, rnk_cos, rnk_l2,
+         |  1000000 // (60 + rnk_cos) + 1000000 // (60 + rnk_l2) AS rrf_ppm
+         |  FROM r),
+         |o AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY rrf_ppm DESC, cid) AS rnk
+         |      FROM f)
+         |SELECT qid, cid, CAST(rnk_cos AS BIGINT) AS rnk_cos,
+         |  CAST(rnk_l2 AS BIGINT) AS rnk_l2, CAST(rrf_ppm AS BIGINT)
+         |    AS rrf_ppm, CAST(rnk AS BIGINT) AS rnk
+         |FROM o WHERE rnk <= 5""".stripMargin,
     "n1_cosine_brute_topk" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,

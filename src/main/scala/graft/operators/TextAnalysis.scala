@@ -658,7 +658,46 @@ object TextAnalysis {
            sum(col("doc_id")).as("id_sum"))
   }
 
+  /** Flesch-reading-ease readability scoring, transcendental-free:
+    * sentences = runs of terminal punctuation, words = whitespace
+    * splits, syllables = vowel-group runs (the standard heuristic —
+    * exact syllabification needs a dictionary; vowel-group counting is
+    * the deterministic proxy every readability library falls back to).
+    * The score rides as integer MILLI-points
+    * (206.835 → 206835, truncating integer division at each term) so
+    * both engines produce identical bits — the t16/t17 discipline.
+    * Rolled up per (lang, tier) — the readability-mix dashboard a
+    * curation pipeline gates on.
+    *
+    * Scale shape: pure map over the corpus (three regex scans per
+    * doc, no explode — counts come from regexp_extract_all sizes),
+    * then a K-row hash agg. Text never rides an exchange.
+    */
+  val t22Readability: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sent"),
+        greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+          .cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+                 lit(1)).cast("long").as("n_syll"))
+      .withColumn("score_m",
+        expr("206835 - (1015 * n_words) DIV n_sent" +
+             " - (84600 * n_syll) DIV n_words"))
+      .withColumn("tier",
+        when(col("score_m") >= 90000, lit("easy"))
+          .when(col("score_m") >= 60000, lit("medium"))
+          .otherwise(lit("hard")))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("sum(score_m) DIV count(1)").as("avg_score_m"),
+           min(col("score_m")).as("min_score_m"),
+           max(col("score_m")).as("max_score_m"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t22_readability" -> t22Readability,
     "t21_stratified_sample" -> t21StratifiedSample,
     "t19_bm25" -> t19Bm25,
     "t20_bpe_pairs" -> t20BpePairs,
@@ -683,6 +722,29 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t22_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+        |    greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+        |      AS n_words,
+        |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+        |      AS n_syll
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    206835 - (1015 * n_words) // n_sent
+        |           - (84600 * n_syll) // n_words AS score_m
+        |  FROM m)
+        |SELECT lang,
+        |  CASE WHEN score_m >= 90000 THEN 'easy'
+        |       WHEN score_m >= 60000 THEN 'medium'
+        |       ELSE 'hard' END AS tier,
+        |  count(1) AS n_docs,
+        |  CAST(sum(score_m) // count(1) AS BIGINT) AS avg_score_m,
+        |  CAST(min(score_m) AS BIGINT) AS min_score_m,
+        |  CAST(max(score_m) AS BIGINT) AS max_score_m
+        |FROM sc GROUP BY 1, 2""".stripMargin,
     // same two-phase replay: K-row gate from exact counts, map-side
     // hash filter, rank-by-hash trim within each stratum
     "t21_stratified_sample" ->

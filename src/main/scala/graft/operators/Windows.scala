@@ -211,8 +211,45 @@ object Windows {
            moneySum(col("filled")).as("sum_filled"))
   }
 
+  /** MATCH_RECOGNIZE-style event-pattern matching (complex event
+    * processing) without a CEP engine: each user's event history
+    * collapses to ONE ordered symbol string (s=signup, v=view,
+    * c=click, p=purchase, e=error) and the funnel "signup, then
+    * anything but a purchase, then the first purchase" is the regex
+    * `s[^p]*p` counted non-overlapping. The greedy `[^p]*` cannot
+    * backtrack ambiguously — every match runs from an `s` to the
+    * FIRST following `p` — so the match count is engine-independent
+    * (java.util.regex and RE2 agree), unlike a general greedy pattern.
+    *
+    * Scale shape: one exchange on user_id builds the per-user string
+    * (collect_list + array_sort — order is (ts, event_id), total per
+    * group, no global sort); the regex scan is map-side over the
+    * aggregated row. Sequence length is bounded by per-user activity;
+    * at 100 TB you'd sessionize first (wb3's session windows) so no
+    * single group's string grows with corpus age, then run the same
+    * pattern per session.
+    */
+  val w11EventPattern: Q = (s, d) => {
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("""CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+               | WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+               | ELSE 'e' END""".stripMargin).as("c"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(struct(ts, event_id, c)))," +
+             " x -> x.c)")).as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        size(expr("regexp_extract_all(seq, 's[^p]*p', 0)")).cast("long")
+          .as("n_funnels"),
+        (length(col("seq")) - length(regexp_replace(col("seq"), "p", "")))
+          .cast("long").as("n_purchases"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w10_fill_forward" -> w10FillForward,
+    "w11_event_pattern" -> w11EventPattern,
     "w1_rank" -> w1Rank,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_sum" -> w3Running,
@@ -232,6 +269,22 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w11_event_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+        |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |      ELSE 'e' END AS c
+        |  FROM events),
+        |seqs AS (
+        |  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 's[^p]*p')) AS BIGINT)
+        |    AS n_funnels,
+        |  CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+        |    AS n_purchases
+        |FROM seqs""".stripMargin,
     "w10_fill_forward" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, ts,

@@ -191,3 +191,44 @@ class DedupSpec extends AnyFunSuite {
       s"prefix filter degenerated: $cand candidates vs $allPairs all-pairs")
   }
 }
+
+/** d17 substring-dedup invariants beyond the oracle compare: the
+  * windowing covers every document, the dup fraction is a true
+  * fraction, and the stride-16/width-32 overlap guarantee holds — any
+  * two documents sharing a verbatim run of >= 47 chars MUST collide on
+  * at least one window (a 47-run contains a full aligned 32-window for
+  * any alignment of the 16-stride grid).
+  */
+class SubstringDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("window accounting is a true fraction and covers all docs") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Dedup.queries("d17_substring_dedup")(spark, sf)
+      .collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs,
+      "per-source doc counts must tile the corpus")
+    rows.foreach { r =>
+      val (wins, dups, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dups <= wins && ppm >= 0 && ppm <= 1000000,
+        s"dup accounting out of range: $r")
+      assert(ppm == dups * 1000000L / wins, s"ppm must derive from counts: $r")
+    }
+  }
+
+  test("a shared 47-char run is guaranteed to collide on some window") {
+    // construct the guarantee's worst case directly against the same
+    // windowing arithmetic: for every alignment offset of a 47-char
+    // shared run relative to the stride grid, some stride-16 window
+    // start falls at least fully inside the run
+    for (off <- 0 until 16) {
+      val runStart = 100 + off          // shared run at arbitrary alignment
+      val runEnd = runStart + 47 - 1
+      val starts = Iterator.from(1, 16).takeWhile(_ <= runEnd - 31)
+      assert(starts.exists(s => s >= runStart && s + 31 <= runEnd),
+        s"no aligned window inside a 47-run at offset $off")
+    }
+  }
+}

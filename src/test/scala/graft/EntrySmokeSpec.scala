@@ -93,7 +93,11 @@ class EntrySmokeSpec extends AnyFunSuite {
       "d14_semdedup", "n9_mips_topk", "t18_group_split",
       "g1_pagerank", "g2_triangles", "t19_bm25", "t20_bpe_pairs",
       "c18_scd2_snapshot", "n11_rerank", "g3_neighbor_agg",
-      "g4_bfs", "c20_zorder_layout", "c21_expectations")
+      "g4_bfs", "c20_zorder_layout", "c21_expectations",
+      // n12 broadcasts the same fixed 8-row query set as n1 (the
+      // qid<>cid predicate is deliberately non-equi); g5 rides g1's
+      // one-row node-count edge map
+      "n12_rrf_fusion", "g5_label_prop")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }

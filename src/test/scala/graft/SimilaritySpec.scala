@@ -89,3 +89,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == exact, s"bitmap distinct $got != exact $exact")
   }
 }
+
+/** n12 reciprocal-rank-fusion invariants: the fused score must be a
+  * pure function of the two retriever ranks (no float leakage into the
+  * fusion), and each query's shortlist is exactly the top-5 by that
+  * score under the deterministic tie rule.
+  */
+class RrfFusionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fused score derives from ranks and shortlists are exact top-5") {
+    val rows = operators.Similarity.queries("n12_rrf_fusion")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rc, rl, ppm, _) =>
+      assert(ppm == 1000000L / (60 + rc) + 1000000L / (60 + rl),
+        s"rrf_ppm must be the integer RRF of the two ranks (got $ppm)")
+    }
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      assert(g.map(_._6).sorted.sameElements(1L to 5L),
+        s"query $qid shortlist must be fused ranks 1..5")
+      // fused order must agree with (rrf desc, cid asc)
+      val byRank = g.sortBy(_._6)
+      assert(byRank.sameElements(g.sortBy(t => (-t._5, t._2))),
+        s"query $qid fused order broke the (rrf desc, cid) tie rule")
+    }
+  }
+}
