@@ -14,6 +14,14 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the status stores retain per-execution plan/task metadata even
+      // with the UI off; across ~190 queries x 2 runs the default
+      // retention (1000 executions) holds every plan string live on
+      // the driver heap — cap it so the bench measures queries, not
+      // its own history
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warmup so the first measured query
@@ -54,11 +62,24 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // RDDs persisted BEFORE the loop are the shared table cache; RDDs
+    // that appear DURING a query are its own localCheckpoint blocks
+    // (iterative graph/dedup queries cut lineage eagerly). Without the
+    // per-query unpersist below those blocks accumulate across the
+    // whole surface (2 runs x ~dozen checkpointing queries), and the
+    // growing block-manager/GC pressure was measured to inflate
+    // LATE-running queries 4-7x over their isolated cost — the bench
+    // was charging query N for query N-100's leftovers.
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!keep.contains(id)) rdd.unpersist(blocking = false)
+        }
+        dt
       }
       name -> times.min
     }

@@ -33,6 +33,64 @@ object Coverage {
   private[graft] def scratchDir(name: String): String =
     scratchRoot.resolve(name).toString
 
+  /** Snapshot-isolated TIME TRAVEL over a manifest-versioned parquet
+    * table — the transaction-log discipline every lakehouse format
+    * (Delta/Iceberg/Hudi) builds on, demonstrated with the log itself
+    * as plain JSON: each commit writes immutable parquet filesets and
+    * a manifest listing exactly the files live at that version. Commit
+    * history here: v1 = fileset A; v2 = A + appended B; v3 = compaction
+    * C (A∪B rewritten minus deleted sub-50k rows) + appended D. Reading
+    * "as of" version k is a DRIVER-SIDE manifest parse (O(files),
+    * metadata-only — no data is scanned to resolve the snapshot)
+    * followed by a plain pruned scan of the member filesets; old
+    * versions stay readable because commits never mutate files in
+    * place — the append/compact/delete history is reconstructed
+    * per-version and aggregated through the exact decimal path.
+    *
+    * Scale shape: at 100 TB the manifest is thousands of entries while
+    * the data is millions of files — time travel costs a log read, not
+    * a table scan; compaction rewrites only the files it replaces, and
+    * the version query unions three independent pruned scans (no
+    * shuffle until the K-row per-version aggregate).
+    */
+  val c23TimeTravel: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(scratchDir("c23_tt"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def fs(name: String) = root.resolve(name).toString
+    o.filter(col("o_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(fs("A"))
+    o.filter(col("o_orderkey") % 3 === 1)
+      .write.mode("overwrite").parquet(fs("B"))
+    // v3 commit: compact A+B into C, dropping cancelled (< 50k) rows —
+    // the rewrite touches ONLY the files being replaced
+    s.read.parquet(fs("A"), fs("B")).filter(col("o_totalprice") >= 50000)
+      .write.mode("overwrite").parquet(fs("C"))
+    o.filter(col("o_orderkey") % 3 === 2)
+      .write.mode("overwrite").parquet(fs("D"))
+    val manifests = Map(1 -> Seq("A"), 2 -> Seq("A", "B"), 3 -> Seq("C", "D"))
+    java.nio.file.Files.createDirectories(root.resolve("_log"))
+    manifests.foreach { case (v, files) =>
+      java.nio.file.Files.write(root.resolve(s"_log/v$v.json"),
+        files.mkString("[\"", "\",\"", "\"]")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // time travel: resolve each snapshot FROM THE LOG (not the in-scope
+    // manifest map), then scan only its member filesets
+    def readManifest(v: Int): Seq[String] = new String(
+      java.nio.file.Files.readAllBytes(root.resolve(s"_log/v$v.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .stripPrefix("[").stripSuffix("]")
+      .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    (1 to 3).map { v =>
+      val files = readManifest(v)
+      s.read.parquet(files.map(fs): _*)
+        .agg(count(lit(1)).as("n_rows"),
+             moneySum(col("o_totalprice")).as("sum_price"))
+        .select(lit(v).cast("int").as("version"), col("n_rows"),
+                col("sum_price"), lit(files.size).cast("long").as("n_files"))
+    }.reduce(_ unionAll _)
+  }
+
   /** max_by / min_by (A2 parity shape, per group). */
   val c1ArgMax: Q = (s, d) =>
     orders(s, d)
@@ -570,6 +628,7 @@ object Coverage {
   }
 
   val queries: Map[String, Q] = Map(
+    "c23_time_travel" -> c23TimeTravel,
     "c22_incremental_agg" -> c22IncrementalAgg,
     "c21_expectations" -> c21Expectations,
     "c20_zorder_layout" -> c20ZorderLayout,
@@ -655,6 +714,25 @@ object Coverage {
         |SELECT check_name, n_checked, n_violations,
         |  n_violations = 0 AS passed
         |FROM rows""".stripMargin,
+    // each snapshot replayed from the flat table: v1/v2 by the commit
+    // partition rule, v3 as compaction-minus-deletes plus the append
+    "c23_time_travel" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT * FROM base WHERE o_orderkey % 3 <= 1),
+        |v3 AS (SELECT * FROM v2 WHERE o_totalprice >= 50000
+        |       UNION ALL SELECT * FROM base WHERE o_orderkey % 3 = 2)
+        |SELECT 1 AS version, count(1) AS n_rows,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price, CAST(1 AS BIGINT) AS n_files FROM v1
+        |UNION ALL
+        |SELECT 2, count(1),
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2),
+        |  2 FROM v2
+        |UNION ALL
+        |SELECT 3, count(1),
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2),
+        |  2 FROM v3""".stripMargin,
     // merge ≡ recompute: the oracle aggregates the FULL table directly
     "c22_incremental_agg" ->
       """SELECT o_orderstatus, count(1) AS n_rows,
