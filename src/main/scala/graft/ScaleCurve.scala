@@ -69,11 +69,19 @@ object ScaleCurve {
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
     if (tables("events")) {
-      // events: ts stays an int64 nanos column (Tables.events div-1000s
-      // it the same way it handles the source TIMESTAMP(NANOS) files);
-      // copies occupy disjoint time ranges so densities stay constant
+      // events: ts is written as an int64 nanos column (Tables.events
+      // div-1000s it on read; tools/check.py normalizes the DuckDB
+      // view); source corpora have shipped ts as TIMESTAMP(NANOS)
+      // (read as a long via the legacy conf) and as plain
+      // TIMESTAMP(MICROS) — normalize either to epoch-nanos first.
+      // Copies occupy disjoint time ranges so densities stay constant.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = graft.sources.Tables.table(spark, srcDir, "events")
+      val ev0 = graft.sources.Tables.table(spark, srcDir, "events")
+      val ev = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => ev0
+        case _ => ev0.withColumn("ts",
+          expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      }
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       val span = mm.getLong(1) - mm.getLong(0) + 3600000000000L // +1 h gap
       (0 until nCopies).map { c =>
@@ -150,6 +158,9 @@ object ScaleCurve {
     // round-5 continuation: the corpus-trained bigram LM is the
     // heaviest new text op (explode + two hash aggs + model join)
     "t17_bigram_lm" -> "documents",
+    // round-6: character-window boilerplate detection — the heaviest
+    // new corpus-shaped op (a window-hash row per 16 chars of text)
+    "d17_substring_dedup" -> "documents",
     "n5_ivf_kmeans" -> "embeddings",
     "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",

@@ -779,7 +779,58 @@ object Dedup {
         expr("(n_dup_windows * 1000000) DIV n_windows").as("dup_ppm"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS discipline; Muthitacharoen
+    * et al., SOSP'01): chunk boundaries are WHERE THE CONTENT SAYS, not
+    * at fixed offsets — a position starts a chunk when the hash of its
+    * 8-char window lands in 1/16 of hash space — so an insertion early
+    * in a document shifts only the chunk it lands in, while d12/d17's
+    * fixed grids shift every downstream chunk. This is the dedup shape
+    * that survives re-crawls with small edits. Chunks are identified by
+    * content hash; a chunk is duplicated when it occurs in ≥ 2 distinct
+    * documents; per-source stats report chunk count, byte mass and the
+    * duplicated-mass ppm.
+    *
+    * Scale shape: the position stream is linear in corpus chars and is
+    * pruned 15/16 map-side before anything shuffles (at 100 TB the
+    * boundary scan runs as a real rolling Rabin hash in one
+    * mapPartitions pass; the declarative window-hash form here is the
+    * oracle-replayable equivalent with identical boundaries). Chunk
+    * reconstruction is a per-doc window (lead over the boundary rows —
+    * per-group sort, horizontal scale), and the dup test is ONE
+    * exchange on the chunk hash, reusing d17's clustering trick.
+    */
+  val d18CdcChunks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("p"))
+      .filter(col("p") === 1 ||
+              expr("substring(md5(substring(text, p, 8)), 1, 1)") === "0")
+    val chunks = bounds
+      .withColumn("next_p",
+        lead(col("p"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .select(col("doc_id"), col("source"),
+        expr("substring(text, p, coalesce(next_p, length(text) + 1) - p)")
+          .as("chunk"))
+      .select(col("doc_id"), col("source"),
+        md5(col("chunk")).as("h"), length(col("chunk")).cast("long").as("len"))
+    val perDoc = chunks.groupBy(col("h"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("mass"))
+    val flagged = perDoc.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    flagged.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_chunks"),
+           sum(col("mass")).as("chunk_mass"),
+           sum(when(col("nd") >= 2, col("mass")).otherwise(lit(0L)))
+             .as("dup_mass"))
+      .select(col("source"), col("n_chunks"), col("chunk_mass"),
+        col("dup_mass"),
+        expr("(dup_mass * 1000000) DIV chunk_mass").as("dup_mass_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_cdc_chunks" -> d18CdcChunks,
     "d17_substring_dedup" -> d17SubstringDedup,
     "d16_minhash_calibration" -> d16MinhashCalibration,
     "d14_semdedup" -> d14SemDedup,
@@ -837,6 +888,35 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d18_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT doc_id, source, text, p FROM pos
+        |  WHERE p = 1
+        |     OR substr(md5(substr(text, CAST(p AS INT), 8)), 1, 1) = '0'),
+        |chunks AS (
+        |  SELECT doc_id, source,
+        |    substr(text, CAST(p AS INT),
+        |           CAST(coalesce(lead(p) OVER
+        |                  (PARTITION BY doc_id ORDER BY p),
+        |                length(text) + 1) - p AS INT)) AS chunk
+        |  FROM bounds),
+        |ch AS (SELECT doc_id, source, md5(chunk) AS h,
+        |              length(chunk) AS len FROM chunks),
+        |wd AS (SELECT h, doc_id, source, count(1) AS n,
+        |              CAST(sum(len) AS BIGINT) AS mass
+        |       FROM ch GROUP BY 1, 2, 3),
+        |f AS (SELECT *, count(1) OVER (PARTITION BY h) AS nd FROM wd)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(sum(mass) AS BIGINT) AS chunk_mass,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN mass ELSE 0 END) AS BIGINT)
+        |    AS dup_mass,
+        |  CAST((sum(CASE WHEN nd >= 2 THEN mass ELSE 0 END) * 1000000)
+        |       // sum(mass) AS BIGINT) AS dup_mass_ppm
+        |FROM f GROUP BY source""".stripMargin,
     "d17_substring_dedup" ->
       """WITH pos AS (
         |  SELECT doc_id, source, text,

@@ -61,9 +61,74 @@ object UdfSurface {
       .toDF("l_returnflag", "wavg_price_per_qty")
   }
 
+  /** Typed Aggregator with ARRAY state: element-wise mean of the
+    * embedding vectors per label — the centroid computation every
+    * clustering / class-prototype pipeline runs, as a UDAF exemplar.
+    * Each float is fixed-pointed to integer MICROS before accumulation
+    * (floats are exact in double, the 1e6 scale-and-round is identical
+    * in both engines, and integer sums are order-independent), so the
+    * per-element mean is bit-stable under any partitioning; the mean
+    * itself stays in integer micros (truncating division). At corpus
+    * scale the int64 per-element sums hold ~9e12 vectors before
+    * overflow; the merge is a flat array add — the same partial-
+    * aggregation shape Spark's own sum enjoys.
+    */
+  case class VecRow(label: Int, embedding: Array[Float])
+  case class VecBuf(var n: Long, var sums: Array[Long])
+
+  object VecMean extends Aggregator[VecRow, VecBuf, Array[Long]] {
+    override def zero: VecBuf = VecBuf(0L, Array.emptyLongArray)
+    private def ensure(b: VecBuf, dims: Int): VecBuf =
+      if (b.sums.length >= dims) b else VecBuf(b.n, b.sums.padTo(dims, 0L))
+    /** HALF-AWAY-FROM-ZERO fixed-pointing: java's Math.round is
+      * floor(x+0.5) (rounds -2.5 to -2) while SQL round() goes away
+      * from zero (-2.5 to -3); half-ties are reachable for dyadic
+      * floats like 1/128 * 1e6 = 7812.5, so the tie rule must match
+      * the oracle's exactly.
+      */
+    private def fx(x: Float): Long = {
+      val v = x.toDouble * 1000000
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    }
+    override def reduce(b0: VecBuf, r: VecRow): VecBuf = {
+      val b = ensure(b0, r.embedding.length)
+      var i = 0
+      while (i < r.embedding.length) {
+        b.sums(i) += fx(r.embedding(i))
+        i += 1
+      }
+      VecBuf(b.n + 1, b.sums)
+    }
+    override def merge(a0: VecBuf, b0: VecBuf): VecBuf = {
+      val a = ensure(a0, b0.sums.length); val b = ensure(b0, a0.sums.length)
+      var i = 0
+      while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+      VecBuf(a.n + b.n, a.sums)
+    }
+    // plain long division truncates toward zero — the same rule as
+    // Spark DIV and DuckDB's integer //
+    override def finish(b: VecBuf): Array[Long] =
+      b.sums.map(s => if (b.n == 0) 0L else s / b.n)
+    override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  val u3VectorUdaf: Q = (s, d) => {
+    import s.implicits._
+    embeddings(s, d)
+      .select(col("label"), col("embedding"))
+      .as[VecRow]
+      .groupByKey(_.label)
+      .agg(VecMean.toColumn.name("mean_micros"))
+      .toDF("label", "mean_micros")
+      .select(col("label").cast("int").as("label"), col("mean_micros"))
+  }
+
   val queries: Map[String, Q] = Map(
     "u1_scalar_udf" -> u1ScalarUdf,
     "u2_typed_agg" -> u2TypedAgg,
+    "u3_vector_udaf" -> u3VectorUdaf,
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,5 +141,20 @@ object UdfSurface {
         | floor(sum(round(l_extendedprice * 100)) / sum(round(l_quantity))) / 100.0
         |   AS wavg_price_per_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // same fixed-point replay: float -> double is exact, round() is
+    // half-away-from-zero in both engines, // truncates like long
+    // division; list re-assembled in element order
+    "u3_vector_udaf" ->
+      """WITH el AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |         // count(1) AS BIGINT) AS mm
+        |  FROM el GROUP BY 1, 2)
+        |SELECT label, list(mm ORDER BY pos) AS mean_micros
+        |FROM m GROUP BY label""".stripMargin,
   )
 }

@@ -232,3 +232,52 @@ class SubstringDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** d18 content-defined chunking: the EDIT-LOCALITY property that
+  * justifies CDC over fixed grids (d12/d17) — an insertion changes the
+  * chunks it touches, while every chunk whose window context lies
+  * beyond the edit re-synchronizes to identical boundaries and hashes.
+  * Replayed in plain Scala with the exact boundary rule the query and
+  * its oracle share (md5 of the 8-char window, first hex nibble 0).
+  */
+class CdcChunkSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def chunks(text: String): Seq[String] = {
+    val n = text.length
+    val starts = (1 to math.max(n - 7, 1)).filter { p =>
+      p == 1 || md5hex(text.substring(p - 1, p - 1 + 8)).startsWith("0")
+    }
+    (starts :+ (n + 1)).sliding(2).map {
+      case Seq(a, b) => text.substring(a - 1, b - 1)
+    }.toSeq
+  }
+
+  test("chunks tile the document exactly") {
+    val text = (1 to 200).map(i => s"w$i").mkString(" ")
+    assert(chunks(text).mkString == text)
+  }
+
+  test("an insertion leaves chunks beyond the edit window unchanged") {
+    val text = (1 to 400).map(i => s"token$i").mkString(" ")
+    val edited = text.substring(0, 50) + "INSERTED " + text.substring(50)
+    val orig = chunks(text)
+    val after = chunks(edited)
+    assert(orig.size >= 4, s"corpus too small to test resync: ${orig.size}")
+    // every original chunk whose content starts beyond the edit's
+    // resync horizon (edit position + window width) must survive
+    // verbatim in the edited chunking
+    val afterSet = after.toSet
+    val survivors = orig.drop(2).count(afterSet.contains)
+    assert(survivors >= orig.size - 3,
+      s"CDC lost downstream chunks: ${survivors} of ${orig.size - 2} survived")
+    // and a fixed-offset grid over the same edit keeps (almost) none:
+    // the insertion shifts every downstream 32-grid window
+    def grid(t: String) = t.grouped(32).toSeq
+    val gridSurvivors = grid(text).drop(2).count(grid(edited).toSet.contains)
+    assert(gridSurvivors <= 1,
+      "fixed grid unexpectedly survived the shift — test premise broken")
+  }
+}
