@@ -108,6 +108,36 @@ object Streams {
                 |AND ts <= s_ts + INTERVAL $horizon""".stripMargin))
       .select(col("p_id"), col("user_id"), col("s_id"), col("ts"), col("s_ts"))
 
+  /** Watermarked stream-stream LEFT OUTER join — the semantics the
+    * inner attribution join above cannot express: a signup with NO
+    * purchase inside the horizon must still be emitted (null purchase
+    * side), and it can only be emitted once the WATERMARK proves no
+    * matching purchase can still arrive. That proof is the whole
+    * operator: the null-side row for signup s flushes when the
+    * purchase-side watermark passes s_ts + horizon, which is exactly
+    * when the join state for s is also freed — the same bound that
+    * makes the state O(horizon), not O(stream).
+    *
+    * At scale this is the conversion-funnel / abandonment feed: one
+    * shuffle per side on user, per-key state bounded by the horizon,
+    * RocksDB-backed. The left-outer emission discipline is what a
+    * "send a nudge to users who signed up but didn't buy" pipeline
+    * runs continuously.
+    */
+  def signupOutcomes(
+      purchases: DataFrame,   // (p_id, user_id, ts)
+      signups: DataFrame,     // (s_id, s_user, s_ts)
+      horizon: String = "1 hour"): DataFrame =
+    signups.withWatermark("s_ts", "10 minutes")
+      .join(
+        purchases.withWatermark("ts", "10 minutes"),
+        expr(s"""user_id = s_user
+                |AND ts >= s_ts
+                |AND ts <= s_ts + INTERVAL $horizon""".stripMargin),
+        "left_outer")
+      .select(col("s_id"), col("s_user"), col("s_ts"),
+              col("p_id"), col("ts").as("p_ts"))
+
   /** Continuous dump INTO the reference catalog layout: each
     * micro-batch lands as its own dump (`{dumpId}-b{batch}`) with the
     * cumulative-named gzip files the batch Dumper produces —

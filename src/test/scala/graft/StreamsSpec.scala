@@ -163,3 +163,59 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((100L, 10L)))
   }
 }
+
+/** Left-outer stream-stream join: converted signups match, and the
+  * null-side row for an unconverted signup is emitted ONLY once the
+  * watermark proves no in-horizon purchase can still arrive.
+  */
+class StreamOuterJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unconverted signups surface with a null purchase side after the watermark") {
+    val pSrc = Files.createTempDirectory("graft-soj-p").toString
+    val sSrc = Files.createTempDirectory("graft-soj-s").toString
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    // signups: user 1 converts, user 2 never does, user 4 converts late
+    // (out of horizon => still unconverted)
+    Seq((10L, 1L, ts(0)), (11L, 2L, ts(5)), (12L, 4L, ts(6)))
+      .toDF("s_id", "s_user", "s_ts").coalesce(1)
+      .write.mode("append").parquet(sSrc)
+    Thread.sleep(50)
+    // far-future signup: the OUTER flush waits on the GLOBAL watermark
+    // (min across both streams), so the signup side must advance too;
+    // s99 itself stays unflushed (its own horizon is still open) and
+    // is excluded from the assertion
+    Seq((99L, 9L, ts(600)))
+      .toDF("s_id", "s_user", "s_ts").coalesce(1)
+      .write.mode("append").parquet(sSrc)
+    // slice 1: the in-horizon purchase; slice 2: far-future events that
+    // push BOTH watermarks past every signup's s_ts + horizon + delay,
+    // forcing the outer join to flush its null-side rows
+    Seq((100L, 1L, ts(30)))
+      .toDF("p_id", "user_id", "ts").coalesce(1).write.mode("append").parquet(pSrc)
+    Thread.sleep(50)
+    Seq((101L, 4L, ts(90)), (999L, 9L, ts(600)))
+      .toDF("p_id", "user_id", "ts").coalesce(1).write.mode("append").parquet(pSrc)
+    val p = spark.readStream.schema(spark.read.parquet(pSrc).schema)
+      .option("maxFilesPerTrigger", "1").parquet(pSrc)
+    val sgn = spark.readStream.schema(spark.read.parquet(sSrc).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sSrc)
+    val q = Streams.signupOutcomes(p, sgn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_soj")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("graft_soj").collect()
+      .map(r => (r.getAs[Long]("s_id"),
+                 Option(r.getAs[java.lang.Long]("p_id")).map(Long2long)))
+      .filter(_._1 < 90)
+      .sortBy(_._1)
+    // s10 matched p100; s11 unconverted (no purchase at all); s12
+    // unconverted (its only purchase is outside the horizon)
+    assert(got.toSeq == Seq((10L, Some(100L)), (11L, None), (12L, None)),
+      s"outer join emitted $got")
+  }
+}
