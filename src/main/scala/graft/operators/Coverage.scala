@@ -627,7 +627,69 @@ object Coverage {
                 .as("avg_price"))
   }
 
+  /** Semi-structured analytics over the VARIANT type (Spark 4's
+    * binary-encoded JSON, the Snowflake/Databricks semi-structured
+    * column shape): each event's heterogeneous payload — nested object,
+    * array, and the raw `props` JSON — is assembled into one JSON
+    * document, parsed ONCE into a variant, and then path-extracted with
+    * typed `variant_get` calls (plus `try_variant_get` pinning the
+    * missing-path → NULL contract). Both engines build the identical
+    * JSON string from the same columns, so the oracle replays the
+    * extraction with DuckDB's json_extract over the same documents.
+    *
+    * Scale shape: parse_json is one map-side pass producing the
+    * shredded binary encoding; every downstream variant_get reads the
+    * encoded value without re-parsing text — at 100 TB the JSON text is
+    * parsed exactly once per row, and the K-group aggregate is the only
+    * exchange.
+    */
+  val c24VariantJson: Q = (s, d) =>
+    events(s, d)
+      .withColumn("j", concat(
+        lit("{\"u\":{\"id\":"), col("user_id"),
+        lit("},\"t\":\""), col("event_type"),
+        lit("\",\"arr\":["), col("event_id") % 7, lit(","), col("user_id") % 5,
+        lit("],\"p\":"), col("props"), lit("}")))
+      .withColumn("v", expr("parse_json(j)"))
+      .select(
+        expr("variant_get(v, '$.t', 'string')").as("etype"),
+        expr("variant_get(v, '$.u.id', 'bigint')").as("uid"),
+        expr("variant_get(v, '$.arr[1]', 'bigint')").as("a1"),
+        expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("miss"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           max(col("uid")).as("max_uid"),
+           sum(col("a1")).as("sum_a1"),
+           count(col("miss")).as("n_missing_nonnull"))
+
+  /** SQL pipe syntax (Spark 4's `|>` operator chain — the linear
+    * dataflow form of SQL): scan |> filter |> derived column |>
+    * aggregate |> final projection, planned by Catalyst into exactly
+    * the plan the equivalent nested SELECT gets (pushdown, partial
+    * aggregation and codegen all apply unchanged — the syntax is
+    * front-end only). The oracle is that equivalent nested SELECT.
+    */
+  val c25PipeSql: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("c25_lineitem")
+    s.sql(
+      """FROM c25_lineitem
+        ||> WHERE l_quantity < 25
+        ||> EXTEND cast(l_extendedprice * (1 - l_discount) as decimal(22,4))
+        |          AS disc_price
+        ||> AGGREGATE count(1) AS n,
+        |             sum(cast(l_quantity as decimal(18,2))) AS sq,
+        |             sum(disc_price) AS sdp
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> SELECT l_returnflag, l_linestatus, n,
+        |          round(cast(sq as double), 2) AS sum_qty,
+        |          round(cast(sdp as double), 4) AS revenue""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c24_variant_json" -> c24VariantJson,
+    "c25_pipe_sql" -> c25PipeSql,
     "c23_time_travel" -> c23TimeTravel,
     "c22_incremental_agg" -> c22IncrementalAgg,
     "c21_expectations" -> c21Expectations,
@@ -654,6 +716,28 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical JSON document built from the same columns, paths
+    // replayed with json_extract; missing path → NULL on both engines
+    "c24_variant_json" ->
+      """WITH j AS (SELECT '{"u":{"id":' || user_id || '},"t":"' ||
+        |    event_type || '","arr":[' || event_id % 7 || ',' ||
+        |    user_id % 5 || '],"p":' || props || '}' AS j FROM events)
+        |SELECT json_extract_string(j, '$.t') AS etype, count(1) AS n,
+        |  CAST(sum(CAST(json_extract(j, '$.p.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  max(CAST(json_extract(j, '$.u.id') AS BIGINT)) AS max_uid,
+        |  CAST(sum(CAST(json_extract(j, '$.arr[1]') AS BIGINT)) AS BIGINT)
+        |    AS sum_a1,
+        |  CAST(count(CAST(json_extract(j, '$.missing') AS BIGINT)) AS BIGINT)
+        |    AS n_missing_nonnull
+        |FROM j GROUP BY 1""".stripMargin,
+    // the pipe chain as its nested-SELECT equivalent
+    "c25_pipe_sql" ->
+      s"""SELECT l_returnflag, l_linestatus, count(1) AS n,
+         |  ${sqlMoneySum("l_quantity")} AS sum_qty,
+         |  ${sqlProdSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem WHERE l_quantity < 25
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     // the same integer bucketing + bit interleave, rolled up per
     // top-4-bit cell — the parquet round-trip is lossless so the
     // layout write drops out of the result

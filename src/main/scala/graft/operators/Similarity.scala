@@ -584,7 +584,44 @@ object Similarity {
       .toDF("qid", "cid", "rnk_cos", "rnk_l2", "rrf_ppm", "rnk")
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (MaxSim): instead of one
+    * vector per document, each side is a BAG of token vectors and the
+    * pair score is Σ_q max_d ⟨q_i, d_j⟩ — every query token finds its
+    * best-matching document token and the per-token maxima sum. Here
+    * each 64-d embedding stands in for 8 token vectors of 8 dims
+    * (contiguous slices — the multi-vector plumbing is real even though
+    * the "tokens" come from slicing); a production encoder would swap
+    * in its own Array[Array[Float]] column without changing the plan.
+    *
+    * The whole 8×8 interaction matrix folds IN-ROW through nested
+    * higher-order functions (no explode: token vectors never become
+    * rows, so nothing about the multi-vector structure rides a
+    * shuffle). Scale shape = n1's: fixed query set broadcast, corpus
+    * streamed map-side, per-query top-k via window. Dot products fold
+    * left-to-right in doubles; maxima and the qi-ordered sum replay
+    * identically in the oracle, so comparison is exact.
+    */
+  val n13MaxSim: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("maxsim", round(expr(
+        """aggregate(sequence(0, 7), cast(0.0 as double), (acc, qi) ->
+          |  acc + array_max(transform(sequence(0, 7), di ->
+          |    aggregate(zip_with(slice(qe, qi * 8 + 1, 8),
+          |                       slice(ce, di * 8 + 1, 8),
+          |                       (x, y) -> cast(x as double) * cast(y as double)),
+          |              cast(0.0 as double), (a2, x) -> a2 + x))))""".stripMargin), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("maxsim"), col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n13_maxsim" -> n13MaxSim,
     "n12_rrf_fusion" -> n12RrfFusion,
     "n11_rerank" -> n11Rerank,
     "n10_ivf_pq" -> n10IvfPq,
@@ -616,6 +653,29 @@ object Similarity {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the 8×8 interaction matrix rebuilt via the n8 unnest pattern
+    // (DuckDB-safe: no nested lambdas); per-(pair, qi) max over di,
+    // then the qi-ORDERED list_sum replays Spark's left fold exactly
+    "n13_maxsim" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, q.emb AS qe, c.vec_id AS cid,
+        |             c.emb AS ce
+        |      FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |d0 AS (SELECT qid, cid, qi.i AS qi, di.i AS di,
+        |  list_sum(list_transform(
+        |    list_zip(qe[qi.i*8+1 : qi.i*8+8], ce[di.i*8+1 : di.i*8+8]),
+        |    pr -> pr[1] * pr[2])) AS dot
+        |  FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS i) qi
+        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS i) di),
+        |m1 AS (SELECT qid, cid, qi, max(dot) AS mx
+        |       FROM d0 GROUP BY qid, cid, qi),
+        |m2 AS (SELECT qid, cid,
+        |  round(CAST(list_sum(list(mx ORDER BY qi)) AS DOUBLE), 6) AS maxsim
+        |  FROM m1 GROUP BY qid, cid),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY maxsim DESC, cid) AS rnk FROM m2)
+        |SELECT qid, cid, maxsim, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     // stage 1 replayed over the same floor(x*100) codes (integer-exact
     // dot, DESC/cid tie order), stage 2 re-fetches full vectors for the
     // shortlist rows only and re-ranks by the shared cosine form

@@ -696,7 +696,37 @@ object TextAnalysis {
            max(col("score_m")).as("max_score_m"))
   }
 
+  /** Hashed-linear quality-classifier INFERENCE — the fastText /
+    * CCNet-filter shape: no vocabulary table ships with the model;
+    * each token hashes straight to its weight slot (the hashing trick),
+    * the document score is the mean token weight, and the sign decides
+    * keep/drop. Weights here are derived from the shared md5-prefix
+    * hash (weight(t) = h32(t) % 2001 − 1000, milli-units in
+    * [−1000, 1000]) so the DuckDB oracle replays inference exactly —
+    * a trained model would substitute its weight array without
+    * changing the plan. Scoring is one map-side pass (the in-row fold
+    * never explodes tokens to rows); the K-row (lang, pred) rollup is
+    * the only exchange. Integer milli-unit arithmetic end-to-end:
+    * Spark DIV and DuckDB // both truncate toward zero, so negative
+    * mean scores agree (verified against DuckDB — see u3's dialect
+    * notes on truncating division).
+    */
+  val t23Classifier: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("score_milli", expr(
+        """(aggregate(ws, cast(0 as bigint), (acc, t) ->
+          |   acc + cast(conv(substring(md5(lower(t)), 1, 8), 16, 10) as bigint)
+          |         % 2001 - 1000))
+          | DIV greatest(size(ws), 1)""".stripMargin))
+      .withColumn("pred",
+        when(col("score_milli") >= 0, "keep").otherwise("drop"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("score_milli")).as("sum_score"),
+           min(col("doc_id")).as("min_doc"))
+
   val queries: Map[String, Q] = Map(
+    "t23_classifier" -> t23Classifier,
     "t22_readability" -> t22Readability,
     "t21_stratified_sample" -> t21StratifiedSample,
     "t19_bm25" -> t19Bm25,
@@ -722,6 +752,22 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // inference replayed token-for-token: same md5-slot weights, same
+    // truncating integer mean
+    "t23_classifier" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(ws, t ->
+        |      ('0x' || substr(md5(lower(t)), 1, 8))::BIGINT % 2001 - 1000))
+        |    AS BIGINT) // greatest(len(ws), 1) AS score_milli
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS pred,
+        |  count(1) AS n_docs,
+        |  CAST(sum(score_milli) AS BIGINT) AS sum_score,
+        |  min(doc_id) AS min_doc
+        |FROM sc GROUP BY 1, 2""".stripMargin,
     "t22_readability" ->
       """WITH m AS (
         |  SELECT doc_id, lang,

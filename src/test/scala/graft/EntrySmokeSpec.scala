@@ -97,7 +97,9 @@ class EntrySmokeSpec extends AnyFunSuite {
       // n12 broadcasts the same fixed 8-row query set as n1 (the
       // qid<>cid predicate is deliberately non-equi); g5 rides g1's
       // one-row node-count edge map
-      "n12_rrf_fusion", "g5_label_prop")
+      // n13 broadcasts n1's fixed 8-row query set (MaxSim scores the
+      // streamed corpus against it map-side)
+      "n12_rrf_fusion", "g5_label_prop", "n13_maxsim")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
