@@ -77,7 +77,30 @@ object WindowsBatch {
            count(col("t_p")).as("n_full_funnel"))
   }
 
+  /** Batch analog of streaming.TwsQuota (the transformWithState quota
+    * enforcer): per (user, tumbling hour) the first `maxPerWindow`=3
+    * events by (ts, event_id) admit, the rest are tagged rejected —
+    * EXACTLY the decision rule the streaming processor's MapState
+    * counter implements, here as one window function so the oracle
+    * pins the rule both operators share. Scale: one exchange on
+    * (user, window); the per-partition sort is the only extra cost.
+    */
+  val wb6QuotaAdmission: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("win"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("win", expr("unix_micros(ts) div 3600000000"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("admitted", col("rn") <= 3)
+      .groupBy(col("event_type"), col("admitted"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           min(col("event_id")).as("min_event"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "wb6_quota_admission" -> wb6QuotaAdmission,
     "wb1_tumbling" -> wb1Tumbling,
     "wb2_sliding" -> wb2Sliding,
     "wb3_session" -> wb3Session,
@@ -86,6 +109,15 @@ object WindowsBatch {
   )
 
   val oracles: Map[String, String] = Map(
+    // the shared quota rule as one window computation
+    "wb6_quota_admission" ->
+      """WITH r AS (SELECT event_type, user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // 3600000
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, rn <= 3 AS admitted, count(1) AS n_events,
+        |  count(DISTINCT user_id) AS n_users, min(event_id) AS min_event
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "wb5_funnel" ->
       """WITH su AS (SELECT user_id, min(ts) AS t_s FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),
