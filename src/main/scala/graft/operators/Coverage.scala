@@ -687,7 +687,41 @@ object Coverage {
         |          round(cast(sdp as double), 4) AS revenue""".stripMargin)
   }
 
+  /** SQL SCRIPTING (Spark 4's procedural BEGIN…END blocks): DECLARE'd
+    * session variables, a WHILE loop driving per-iteration scalar
+    * subqueries, and a final SELECT over the accumulated variables —
+    * the stored-procedure-style control flow ETL schedulers lean on.
+    * Each loop iteration is an ordinary Catalyst-planned query
+    * (pushdown applies: the l_linenumber predicate reaches the scan);
+    * the script only sequences them. The oracle collapses the loop to
+    * its set-equivalent single aggregate — proving the iteration ≡
+    * one-pass identity the loop relies on.
+    */
+  val c26SqlScripting: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("c26_lineitem")
+    val prev = s.conf.getOption("spark.sql.scripting.enabled")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    try s.sql(
+      """BEGIN
+        |  DECLARE ln INT DEFAULT 1;
+        |  DECLARE n_acc BIGINT DEFAULT 0;
+        |  DECLARE q_acc BIGINT DEFAULT 0;
+        |  WHILE ln <= 7 DO
+        |    SET n_acc = n_acc + (SELECT count(1) FROM c26_lineitem
+        |                         WHERE l_linenumber = ln);
+        |    SET q_acc = q_acc + (SELECT coalesce(sum(cast(l_quantity
+        |                           as bigint)), 0)
+        |                         FROM c26_lineitem WHERE l_linenumber = ln);
+        |    SET ln = ln + 1;
+        |  END WHILE;
+        |  SELECT n_acc AS n_rows, q_acc AS sum_qty, ln - 1 AS n_iters;
+        |END""".stripMargin)
+    finally prev.fold(s.conf.unset("spark.sql.scripting.enabled"))(
+      v => s.conf.set("spark.sql.scripting.enabled", v))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c26_sql_scripting" -> c26SqlScripting,
     "c24_variant_json" -> c24VariantJson,
     "c25_pipe_sql" -> c25PipeSql,
     "c23_time_travel" -> c23TimeTravel,
@@ -716,6 +750,12 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the WHILE loop collapsed to its set-equivalent single aggregate
+    "c26_sql_scripting" ->
+      """SELECT count(1) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  7 AS n_iters
+        |FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7""".stripMargin,
     // the identical JSON document built from the same columns, paths
     // replayed with json_extract; missing path → NULL on both engines
     "c24_variant_json" ->

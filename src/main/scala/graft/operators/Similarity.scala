@@ -620,7 +620,36 @@ object Similarity {
       .select(col("qid"), col("cid"), col("maxsim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** FILTERED vector search — ANN under a metadata predicate (here:
+    * candidates must share the query's label; in production: language,
+    * license, tenant, date range). The predicate joins BEFORE ranking
+    * (pre-filter, the recall-exact discipline), and because it is an
+    * EQUI-condition it becomes the hash-join key: the plan is a
+    * BroadcastHashJoin on label, not the ANN family's nested-loop over
+    * the full corpus — the predicate doesn't just mask results, it
+    * SHRINKS the scored set. At 100 TB label becomes the partition
+    * key and each query scores only its slice.
+    */
+  val n14FilteredAnn: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                     col("label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q),
+           col("label") === col("qlabel") && col("qid") =!= col("cid"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("label").cast("long").as("label"), col("cid"),
+              col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n14_filtered_ann" -> n14FilteredAnn,
     "n13_maxsim" -> n13MaxSim,
     "n12_rrf_fusion" -> n12RrfFusion,
     "n11_rerank" -> n11Rerank,
@@ -653,6 +682,21 @@ object Similarity {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the label pre-filter as the join predicate, then n1's ranking
+    "n14_filtered_ann" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+         |           FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS label,
+         |             c.vec_id AS cid,
+         |             round(${sqlDot("q.emb", "c.emb")} /
+         |                   (${sqlNorm("q.emb")} * ${sqlNorm("c.emb")}), 6)
+         |               AS sim
+         |      FROM e q JOIN e c ON q.vec_id < 8 AND q.label = c.label
+         |                           AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM p)
+         |SELECT qid, label, cid, sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3""".stripMargin,
     // the 8×8 interaction matrix rebuilt via the n8 unnest pattern
     // (DuckDB-safe: no nested lambdas); per-(pair, qi) max over di,
     // then the qi-ORDERED list_sum replays Spark's left fold exactly

@@ -725,7 +725,57 @@ object TextAnalysis {
            sum(col("score_milli")).as("sum_score"),
            min(col("doc_id")).as("min_doc"))
 
+  /** CCNet-style PERPLEXITY FILTERING: a bigram LM is trained on a
+    * REFERENCE slice only (sources src0/src1 — the "wikipedia" of the
+    * synthetic corpus), every document is scored under that model with
+    * a fixed backoff floor for bigrams the reference never saw, and
+    * each language's documents split into head/middle/tail score
+    * thirds (the CCNet bucketing that decides keep/maybe/drop). The
+    * score is integer ppm end-to-end (truncating division both
+    * engines), and bucketing is ntile over a fully-determined order,
+    * so the oracle replays the whole filter exactly.
+    *
+    * Scale shape: the model is |ref bigram| rows keyed on (w1, w2) —
+    * the score join shuffles on the same key as the model build, and
+    * the doc-grain re-aggregate reuses the doc_id clustering the
+    * bigram explode started from. The per-lang ntile sorts only the
+    * K-doc score table (doc grain, not token grain); at 100 TB the
+    * bucket boundaries would come from approx quantiles instead, with
+    * the same plan shape minus the total order.
+    */
+  val t24PerplexityFilter: Q = (s, d) => {
+    val bg = docs(s, d)
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+        """transform(sequence(1, n - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ref = bg.filter(col("source").isin("src0", "src1"))
+    val bgCnt = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctxCnt = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val model = bgCnt.join(ctxCnt, "w1")
+      .select(col("w1"), col("w2"), expr("c2 * 1000000 DIV c1").as("cond_ppm"))
+    val scored = bg.join(model, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(coalesce(cond_ppm, 100)) DIV count(1)").as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("third", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("third") === 1, "head")
+          .when(col("third") === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("score_ppm")).as("sum_score"),
+           min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t24_perplexity_filter" -> t24PerplexityFilter,
     "t23_classifier" -> t23Classifier,
     "t22_readability" -> t22Readability,
     "t21_stratified_sample" -> t21StratifiedSample,
@@ -752,6 +802,36 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // the whole filter replayed: reference-trained model, backoff
+    // floor, truncating ppm mean, per-lang ntile thirds
+    "t24_perplexity_filter" ->
+      s"""WITH t AS ($sqlDocs),
+         |bgr AS (SELECT doc_id, lang, source,
+         |          unnest(list_transform(range(1, length(ws)),
+         |            i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+         |        FROM t WHERE length(ws) >= 2),
+         |p AS (SELECT doc_id, lang, source,
+         |             struct_extract(b, 'w1') AS w1,
+         |             struct_extract(b, 'w2') AS w2 FROM bgr),
+         |r AS (SELECT * FROM p WHERE source IN ('src0', 'src1')),
+         |c2 AS (SELECT w1, w2, count(1) AS c2 FROM r GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(1) AS c1 FROM r GROUP BY w1),
+         |m AS (SELECT w1, w2, c2 * 1000000 // c1 AS cond_ppm
+         |      FROM c2 JOIN c1 USING (w1)),
+         |sc AS (SELECT doc_id, lang,
+         |         CAST(sum(coalesce(cond_ppm, 100)) AS BIGINT) // count(1)
+         |           AS score_ppm
+         |       FROM p LEFT JOIN m USING (w1, w2) GROUP BY doc_id, lang),
+         |nt AS (SELECT lang, doc_id, score_ppm,
+         |         ntile(3) OVER (PARTITION BY lang
+         |                        ORDER BY score_ppm DESC, doc_id) AS third
+         |       FROM sc)
+         |SELECT lang,
+         |  CASE third WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  count(1) AS n_docs, CAST(sum(score_ppm) AS BIGINT) AS sum_score,
+         |  min(doc_id) AS min_doc
+         |FROM nt GROUP BY 1, 2""".stripMargin,
     // inference replayed token-for-token: same md5-slot weights, same
     // truncating integer mean
     "t23_classifier" ->

@@ -247,7 +247,32 @@ object Windows {
           .cast("long").as("n_purchases"))
   }
 
+  /** Time-interval RANGE frame: each event's trailing-hour activity
+    * (count + admitted micros-sum of `value`) per user — the moving
+    * aggregate a RANGE frame exists for, where ROWS frames are wrong
+    * the moment event spacing is irregular. The frame is keyed on
+    * epoch-micros (both engines order and bound the frame on the same
+    * int64, and RANGE includes ts-ties as peers identically). Rolled
+    * up per event type: total events, burst events (≥3 in the trailing
+    * hour), max burst, and the decimal-exact sum of the moving counts.
+    * Scale: one exchange on user_id; the frame scan is the
+    * per-partition sliding-window pass.
+    */
+  val w12RangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("mc", count(lit(1)).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("mc") >= 3, 1L).otherwise(0L)).as("n_burst"),
+           max(col("mc")).as("max_burst"),
+           sum(col("mc")).as("sum_mc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w12_range_frame" -> w12RangeFrame,
     "w10_fill_forward" -> w10FillForward,
     "w11_event_pattern" -> w11EventPattern,
     "w1_rank" -> w1Rank,
@@ -269,6 +294,17 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same int64-keyed RANGE frame (ties are peers on both engines)
+    "w12_range_frame" ->
+      """WITH m AS (SELECT event_type,
+        |    count(1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS mc
+        |  FROM events)
+        |SELECT event_type, count(1) AS n_events,
+        |  CAST(sum(CASE WHEN mc >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_burst,
+        |  max(mc) AS max_burst, CAST(sum(mc) AS BIGINT) AS sum_mc
+        |FROM m GROUP BY event_type""".stripMargin,
     "w11_event_pattern" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,
