@@ -1,13 +1,19 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CosineSimilarity}
+import org.apache.spark.sql.graftnative.{Bridge, CosineSimilarity, SortedIntersectSize}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
   /** Column API: fused single-pass cosine similarity (codegen'd). */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: |A ∩ B| of two ascending-sorted distinct long arrays
+    * (codegen'd two-pointer merge, zero allocation). Caller must sort.
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectSize(Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL registration: SELECT cosine_sim(a, b) ... (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -358,15 +358,23 @@ object Dedup {
     // most duplicate rows, so the handful of repeated verifications
     // costs less than a full-candidate shuffle did.
     val pairs = d8RawPairs(ordered)
+    // tok-ASCENDING copies of the token sets, sorted ONCE per document
+    // (amortized over every candidate pair the doc appears in) so the
+    // per-pair intersection is the native zero-allocation two-pointer
+    // merge (SortedIntersectSize) instead of size(array_intersect)'s
+    // per-pair hash set + materialized intersection array — measured
+    // on the verify stage, the former hot path of this query
     val oa = ordered.select(col("doc_id").as("a_id"), col("lang"),
-                            col("otoks").as("a_t"))
-    val ob = ordered.select(col("doc_id").as("b_id"), col("otoks").as("b_t"))
+                            array_sort(col("otoks")).as("a_t"))
+    val ob = ordered.select(col("doc_id").as("b_id"),
+                            array_sort(col("otoks")).as("b_t"))
     // verification rebind: the doc-token side is already partitioned on
     // the doc id (d8Ordered groups by it), so only the slim pair stream
     // shuffles — the array side joins exchange-free (AQE may still
     // demote to broadcast when it measures small)
     pairs.join(oa, "a_id").join(ob, "b_id")
-      .withColumn("inter", size(array_intersect(col("a_t"), col("b_t"))))
+      .withColumn("inter",
+        graft.functions.VectorFunctions.sortedIntersectSize(col("a_t"), col("b_t")))
       .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
       .groupBy(col("lang"))
