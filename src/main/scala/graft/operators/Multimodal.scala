@@ -339,7 +339,103 @@ object Multimodal {
            min(col("min_amp")).cast("long").as("min_amp"))
   }
 
+  case class PHashed(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash IMAGE DEDUP over real decoded PNGs — the visual
+    * near-dup stage of a multimodal training pipeline (decode →
+    * fingerprint → bucket-join clusters), end-to-end through the JDK's
+    * actual codec. Each asset's image is a pure function of
+    * `doc_id % 64` (same pixel formula as m6 keyed on that residue),
+    * so the corpus deliberately contains ~31-member duplicate classes
+    * for the detector to find; the encoder MEMOIZES renders per
+    * partition (64 distinct images exist — the per-partition-init
+    * pattern a real encoder pool would use). The fingerprint is a
+    * dHash-style difference hash: adjacent-pixel gray comparisons over
+    * the 8×8 top-left crop (every image is ≥8×8 by construction; a
+    * production dHash average-pools to 9×8 first — the crop keeps the
+    * oracle integer-exact without replaying pooling boundaries),
+    * 7 bits × 8 rows = a 56-bit key.
+    *
+    * Scale shape: decode + hash are one map pass; the hash IS the
+    * shuffle key (exact bucket join, d1's discipline — no pairwise
+    * comparisons anywhere); the histogram is a K-row re-aggregate.
+    * PNG is lossless so the oracle rebuilds every hash closed-form
+    * from the 64 residue classes and replays the same two aggregates.
+    */
+  val m8PerceptualDedup: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m8_pngs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val memo = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val key = id % 64
+          val bytes = memo.getOrElseUpdate(key, {
+            val w = (8 + key % 25).toInt
+            val h = (8 + (key / 7) % 25).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                def ch(c: Int): Int =
+                  ((key * 31 + 7L * x + 13L * y + 101L * c) % 256).toInt
+                img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          })
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"$id%012d.png"), bytes)
+        }
+      }
+    val hashed = s.read.format("binaryFile").load(out)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          def gray(px: Int, py: Int): Int = {
+            val p = img.getRGB(px, py)
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          PHashed(id, hash)
+        }
+      }
+    hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("cmin"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("cluster_size")).as("n_docs"),
+           min(col("cmin")).as("min_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m8_perceptual_dedup" -> m8PerceptualDedup,
     "m5_binary_ingest" -> m5BinaryIngest,
     "m6_image_decode" -> m6ImageDecode,
     "m7_audio_decode" -> m7AudioDecode,
@@ -352,6 +448,30 @@ object Multimodal {
   // The fake decode is pure byte arithmetic, so the oracle can replay
   // it in SQL: width = 16 + octet_len%64, height = 16 + first_byte%64.
   val oracles: Map[String, String] = Map(
+    // every hash rebuilt closed-form from the 64 residue classes (the
+    // PNG round-trip is lossless), then the same two aggregates
+    "m8_perceptual_dedup" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 64 AS k FROM documents),
+        |px AS (SELECT k, x.i AS x, y.i AS y FROM ks
+        |       CROSS JOIN (SELECT unnest(range(0, 8)) AS i) x
+        |       CROSS JOIN (SELECT unnest(range(0, 8)) AS i) y),
+        |g AS (SELECT k, x, y,
+        |  ((31*k + 7*x + 13*y) % 256 + (31*k + 7*x + 13*y + 101) % 256
+        |   + (31*k + 7*x + 13*y + 202) % 256) // 3 AS gray FROM px),
+        |b AS (SELECT g0.k, g0.x, g0.y,
+        |        CASE WHEN g1.gray > g0.gray THEN 1 ELSE 0 END AS bit
+        |      FROM g g0 JOIN g g1
+        |        ON g0.k = g1.k AND g1.x = g0.x + 1 AND g1.y = g0.y
+        |      WHERE g0.x < 7),
+        |h AS (SELECT k,
+        |        CAST(sum(bit * (1::BIGINT << (y*7 + x))) AS BIGINT) AS phash
+        |      FROM b GROUP BY k),
+        |dc AS (SELECT doc_id % 64 AS k, doc_id FROM documents),
+        |cl AS (SELECT phash, count(1) AS cluster_size, min(doc_id) AS cmin
+        |       FROM dc JOIN h USING (k) GROUP BY phash)
+        |SELECT cluster_size, count(1) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs, min(cmin) AS min_doc
+        |FROM cl GROUP BY cluster_size""".stripMargin,
     // the clip is a pure function of doc_id and PCM WAV is lossless,
     // so the oracle rebuilds every decoded amplitude stat closed-form
     "m7_audio_decode" ->

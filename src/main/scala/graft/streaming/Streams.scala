@@ -138,6 +138,24 @@ object Streams {
       .select(col("s_id"), col("s_user"), col("s_ts"),
               col("p_id"), col("ts").as("p_ts"))
 
+  /** STREAM-STATIC enrichment join: each microbatch of the stream
+    * joins against a STATIC dimension table (here broadcast — the
+    * stateless streaming join: no watermark, no join state, because
+    * the static side is complete by definition). This is the
+    * dimension-enrichment every event feed runs (user → segment,
+    * domain → license tier) before any stateful logic; the left-outer
+    * shape keeps unmatched events (null dimension) flowing rather
+    * than silently dropping them. At 100 TB the dimension either
+    * broadcasts (small) or is bucketed to co-locate with the stream's
+    * key partitioning — either way the stream side never shuffles
+    * twice.
+    */
+  def enrichAgainstDimension(
+      events: DataFrame,      // streaming (user_id, ts, value)
+      dim: DataFrame): DataFrame =  // static (user_id, segment)
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
+      .withColumn("segment", coalesce(col("segment"), lit("unknown")))
+
   /** Continuous dump INTO the reference catalog layout: each
     * micro-batch lands as its own dump (`{dumpId}-b{batch}`) with the
     * cumulative-named gzip files the batch Dumper produces —

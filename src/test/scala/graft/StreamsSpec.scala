@@ -137,6 +137,30 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static enrichment joins each microbatch against the dimension") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-ss-dim").toString
+    val rows = Seq(
+      (1L, new Timestamp(1700000000000L), 10.0),
+      (2L, new Timestamp(1700000001000L), 20.0),
+      (9L, new Timestamp(1700000002000L), 30.0)) // no dimension row
+    rows.toDF("user_id", "ts", "value").write.mode("overwrite").parquet(src)
+    val dim = Seq((1L, "gold"), (2L, "trial"), (3L, "gold"))
+      .toDF("user_id", "segment")
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = Streams.enrichAgainstDimension(stream, dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_enrich")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("graft_enrich")
+      .select("user_id", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // left outer: the unmatched event flows with the sentinel segment
+    assert(got == Map(1L -> "gold", 2L -> "trial", 9L -> "unknown"))
+  }
+
   test("stream-stream interval join attributes purchases to signups") {
     val pSrc = Files.createTempDirectory("graft-ssj-p").toString
     val sSrc = Files.createTempDirectory("graft-ssj-s").toString
