@@ -720,7 +720,26 @@ object Coverage {
       v => s.conf.set("spark.sql.scripting.enabled", v))
   }
 
+  /** PARAMETERIZED SQL — named-parameter binding (`:name` markers +
+    * an args map), the injection-safe templating surface an
+    * application embeds queries through. Binding happens at parse
+    * time, so Catalyst sees literals: the predicate pushes to the
+    * scan exactly as if inlined. The oracle IS the inlined query —
+    * pinning that binding ≡ literal substitution.
+    */
+  val c27ParamSql: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("c27_orders")
+    s.sql(
+      """SELECT o_orderstatus, count(1) AS n, min(o_orderkey) AS min_key
+        |FROM c27_orders
+        |WHERE o_totalprice BETWEEN :lo AND :hi
+        |  AND o_orderpriority <> :excl
+        |GROUP BY o_orderstatus""".stripMargin,
+      Map("lo" -> 1000, "hi" -> 150000, "excl" -> "1-URGENT"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c27_param_sql" -> c27ParamSql,
     "c26_sql_scripting" -> c26SqlScripting,
     "c24_variant_json" -> c24VariantJson,
     "c25_pipe_sql" -> c25PipeSql,
@@ -750,6 +769,13 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the parameters inlined as literals
+    "c27_param_sql" ->
+      """SELECT o_orderstatus, count(1) AS n, min(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 1000 AND 150000
+        |  AND o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
     // the WHILE loop collapsed to its set-equivalent single aggregate
     "c26_sql_scripting" ->
       """SELECT count(1) AS n_rows,

@@ -484,7 +484,22 @@ object SqlSurface {
 
   val x25RecursiveCte: Q = (s, d) => { views(s, d); s.sql(recSql) }
 
+  /** GROUP BY ALL (infer the grouping set from the non-aggregate
+    * select items — the analyst-ergonomics form both engines added):
+    * one SQL string serves as query AND oracle, so the test is that
+    * both FRONT-ENDS infer the same grouping.
+    */
+  private val gbaSql =
+    """SELECT l_returnflag, l_linestatus, count(1) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL""".stripMargin
+
+  val x26GroupByAll: Q = (s, d) => { views(s, d); s.sql(gbaSql) }
+
   val queries: Map[String, Q] = Map(
+    "x26_group_by_all" -> x26GroupByAll,
     "x25_recursive_cte" -> x25RecursiveCte,
     "x24_lateral_topk" -> x24Lateral,
     "x1_tpch_q3" -> x1TpchQ3,
@@ -514,6 +529,7 @@ object SqlSurface {
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
+    "x26_group_by_all" -> gbaSql,
     "x25_recursive_cte" -> recSql,
     "x24_lateral_topk" -> lateralSql,
     "x1_tpch_q3" -> q3Sql,

@@ -125,13 +125,41 @@ object UdfSurface {
       .select(col("label").cast("int").as("label"), col("mean_micros"))
   }
 
+  /** SQL-defined UDF (Spark 4's CREATE FUNCTION … RETURN <expr>): the
+    * function body is a SQL expression the ANALYZER inlines into the
+    * caller's plan, so unlike the JVM-closure UDFs above it stays
+    * inside whole-stage codegen AND Catalyst can push/fold through it
+    * — the first UDF form to reach for when the logic is expressible.
+    * Body = the discounted-price product; the caller folds it through
+    * the exact decimal path, so the oracle is the inlined expression.
+    */
+  val u4SqlUdf: Q = (s, d) => {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+        |  price DOUBLE, disc DOUBLE) RETURNS DOUBLE
+        |RETURN price * (1.0 - disc)""".stripMargin)
+    lineitem(s, d).createOrReplaceTempView("u4_lineitem")
+    s.sql(
+      """SELECT l_returnflag, count(1) AS n,
+        |  round(CAST(sum(CAST(graft_margin(l_extendedprice, l_discount)
+        |    AS DECIMAL(22,4))) AS DOUBLE), 4) AS sum_margin
+        |FROM u4_lineitem GROUP BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "u1_scalar_udf" -> u1ScalarUdf,
     "u2_typed_agg" -> u2TypedAgg,
     "u3_vector_udaf" -> u3VectorUdaf,
+    "u4_sql_udf" -> u4SqlUdf,
   )
 
   val oracles: Map[String, String] = Map(
+    // the SQL-UDF body inlined, folded through the shared decimal path
+    "u4_sql_udf" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(22,4))) AS DOUBLE), 4) AS sum_margin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "u1_scalar_udf" ->
       """SELECT ((o_orderkey % 2147483648) * 2654435761) % 1024 % 8 AS bucket,
         |       count(1) AS n
