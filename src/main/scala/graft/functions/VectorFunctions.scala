@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CosineSimilarity, SortedIntersectSize}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, SortedIntersectSize}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -14,6 +14,13 @@ object VectorFunctions {
     */
   def sortedIntersectSize(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectSize(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: one-pass CDC chunk hashes of a text column —
+    * `array<struct<h: string, len: int>>` (codegen'd; see
+    * [[org.apache.spark.sql.graftnative.CdcChunkHashes]]).
+    */
+  def cdcChunkHashes(text: Column): Column =
+    Bridge.column(CdcChunkHashes(Bridge.expression(text)))
 
   /** SQL registration: SELECT cosine_sim(a, b) ... (idempotent). */
   def register(spark: SparkSession): Unit =

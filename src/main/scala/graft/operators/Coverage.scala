@@ -738,7 +738,35 @@ object Coverage {
       Map("lo" -> 1000, "hi" -> 150000, "excl" -> "1-URGENT"))
   }
 
+  /** Case-insensitive semantics via Spark 4 string collations: the
+    * grouping and equality key is `collate(k, 'UTF8_LCASE')`, so
+    * 'ECONOMY' / 'economy' / 'Economy' land in ONE group with no
+    * normalizing rewrite of the data — collation is metadata on the
+    * comparison, and the plan stays the same single hash aggregate a
+    * case-sensitive groupBy costs at 100 TB. The oracle (DuckDB has
+    * no UTF8_LCASE) replays the semantics as GROUP BY lower(k). The
+    * output key is min(lower(k)) on BOTH sides because a collated
+    * group's passthrough representative is first-seen —
+    * nondeterministic under parallel aggregation.
+    */
+  val c28Collation: Q = (s, d) => {
+    val mixed = part(s, d).withColumn("k",
+      expr("""CASE WHEN p_partkey % 3 = 0 THEN lower(p_type)
+             |     WHEN p_partkey % 3 = 1 THEN p_type
+             |     ELSE upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2))
+             |END""".stripMargin))
+    mixed
+      // collated inequality filter: drops all case variants of STANDARD
+      .filter(expr("collate(k, 'UTF8_LCASE') <> collate('Standard', 'UTF8_LCASE')"))
+      .groupBy(expr("collate(k, 'UTF8_LCASE')").as("kc"))
+      .agg(min(lower(col("k"))).as("k_ci"),
+           count(lit(1)).as("n"),
+           min(col("p_partkey")).as("min_pk"))
+      .select(col("k_ci"), col("n"), col("min_pk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c28_collation" -> c28Collation,
     "c27_param_sql" -> c27ParamSql,
     "c26_sql_scripting" -> c26SqlScripting,
     "c24_variant_json" -> c24VariantJson,
@@ -769,6 +797,19 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // UTF8_LCASE collation replayed as GROUP BY lower(k)
+    "c28_collation" ->
+      """WITH m AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0 THEN lower(p_type)
+        |         WHEN p_partkey % 3 = 1 THEN p_type
+        |         ELSE upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2))
+        |    END AS k
+        |  FROM part)
+        |SELECT min(lower(k)) AS k_ci, count(1) AS n,
+        |  min(p_partkey) AS min_pk
+        |FROM m WHERE lower(k) <> lower('Standard')
+        |GROUP BY lower(k)""".stripMargin,
     // the parameters inlined as literals
     "c27_param_sql" ->
       """SELECT o_orderstatus, count(1) AS n, min(o_orderkey) AS min_key

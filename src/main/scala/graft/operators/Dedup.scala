@@ -798,31 +798,25 @@ object Dedup {
     * documents; per-source stats report chunk count, byte mass and the
     * duplicated-mass ppm.
     *
-    * Scale shape: the position stream is linear in corpus chars and is
-    * pruned 15/16 map-side before anything shuffles (at 100 TB the
-    * boundary scan runs as a real rolling Rabin hash in one
-    * mapPartitions pass; the declarative window-hash form here is the
-    * oracle-replayable equivalent with identical boundaries). Chunk
-    * reconstruction is a per-doc window (lead over the boundary rows —
-    * per-group sort, horizontal scale), and the dup test is ONE
-    * exchange on the chunk hash, reusing d17's clustering trick.
+    * Scale shape: the boundary scan is linear in corpus chars and runs
+    * ENTIRELY inside one generated call per row — the native
+    * `cdc_chunk_hashes` kernel (functions/CdcChunkHashes.scala) slides
+    * the 8-char window over the UTF-8 bytes and emits the per-chunk
+    * (md5, len) pairs directly, so nothing row-per-character ever
+    * exists and no per-doc window shuffle reconstructs chunks (the
+    * first cut of this operator exploded one row per char and paid a
+    * lead() window; the kernel replaced both — same boundaries, same
+    * oracle). The only exchange is the chunk-hash aggregate, reusing
+    * d17's window-over-agg clustering trick.
     */
   val d18CdcChunks: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val bounds = documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"),
-        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("p"))
-      .filter(col("p") === 1 ||
-              expr("substring(md5(substring(text, p, 8)), 1, 1)") === "0")
-    val chunks = bounds
-      .withColumn("next_p",
-        lead(col("p"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+    val chunks = documents(s, d)
       .select(col("doc_id"), col("source"),
-        expr("substring(text, p, coalesce(next_p, length(text) + 1) - p)")
-          .as("chunk"))
+        explode(graft.functions.VectorFunctions.cdcChunkHashes(col("text")))
+          .as("c"))
       .select(col("doc_id"), col("source"),
-        md5(col("chunk")).as("h"), length(col("chunk")).cast("long").as("len"))
+        col("c.h").as("h"), col("c.len").cast("long").as("len"))
     val perDoc = chunks.groupBy(col("h"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("mass"))
     val flagged = perDoc.withColumn("nd",

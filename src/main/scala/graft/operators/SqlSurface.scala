@@ -498,7 +498,40 @@ object SqlSurface {
 
   val x26GroupByAll: Q = (s, d) => { views(s, d); s.sql(gbaSql) }
 
+  /** ORDER BY ALL (sort by every select item left-to-right — the
+    * companion ergonomics form to GROUP BY ALL): one SQL string is
+    * both query and oracle. The sort key set is the full output row,
+    * so the result order is total and the hash compare is exercised
+    * on an ORDER-insensitive gate anyway — what this pins is that
+    * both front-ends RESOLVE the same implicit sort columns.
+    */
+  private val obaSql =
+    """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+      |  min(o_orderkey) AS min_key
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  val x27OrderByAll: Q = (s, d) => { views(s, d); s.sql(obaSql) }
+
+  /** LIMIT … OFFSET paging over a totally-ordered result (tie-broken
+    * by key, so page contents are deterministic). At scale OFFSET+LIMIT
+    * plans as a single TakeOrderedAndProject of the first
+    * offset+limit rows — no global sort materializes; the page window
+    * must stay small relative to the corpus, which is exactly the
+    * pagination contract. One SQL string serves both engines.
+    */
+  private val pageSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10 OFFSET 7""".stripMargin
+
+  val x28LimitOffset: Q = (s, d) => { views(s, d); s.sql(pageSql) }
+
   val queries: Map[String, Q] = Map(
+    "x27_order_by_all" -> x27OrderByAll,
+    "x28_limit_offset" -> x28LimitOffset,
     "x26_group_by_all" -> x26GroupByAll,
     "x25_recursive_cte" -> x25RecursiveCte,
     "x24_lateral_topk" -> x24Lateral,
@@ -529,6 +562,8 @@ object SqlSurface {
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
+    "x27_order_by_all" -> obaSql,
+    "x28_limit_offset" -> pageSql,
     "x26_group_by_all" -> gbaSql,
     "x25_recursive_cte" -> recSql,
     "x24_lateral_topk" -> lateralSql,

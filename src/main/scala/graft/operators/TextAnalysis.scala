@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -774,7 +775,61 @@ object TextAnalysis {
            min(col("doc_id")).as("min_doc"))
   }
 
+  /** Inverted-index conjunctive search: the corpus as posting lists.
+    * Stage 1 (index build) is one explode + hash aggregate to the
+    * (term, doc_id, tf) grain — term is the shuffle key, so at 100 TB
+    * the index is term-partitioned exactly like a sharded search
+    * engine; each term's postings are co-located and independent.
+    * Stage 2 (AND query) filters the grain to the query terms BEFORE
+    * the aggregate (predicate reaches the scan side of the exchange),
+    * then a doc-keyed aggregate demands all |Q| terms
+    * (count(distinct term) = 3 — the posting-list intersection) and
+    * ranks by summed term frequency. Nothing corpus-sized crosses the
+    * driver; the only data-sized exchange is the (doc_id, term) agg.
+    */
+  val t25InvertedIndex: Q = (s, d) => {
+    val qterms = Seq("spark", "merge", "window")
+    val toks = docs(s, d).select(col("doc_id"), explode(col("ws")).as("term"))
+    toks
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"),
+           sum(col("tf")).cast("long").as("score"))
+      .filter(col("nt") === qterms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** Deterministic epoch shuffle + shard assignment (the training-data
+    * "global shuffle" step): order key = md5('ep1:' || doc_id) — a
+    * seedable, engine-replayable permutation — shard = key % 8, and
+    * the within-shard training order is row_number over (key, doc_id).
+    * The plan IS the 100 TB recipe: one map pass computes (key,
+    * shard), one exchange partitions by shard, and each shard sorts
+    * independently — repartition-by-output-shard + sortWithinPartitions,
+    * never a global sort. The checksum sum(pos * doc_id) pins the
+    * exact per-shard order, not just membership, so any drift in the
+    * permutation is a hash mismatch.
+    */
+  val t26EpochShuffle: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("ok", expr(
+        """cast(conv(substring(md5(concat('ep1:', cast(doc_id as string))),
+          |          1, 12), 16, 10) as bigint)""".stripMargin))
+      .withColumn("shard", col("ok") % 8)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"),
+           sum(col("pos") * col("doc_id")).cast("long").as("order_checksum"))
+
   val queries: Map[String, Q] = Map(
+    "t25_inverted_index" -> t25InvertedIndex,
+    "t26_epoch_shuffle" -> t26EpochShuffle,
     "t24_perplexity_filter" -> t24PerplexityFilter,
     "t23_classifier" -> t23Classifier,
     "t22_readability" -> t22Readability,
@@ -802,6 +857,34 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // posting-list build + AND-intersection replayed via unnest
+    "t25_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM toks
+        |       WHERE term IN ('spark', 'merge', 'window')
+        |       GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+        |FROM tf GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // the same md5 permutation, shard partition, and ordered checksum
+    "t26_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |      AS ok
+        |  FROM documents),
+        |p AS (SELECT *, ok % 8 AS shard,
+        |        row_number() OVER (PARTITION BY ok % 8
+        |                           ORDER BY ok, doc_id) AS pos
+        |      FROM h)
+        |SELECT shard, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY shard""".stripMargin,
     // the whole filter replayed: reference-trained model, backoff
     // floor, truncating ppm mean, per-lang ntile thirds
     "t24_perplexity_filter" ->
