@@ -765,7 +765,45 @@ object Coverage {
       .select(col("k_ci"), col("n"), col("min_pk"))
   }
 
+  /** Deletion vectors (the lakehouse soft-delete mechanic: Delta DVs /
+    * Iceberg positional deletes): a DELETE records the matching rows'
+    * PHYSICAL positions — (file, row_index) — in a tiny sidecar and
+    * rewrites nothing; readers apply the sidecar as an anti join on
+    * position. The mechanism here is real, not simulated: the vector
+    * is built from the built-in `_metadata.file_path`/`_metadata
+    * .row_index` columns of the rows matching the delete predicate,
+    * persisted as its own parquet sidecar, and the live table is
+    * scan ⟕̸ sidecar ON POSITION (doc_id never drives the apply).
+    * At 100 TB this is why DVs exist: DELETE costs O(deleted rows)
+    * sidecar write instead of O(table) rewrite, and the apply is a
+    * broadcast anti join riding the normal scan. The oracle replays
+    * the SEMANTIC delete (doc_id % 7 = 0) — position-applied and
+    * predicate-applied deletes must agree exactly.
+    */
+  val c29DeletionVectors: Q = (s, d) => {
+    val data = scratchDir("c29_data")
+    val dv = scratchDir("c29_dv")
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(4) // several data files → positions are per-file
+      .write.mode("overwrite").parquet(data)
+    val withPos = s.read.parquet(data)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+    withPos.filter(col("doc_id") % 7 === 0)
+      .select(col("fp"), col("ri"))
+      .write.mode("overwrite").parquet(dv)
+    withPos
+      .join(broadcast(s.read.parquet(dv)), Seq("fp", "ri"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_live"),
+           sum(col("n_chars")).cast("long").as("live_chars"),
+           min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c29_deletion_vectors" -> c29DeletionVectors,
     "c28_collation" -> c28Collation,
     "c27_param_sql" -> c27ParamSql,
     "c26_sql_scripting" -> c26SqlScripting,
@@ -797,6 +835,13 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the position-applied delete replayed as its semantic predicate
+    "c29_deletion_vectors" ->
+      """SELECT source, count(1) AS n_live,
+        |  CAST(sum(n_chars) AS BIGINT) AS live_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents WHERE doc_id % 7 <> 0
+        |GROUP BY source""".stripMargin,
     // UTF8_LCASE collation replayed as GROUP BY lower(k)
     "c28_collation" ->
       """WITH m AS (

@@ -831,7 +831,48 @@ object Dedup {
         expr("(dup_mass * 1000000) DIV chunk_mass").as("dup_mass_ppm"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup — the character-level dedup
+    * family's exact verifier, where d5/d8 verify by token-set Jaccard:
+    * catches small in-place edits (typo fixes, appended bylines)
+    * that token sets under-weigh. The corpus plants a deterministic
+    * re-crawl: every doc_id % 5 == 0 doc returns with a 3-char suffix
+    * (a true near-dup, distance 3) and every doc_id % 15 == 0 doc
+    * with a 6-char suffix (distance 6 — planted to be REJECTED, so
+    * both filters below provably bind). Candidate generation is
+    * blocked, never all-pairs: equi-join on the 24-char prefix (the
+    * shuffle key), then the classic length bound |len(a) − len(b)| ≤ k
+    * prunes before any distance is computed — levenshtein's O(n·m)
+    * cost is paid only inside surviving blocks. At 100 TB the block
+    * key gains a length band (double-probe adjacent bands to keep the
+    * bound exact); the join/verify shape is unchanged. Both engines
+    * ship native levenshtein, so the oracle replays verbatim.
+    */
+  val d19EditDistance: Q = (s, d) => {
+    val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        when(col("doc_id") % 15 === 0, concat(col("text"), lit(" rev 2")))
+          .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+    val corpus = base.unionByName(variants)
+      .withColumn("blk", substring(col("text"), 1, 24))
+      .withColumn("len", length(col("text")))
+    val lhs = corpus.select(col("blk"), col("doc_id").as("a_id"),
+      col("source"), col("text").as("a_text"), col("len").as("a_len"))
+    val rhs = corpus.select(col("blk"), col("doc_id").as("b_id"),
+      col("text").as("b_text"), col("len").as("b_len"))
+    lhs.join(rhs, Seq("blk"))
+      .filter(col("a_id") < col("b_id") &&
+              abs(col("a_len") - col("b_len")) <= 4)
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text")))
+      .filter(col("dist") <= 4)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("dist")).cast("long").as("sum_dist"),
+           min(col("a_id")).as("min_a"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d19_edit_distance" -> d19EditDistance,
     "d18_cdc_chunks" -> d18CdcChunks,
     "d17_substring_dedup" -> d17SubstringDedup,
     "d16_minhash_calibration" -> d16MinhashCalibration,
@@ -890,6 +931,25 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // planted re-crawl + prefix blocking + length bound + levenshtein,
+    // replayed verbatim (both engines ship the native function)
+    "d19_edit_distance" ->
+      """WITH v AS (
+        |  SELECT doc_id + 1000000 AS doc_id, source,
+        |    CASE WHEN doc_id % 15 = 0 THEN text || ' rev 2'
+        |         ELSE text || ' v2' END AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT doc_id, source, text FROM documents
+        |      UNION ALL SELECT doc_id, source, text FROM v),
+        |k AS (SELECT *, substr(text, 1, 24) AS blk, length(text) AS len
+        |      FROM c),
+        |p AS (SELECT a.source, a.doc_id AS a_id,
+        |        levenshtein(a.text, b.text) AS dist
+        |      FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |        AND abs(a.len - b.len) <= 4)
+        |SELECT source, count(1) AS n_pairs,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist, min(a_id) AS min_a
+        |FROM p WHERE dist <= 4 GROUP BY source""".stripMargin,
     "d18_cdc_chunks" ->
       """WITH pos AS (
         |  SELECT doc_id, source, text,

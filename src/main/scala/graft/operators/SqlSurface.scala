@@ -529,7 +529,31 @@ object SqlSurface {
 
   val x28LimitOffset: Q = (s, d) => { views(s, d); s.sql(pageSql) }
 
+  /** Named WINDOW clause (one definition, many OVER references — the
+    * front-end form that keeps multi-window queries single-sourced).
+    * Both OVER w references resolve to the same named definitions, and
+    * the identical text runs in DuckDB, so the gate pins that both
+    * front-ends bind named windows the same way. Catalyst plans the
+    * two windows over ONE user_id exchange (the rank's sort subsumes
+    * the count's clustering).
+    */
+  private val winClauseSql =
+    """SELECT user_id, event_id, rn, n_user FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER w AS rn,
+      |    count(1) OVER w2 AS n_user
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |         w2 AS (PARTITION BY user_id)
+      |) AS q WHERE rn <= 2""".stripMargin
+
+  val x29WindowClause: Q = (s, d) => {
+    graft.sources.Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(winClauseSql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x29_window_clause" -> x29WindowClause,
     "x27_order_by_all" -> x27OrderByAll,
     "x28_limit_offset" -> x28LimitOffset,
     "x26_group_by_all" -> x26GroupByAll,
@@ -562,6 +586,7 @@ object SqlSurface {
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
+    "x29_window_clause" -> winClauseSql,
     "x27_order_by_all" -> obaSql,
     "x28_limit_offset" -> pageSql,
     "x26_group_by_all" -> gbaSql,

@@ -138,6 +138,31 @@ object Streams {
       .select(col("s_id"), col("s_user"), col("s_ts"),
               col("p_id"), col("ts").as("p_ts"))
 
+  /** Watermarked stream-stream FULL OUTER join — the reconciliation
+    * ledger that completes the streaming join-mode matrix: matched
+    * conversions, unconverted signups (null purchase side), AND
+    * orphan purchases that attach to no signup (null signup side —
+    * the attribution-leak / fraud feed an inner or left join silently
+    * drops). Each null-side emission waits on the OPPOSING stream's
+    * watermark proving no match can still arrive, and that same bound
+    * frees the buffered state for both sides — full outer costs no
+    * extra state over left outer (still O(horizon) per key), only the
+    * extra emission discipline.
+    */
+  def attributionLedger(
+      purchases: DataFrame,   // (p_id, user_id, ts)
+      signups: DataFrame,     // (s_id, s_user, s_ts)
+      horizon: String = "1 hour"): DataFrame =
+    signups.withWatermark("s_ts", "10 minutes")
+      .join(
+        purchases.withWatermark("ts", "10 minutes"),
+        expr(s"""user_id = s_user
+                |AND ts >= s_ts
+                |AND ts <= s_ts + INTERVAL $horizon""".stripMargin),
+        "full_outer")
+      .select(col("s_id"), col("s_user"), col("s_ts"),
+              col("p_id"), col("user_id"), col("ts").as("p_ts"))
+
   /** STREAM-STATIC enrichment join: each microbatch of the stream
     * joins against a STATIC dimension table (here broadcast — the
     * stateless streaming join: no watermark, no join state, because

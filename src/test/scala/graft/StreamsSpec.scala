@@ -242,4 +242,49 @@ class StreamOuterJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, Some(100L)), (11L, None), (12L, None)),
       s"outer join emitted $got")
   }
+
+  test("full-outer ledger also surfaces orphan purchases with a null signup side") {
+    val pSrc = Files.createTempDirectory("graft-led-p").toString
+    val sSrc = Files.createTempDirectory("graft-led-s").toString
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    // signups: user 1 converts, user 2 never does
+    Seq((10L, 1L, ts(0)), (11L, 2L, ts(5)))
+      .toDF("s_id", "s_user", "s_ts").coalesce(1)
+      .write.mode("append").parquet(sSrc)
+    Thread.sleep(50)
+    // far-future signup advances the signup-side watermark (the outer
+    // flush waits on the GLOBAL min watermark); excluded from asserts
+    Seq((99L, 9L, ts(600)))
+      .toDF("s_id", "s_user", "s_ts").coalesce(1)
+      .write.mode("append").parquet(sSrc)
+    // slice 1: the matched purchase + an ORPHAN purchase (user 7 never
+    // signed up); slice 2: far-future events flush both outer sides
+    Seq((100L, 1L, ts(30)), (102L, 7L, ts(31)))
+      .toDF("p_id", "user_id", "ts").coalesce(1).write.mode("append").parquet(pSrc)
+    Thread.sleep(50)
+    Seq((999L, 9L, ts(600)))
+      .toDF("p_id", "user_id", "ts").coalesce(1).write.mode("append").parquet(pSrc)
+    val p = spark.readStream.schema(spark.read.parquet(pSrc).schema)
+      .option("maxFilesPerTrigger", "1").parquet(pSrc)
+    val sgn = spark.readStream.schema(spark.read.parquet(sSrc).schema)
+      .option("maxFilesPerTrigger", "1").parquet(sSrc)
+    val q = Streams.attributionLedger(p, sgn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ledger")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("graft_ledger").collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("s_id")).map(Long2long),
+                 Option(r.getAs[java.lang.Long]("p_id")).map(Long2long)))
+      .filter { case (s, pp) => // drop the far-future watermark drivers
+        s.forall(_ < 90) && pp.forall(_ < 900) }
+      .sortBy { case (s, pp) => (s.getOrElse(Long.MaxValue), pp.getOrElse(0L)) }
+    // matched (s10, p100); unconverted signup (s11, null);
+    // orphan purchase (null, p102) — the row only FULL OUTER emits
+    assert(got.toSeq == Seq(
+      (Some(10L), Some(100L)), (Some(11L), None), (None, Some(102L))),
+      s"full-outer ledger emitted $got")
+  }
 }
