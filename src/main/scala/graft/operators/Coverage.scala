@@ -802,7 +802,60 @@ object Coverage {
            min(col("doc_id")).as("min_doc"))
   }
 
+  /** Zone-map data skipping (the stats half of every lakehouse
+    * manifest: Delta add-file stats / Iceberg manifests / ORC-style
+    * min-max zones): files land range-clustered on doc_id, a MANIFEST
+    * records each file's (min, max) — #files rows, driver-held like
+    * every table format's metadata — and a point/range query prunes
+    * to the files whose zone overlaps the predicate BEFORE the scan
+    * plans; the residual filter still applies row-level. Distinct
+    * from c15 (directory/partition-value pruning) and c20 (z-order
+    * multi-column clustering): this is per-FILE stat pruning with no
+    * partition scheme at all. At 100 TB the manifest read is O(files)
+    * metadata, and a selective predicate scans only the overlapping
+    * zone files — the skip ratio IS the clustering quality.
+    * StatsSkippingSpec pins that the pruned plan reads 1 of 4 files
+    * and equals the full scan + filter. The oracle replays the
+    * semantic predicate over the logical table.
+    */
+  val c30StatsSkipping: Q = (s, d) => {
+    val out = scratchDir("c30_data")
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // 4 range-clustered files (explicit bounds, not repartitionByRange's
+    // sampled ones, so the layout is deterministic across runs)
+    val bounded = docs.withColumn("b",
+      (col("doc_id") * 4 / (maxId + 1)).cast("int"))
+    (0 until 4).foreach { b =>
+      bounded.filter(col("b") === b).drop("b").coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(out)
+    }
+    graft.operators.Coverage.statsPrunedScan(s, out, 50L, 149L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_chars")).cast("long").as("sum_chars"),
+           min(col("doc_id")).as("min_doc"))
+  }
+
+  /** Manifest build + zone-overlap prune + residual filter: the reader
+    * half of c30, shared with StatsSkippingSpec so the spec pins the
+    * exact plan the query runs.
+    */
+  private[graft] def statsPrunedScan(
+      s: SparkSession, dir: String, qlo: Long, qhi: Long): DataFrame = {
+    val manifest = s.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect() // #files rows: the driver-held manifest
+    val survivors = manifest
+      .filter(r => r.getAs[Long]("lo") <= qhi && r.getAs[Long]("hi") >= qlo)
+      .map(_.getAs[String]("fp")).toSeq
+    s.read.parquet(survivors: _*)
+      .filter(col("doc_id").between(qlo, qhi))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c30_stats_skipping" -> c30StatsSkipping,
     "c29_deletion_vectors" -> c29DeletionVectors,
     "c28_collation" -> c28Collation,
     "c27_param_sql" -> c27ParamSql,
@@ -835,6 +888,13 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the zone-pruned scan replayed as the semantic range predicate
+    "c30_stats_skipping" ->
+      """SELECT source, count(1) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents WHERE doc_id BETWEEN 50 AND 149
+        |GROUP BY source""".stripMargin,
     // the position-applied delete replayed as its semantic predicate
     "c29_deletion_vectors" ->
       """SELECT source, count(1) AS n_live,
