@@ -165,7 +165,21 @@ object AggregatesPlus {
           .leq(greatest(col("exact_users") * 0.016 * 10, lit(10.0))))
   }
 
+  /** Boolean aggregate family (count_if / bool_and / bool_or — the
+    * every_any predicates of quality gates): map-side partial like any
+    * hash agg, K-row output. Identical function names and semantics in
+    * both engines, so the oracle is near-verbatim.
+    */
+  val a10BoolAggs: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("count_if(o_totalprice > 100000)").as("n_big"),
+           expr("bool_and(o_totalprice > 0)").as("all_pos"),
+           expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+           count(lit(1)).as("n"))
+
   val queries: Map[String, Q] = Map(
+    "a10_bool_aggs" -> a10BoolAggs,
     "a9_hll_union" -> a9HllUnion,
     "a8_bitmap_distinct" -> a8BitmapDistinct,
     "a1_percentile" -> a1Percentile,
@@ -178,6 +192,13 @@ object AggregatesPlus {
   )
 
   val oracles: Map[String, String] = Map(
+    "a10_bool_aggs" ->
+      """SELECT o_orderstatus,
+        |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  count(1) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "a8_bitmap_distinct" ->
       """SELECT event_type,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,

@@ -366,7 +366,27 @@ object Relational {
       .select(col("p_id"), col("s_id").as("nearest_signup_id"))
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of silently dropping — the semantics a
+    * plain equi-join gets wrong when the join key is derived and
+    * partially null (here: a sentinel bucket nulled out on both
+    * sides). Catalyst plans `<=>` as a normal hash join — null-safe
+    * equality is still an equi-key, so the shuffle/broadcast story is
+    * unchanged at 100 TB; the null group hashes like any other value.
+    */
+  val q25NullSafeJoin: Q = (s, d) => {
+    val a = events(s, d)
+      .select(expr("nullif(user_id % 10, 7)").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+    val b = orders(s, d)
+      .select(expr("nullif(o_custkey % 10, 7)").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("n_a"), col("n_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q25_null_safe_join" -> q25NullSafeJoin,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_agg" -> q2FilterAgg,
     "q3_project" -> q3Project,
@@ -394,6 +414,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // <=> replayed as IS NOT DISTINCT FROM
+    "q25_null_safe_join" ->
+      """WITH a AS (SELECT nullif(user_id % 10, 7) AS k, count(1) AS n_a
+        |           FROM events GROUP BY 1),
+        |b AS (SELECT nullif(o_custkey % 10, 7) AS k, count(1) AS n_b
+        |      FROM orders GROUP BY 1)
+        |SELECT a.k AS k, n_a, n_b
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${sqlMoneySum("l_quantity")} AS sum_qty,
