@@ -854,7 +854,50 @@ object Coverage {
       .filter(col("doc_id").between(qlo, qhi))
   }
 
+  /** Change data feed (the table_changes() read of Delta/Iceberg CDF):
+    * given two MATERIALIZED snapshot versions of a keyed table (the
+    * physical parquet versions a c23-style log points at), emit the
+    * row-level change set v1→v2 — delete / insert / update with pre-
+    * and post-images — as the snapshot diff: one full-outer join on
+    * the key, change typed by null-side and value inequality. This is
+    * exactly how CDF is DERIVED when the format didn't materialize a
+    * change log; downstream incremental consumers (c22's shape) apply
+    * it instead of re-reading the table. At 100 TB the diff shuffles
+    * both versions once on the key — O(table) worst case but O(changed
+    * files) in a real format where unchanged files are pruned by
+    * manifest diff (c30's zone machinery) before the row diff runs.
+    * The v1→v2 commit: cancelled orders (< 50k) deleted, the %3==0
+    * survivors repriced (+10), the %3==2 partition inserted.
+    */
+  val c31ChangeDataFeed: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(scratchDir("c31_cdf"))
+    def fs(n: String) = root.resolve(n).toString
+    val o = orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    o.filter(col("k") % 3 < 2).write.mode("overwrite").parquet(fs("v1"))
+    o.filter(col("k") % 3 < 2).filter(col("price") >= 50000)
+      .withColumn("price",
+        when(col("k") % 3 === 0, col("price") + 10).otherwise(col("price")))
+      .unionByName(o.filter(col("k") % 3 === 2))
+      .write.mode("overwrite").parquet(fs("v2"))
+    val v1 = s.read.parquet(fs("v1")).withColumnRenamed("price", "pre")
+    val v2 = s.read.parquet(fs("v2")).withColumnRenamed("price", "post")
+    v1.join(v2, Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("post").isNull, "delete")
+          .when(col("pre").isNull, "insert")
+          .when(col("pre") =!= col("post"), "update")
+          .otherwise("none"))
+      .filter(col("change") =!= "none")
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("pre")).as("sum_pre"),
+           moneySum(col("post")).as("sum_post"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c31_change_data_feed" -> c31ChangeDataFeed,
     "c30_stats_skipping" -> c30StatsSkipping,
     "c29_deletion_vectors" -> c29DeletionVectors,
     "c28_collation" -> c28Collation,
@@ -888,6 +931,29 @@ object Coverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // the snapshot diff replayed from the semantic version definitions
+    "c31_change_data_feed" ->
+      s"""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS pre
+         |            FROM orders WHERE o_orderkey % 3 < 2),
+         |v2 AS (SELECT o_orderkey AS k,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+         |              ELSE o_totalprice END AS post
+         |       FROM orders
+         |       WHERE o_orderkey % 3 < 2 AND o_totalprice >= 50000
+         |       UNION ALL
+         |       SELECT o_orderkey, o_totalprice FROM orders
+         |       WHERE o_orderkey % 3 = 2),
+         |df AS (SELECT coalesce(v1.k, v2.k) AS k, pre, post,
+         |         CASE WHEN post IS NULL THEN 'delete'
+         |              WHEN pre IS NULL THEN 'insert'
+         |              WHEN pre <> post THEN 'update'
+         |              ELSE 'none' END AS change
+         |       FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+         |SELECT change, count(1) AS n,
+         |  ${sqlMoneySum("pre")} AS sum_pre,
+         |  ${sqlMoneySum("post")} AS sum_post,
+         |  min(k) AS min_k, max(k) AS max_k
+         |FROM df WHERE change <> 'none' GROUP BY change""".stripMargin,
     // the zone-pruned scan replayed as the semantic range predicate
     "c30_stats_skipping" ->
       """SELECT source, count(1) AS n,
