@@ -871,7 +871,39 @@ object Dedup {
            min(col("a_id")).as("min_a"))
   }
 
+  /** Contrastive training-pair mining over the dup-cluster graph —
+    * what an embedding-model data pipeline builds FROM dedup output
+    * instead of throwing the duplicates away: every same-cluster pair
+    * is a POSITIVE (near-dups are free hard positives), and each
+    * positive anchors one deterministic hash-mined NEGATIVE
+    * ((a·7919 + b) mod n_docs — RNG-free, engine-replayable), kept
+    * only if it provably lies outside the anchor's cluster (the
+    * false-negative filter). Positive volume is bounded by cluster
+    * sizes (LSH clusters are small by construction — no quadratic
+    * blow-up), and negative validation is ONE hash join of the pair
+    * table against the membership table: no sampling pass, no cross
+    * join, nothing corpus-quadratic at 100 TB.
+    */
+  val d20ContrastivePairs: Q = (s, d) => {
+    val mem = dupMembership(s, d) // (id, cluster)
+    val nDocs = documents(s, d).count() // driver scalar, manifest-grade
+    val pos = mem.toDF("a", "ca").join(mem.toDF("b", "cb"),
+        col("ca") === col("cb") && col("a") < col("b"))
+      .select(col("a"), col("b"), col("ca").as("cluster"))
+    val withNeg = pos
+      .withColumn("neg", (col("a") * 7919L + col("b")) % nDocs)
+      .join(mem.toDF("neg", "cn"), Seq("neg"), "left")
+      .withColumn("neg_ok", col("cn").isNull || col("cn") =!= col("cluster"))
+    withNeg
+      .join(documents(s, d).select(col("doc_id").as("a"), col("source")), "a")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pos"),
+           sum(when(col("neg_ok"), 1L).otherwise(0L)).cast("long").as("n_neg"),
+           min(col("a")).as("min_anchor"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d20_contrastive_pairs" -> d20ContrastivePairs,
     "d19_edit_distance" -> d19EditDistance,
     "d18_cdc_chunks" -> d18CdcChunks,
     "d17_substring_dedup" -> d17SubstringDedup,
@@ -931,6 +963,23 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // cluster CTEs (d9's closure) + pair build + hash-mined negatives
+    "d20_contrastive_pairs" ->
+      s"""$sqlClusterCtes,
+         |nd AS (SELECT count(1) AS n FROM documents),
+         |pos AS (SELECT a.id AS a, b.id AS b, a.cluster AS cluster
+         |        FROM cc a JOIN cc b
+         |          ON a.cluster = b.cluster AND a.id < b.id),
+         |wn AS (SELECT pos.*, (a * 7919 + b) % nd.n AS neg
+         |       FROM pos CROSS JOIN nd),
+         |ok AS (SELECT wn.*,
+         |         CASE WHEN c2.cluster IS NULL OR c2.cluster <> wn.cluster
+         |              THEN 1 ELSE 0 END AS neg_ok
+         |       FROM wn LEFT JOIN cc c2 ON c2.id = wn.neg)
+         |SELECT d.source, count(1) AS n_pos,
+         |  CAST(sum(neg_ok) AS BIGINT) AS n_neg, min(a) AS min_anchor
+         |FROM ok JOIN documents d ON d.doc_id = ok.a
+         |GROUP BY d.source""".stripMargin,
     // planted re-crawl + prefix blocking + length bound + levenshtein,
     // replayed verbatim (both engines ship the native function)
     "d19_edit_distance" ->

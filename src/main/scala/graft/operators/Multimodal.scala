@@ -181,9 +181,12 @@ object Multimodal {
     * mapPartitions plumbing drives a REAL codec, not only the
     * deterministic stand-in.
     */
-  val m6ImageDecode: Q = (s, d) => {
-    import s.implicits._
-    val out = Coverage.scratchDir("m6_pngs")
+  /** Executor-side PNG render shared by m6/m9: one real PNG per doc,
+    * pixels a pure function of doc_id (w = 8+id%25, h = 8+(id/7)%25,
+    * channel c at (x,y) = (id·31 + 7x + 13y + 101c) mod 256) — the
+    * closed form every oracle recomputes.
+    */
+  private def renderPngs(s: SparkSession, d: String, out: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     graft.sources.Tables.documents(s, d)
       .select(col("doc_id"))
@@ -209,6 +212,12 @@ object Multimodal {
             img, "png", new java.io.File(out, f"$id%012d.png"))
         }
       }
+  }
+
+  val m6ImageDecode: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m6_pngs")
+    renderPngs(s, d, out)
     val decoded = s.read.format("binaryFile").load(out)
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
@@ -238,6 +247,81 @@ object Multimodal {
     val meta = graft.sources.Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
     decoded.join(meta, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+           sum(col("width").cast("long")).as("sum_width"),
+           sum(col("height").cast("long")).as("sum_height"),
+           sum(col("sum_r")).as("sum_r"),
+           sum(col("sum_g")).as("sum_g"),
+           sum(col("sum_b")).as("sum_b"))
+  }
+
+  case class AugDecoded(doc_id: Long, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic augmentation through the REAL codec — the
+    * vision-pipeline step after m6's decode: each PNG is decoded
+    * (`ImageIO.read`), horizontally FLIPPED and center-CROPPED by a
+    * 1-px border (both pure index transforms, no resampling — so the
+    * result is exactly closed-form), then RE-ENCODED to PNG and
+    * decoded AGAIN, and the reported channel sums come from that
+    * second decode: the oracle match proves the augment output
+    * survives a full encode→decode round trip losslessly, not just
+    * that the in-memory array math is right. Per-partition codec
+    * init, map-only over the binary column; the K-row per-source
+    * aggregate is the only exchange — the m-family's 100 TB shape.
+    */
+  val m9ImageAugment: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m9_pngs")
+    renderPngs(s, d, out)
+    val augmented = s.read.format("binaryFile").load(out)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          // flip horizontally, then crop the 1-px border:
+          // aug(x, y) = orig(w-2-x, y+1), size (w-2) x (h-2)
+          val aug = new java.awt.image.BufferedImage(
+            w - 2, h - 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h - 2) {
+            var x = 0
+            while (x < w - 2) {
+              aug.setRGB(x, y, img.getRGB(w - 2 - x, y + 1))
+              x += 1
+            }
+            y += 1
+          }
+          // full PNG round trip of the AUGMENTED image
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(aug, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var yy = 0
+          while (yy < back.getHeight) {
+            var xx = 0
+            while (xx < back.getWidth) {
+              val p = back.getRGB(xx, yy)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          AugDecoded(id, back.getWidth, back.getHeight, sr, sg, sb)
+        }
+      }
+    augmented
+      .join(graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_images"),
            sum(col("width").cast("long")).as("sum_width"),
@@ -438,6 +522,7 @@ object Multimodal {
     "m8_perceptual_dedup" -> m8PerceptualDedup,
     "m5_binary_ingest" -> m5BinaryIngest,
     "m6_image_decode" -> m6ImageDecode,
+    "m9_image_augment" -> m9ImageAugment,
     "m7_audio_decode" -> m7AudioDecode,
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
@@ -493,6 +578,32 @@ object Multimodal {
     // the image is a pure function of doc_id and PNG is lossless, so
     // the oracle rebuilds every decoded stat without touching a codec:
     // per-pixel channel values replayed via list_transform over w*h
+    // flip+crop replayed closed-form: aug(x,y) = orig(w-2-x, y+1)
+    "m9_image_augment" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, source,
+        |         8 + doc_id % 25 AS w,
+        |         8 + (doc_id // 7) % 25 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT source, w - 2 AS w2, h - 2 AS h2,
+        |    list_sum(list_transform(range(0, (w-2)*(h-2)),
+        |      i -> (doc_id*31 + 7*(w - 2 - (i % (w-2)))
+        |            + 13*((i // (w-2)) + 1)) % 256)) AS s_r,
+        |    list_sum(list_transform(range(0, (w-2)*(h-2)),
+        |      i -> (doc_id*31 + 7*(w - 2 - (i % (w-2)))
+        |            + 13*((i // (w-2)) + 1) + 101) % 256)) AS s_g,
+        |    list_sum(list_transform(range(0, (w-2)*(h-2)),
+        |      i -> (doc_id*31 + 7*(w - 2 - (i % (w-2)))
+        |            + 13*((i // (w-2)) + 1) + 202) % 256)) AS s_b
+        |  FROM imgs)
+        |SELECT source, count(1) AS n_images,
+        |  CAST(sum(w2) AS BIGINT) AS sum_width,
+        |  CAST(sum(h2) AS BIGINT) AS sum_height,
+        |  CAST(sum(s_r) AS BIGINT) AS sum_r,
+        |  CAST(sum(s_g) AS BIGINT) AS sum_g,
+        |  CAST(sum(s_b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY source""".stripMargin,
     "m6_image_decode" ->
       """WITH imgs AS (
         |  SELECT doc_id, source,
