@@ -902,7 +902,49 @@ object Dedup {
            min(col("a")).as("min_anchor"))
   }
 
+  /** LSH index-quality evaluation against PLANTED ground truth — the
+    * dedup twin of n7's ANN recall: every doc_id % 4 == 0 doc gets a
+    * word-level-edit re-crawl variant (truncated to its first 2/3 of
+    * words — shingle Jaccard ≈ 0.6, the regime where 4×2 banding is
+    * genuinely probabilistic), and recall is the fraction of planted
+    * (original, variant) pairs the d3/d9 banding actually puts in a
+    * shared bucket. This is the measurement that justifies the band
+    * configuration before anyone trusts d9's clusters — run per
+    * corpus slice (source) because recall is a property of the DATA's
+    * shingle distribution, not of the index alone. Same banding
+    * expressions as d3/d9 (shared constants — the eval measures the
+    * real index, not a copy), one exchange on the band, pair check =
+    * equi-join on (band, planted-id offset): nothing all-pairs.
+    */
+  val d21LshRecall: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("ws"))
+    val variants = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        expr("slice(ws, 1, greatest(size(ws) * 2 div 3, 1))").as("ws"))
+    val corpus = base.unionByName(variants)
+    val bands = corpus
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("hs", expr(baseHashes))
+      .select(col("doc_id"), explode(expr(bandArrayExpr)).as("band"))
+    val origBands = bands
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") < 1000000L)
+      .select(col("doc_id").as("a"), col("band"))
+    val varBands = bands.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("a"), col("band"))
+    val recalled = origBands.join(varBands, Seq("a", "band"))
+      .select(col("a")).distinct().withColumn("hit", lit(1L))
+    base.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("a"), col("source"))
+      .join(recalled, Seq("a"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_planted"),
+           sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_recalled"),
+           expr("CAST(sum(coalesce(hit, 0)) * 1000000 DIV count(1) AS BIGINT)")
+             .as("recall_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d21_lsh_recall" -> d21LshRecall,
     "d20_contrastive_pairs" -> d20ContrastivePairs,
     "d19_edit_distance" -> d19EditDistance,
     "d18_cdc_chunks" -> d18CdcChunks,
@@ -963,6 +1005,29 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // planted word-drop variants through the SAME banding constants
+    "d21_lsh_recall" ->
+      s"""WITH t AS ($sqlDocs),
+         |base AS (SELECT doc_id, source, ws FROM t),
+         |var AS (SELECT doc_id + 1000000 AS doc_id, source,
+         |          ws[1:greatest(length(ws) * 2 // 3, 1)] AS ws
+         |        FROM base WHERE doc_id % 4 = 0),
+         |c AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+         |sng AS (SELECT doc_id, $sqlShingles AS sh FROM c),
+         |hs0 AS (SELECT doc_id, $sqlBaseHashes AS hs FROM sng),
+         |e0 AS (SELECT doc_id, unnest($sqlBands) AS band FROM hs0),
+         |rec AS (SELECT DISTINCT a.doc_id AS a
+         |        FROM e0 a JOIN e0 b ON a.band = b.band
+         |          AND b.doc_id = a.doc_id + 1000000
+         |        WHERE a.doc_id % 4 = 0 AND a.doc_id < 1000000),
+         |p AS (SELECT b.doc_id AS a, b.source,
+         |        CASE WHEN rec.a IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM base b LEFT JOIN rec ON rec.a = b.doc_id
+         |      WHERE b.doc_id % 4 = 0)
+         |SELECT source, count(1) AS n_planted,
+         |  CAST(sum(hit) AS BIGINT) AS n_recalled,
+         |  CAST(sum(hit) * 1000000 // count(1) AS BIGINT) AS recall_ppm
+         |FROM p GROUP BY source""".stripMargin,
     // cluster CTEs (d9's closure) + pair build + hash-mined negatives
     "d20_contrastive_pairs" ->
       s"""$sqlClusterCtes,
