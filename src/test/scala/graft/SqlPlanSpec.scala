@@ -201,4 +201,26 @@ class SqlPlanSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("d19's blocked candidates join on the prefix key — levenshtein never rides a nested loop") {
+    val p = plan("d19_edit_distance")
+    // the block key is an equi-join; the length bound and the distance
+    // threshold are residual filters AFTER keyed candidate generation
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "edit-distance verify must stay inside prefix blocks")
+    assert(p.contains("levenshtein"), "the verifier actually runs in-plan")
+  }
+
+  test("c29's deletion-vector apply is a broadcast ANTI join on position") {
+    val p = plan("c29_deletion_vectors")
+    assert(p.contains("LeftAnti"), "DV apply must be an anti join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the sidecar must broadcast — it is O(deleted), not O(table)")
+  }
+
+  test("q25's null-safe equality still plans as a keyed hash join") {
+    val p = plan("q25_null_safe_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "<=> is an equi-key; a nested loop would detonate at scale")
+  }
 }
