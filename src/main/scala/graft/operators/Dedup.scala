@@ -863,8 +863,13 @@ object Dedup {
     lhs.join(rhs, Seq("blk"))
       .filter(col("a_id") < col("b_id") &&
               abs(col("a_len") - col("b_len")) <= 4)
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text")))
-      .filter(col("dist") <= 4)
+      // 3-arg levenshtein: banded O(n·k) DP with early exit, returns -1
+      // past the threshold — the verifier cost is O(len·4), not
+      // O(len²), exactly where random-text candidates would otherwise
+      // pay the full matrix just to be rejected. Distances ≤ 4 are
+      // exact, so the 2-arg oracle replay is unchanged.
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), 4))
+      .filter(col("dist") >= 0 && col("dist") <= 4)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_pairs"),
            sum(col("dist")).cast("long").as("sum_dist"),
