@@ -552,7 +552,26 @@ object SqlSurface {
     s.sql(winClauseSql)
   }
 
+  /** SQL PIVOT clause (the front-end form of c8's DataFrame pivot):
+    * rows → columns with named pivot values. Catalyst lowers it to the
+    * same CASE-per-value hash aggregate the oracle spells out, so the
+    * plan stays one exchange on the group key at any scale — pivot
+    * width is COLUMN count, never a shuffle dimension. (DuckDB's PIVOT
+    * statement has different syntax, so unlike x26/x27 the oracle is
+    * the semantic CASE expansion, not the same string.)
+    */
+  private val pivotSql =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+      |) PIVOT (
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |  FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low)
+      |)""".stripMargin
+
+  val x30PivotSql: Q = (s, d) => { views(s, d); s.sql(pivotSql) }
+
   val queries: Map[String, Q] = Map(
+    "x30_pivot_sql" -> x30PivotSql,
     "x29_window_clause" -> x29WindowClause,
     "x27_order_by_all" -> x27OrderByAll,
     "x28_limit_offset" -> x28LimitOffset,
@@ -586,6 +605,15 @@ object SqlSurface {
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
+    "x30_pivot_sql" ->
+      """SELECT o_orderstatus,
+        |  round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS urgent,
+        |  round(CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "x29_window_clause" -> winClauseSql,
     "x27_order_by_all" -> obaSql,
     "x28_limit_offset" -> pageSql,
