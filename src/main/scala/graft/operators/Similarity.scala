@@ -648,7 +648,49 @@ object Similarity {
               col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Matryoshka-truncation retrieval eval (Kusupati et al. 2022 — the
+    * MRL deployment question): how much top-1 agreement survives when
+    * the 64-dim embeddings are truncated to their first k dims? For
+    * each k ∈ {4, 16, 64} the brute top-1 neighbor under truncated
+    * cosine is compared against the full-dim top-1; the k = 64 row is
+    * the built-in sanity anchor (agreement ≡ n_queries). Truncation is
+    * `slice` — a pure map — and each k's search is the n1 broadcast
+    * shape (fixed query set broadcast, corpus streamed once per k; at
+    * scale the three k-passes fuse over one corpus scan since slice
+    * feeds from the same row). The measurement says what index width
+    * to SHIP — run it before quantization (n6), which answers the
+    * same question for bit depth. On THIS corpus the answer is the
+    * honest one for i.i.d. random embeddings: ~zero agreement at
+    * k = 4/16 (no Matryoshka structure to exploit) — which is exactly
+    * the failure this eval exists to catch before a truncated index
+    * ships.
+    */
+  val n15MrlEval: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def top1(k: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("sim", round(graft.functions.VectorFunctions.cosineSim(
+          slice(col("qe"), 1, k), slice(col("ce"), 1, k)), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("qid"), col("cid").as("topk"))
+    }
+    val full = top1(dims).withColumnRenamed("topk", "top_full")
+    Seq(4, 16, dims).map { k =>
+      top1(k).join(full, "qid")
+        .groupBy(lit(k).cast("int").as("trunc_dims"))
+        .agg(count(lit(1)).as("n_queries"),
+             sum(when(col("topk") === col("top_full"), 1L).otherwise(0L))
+               .cast("long").as("n_agree"))
+    }.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, Q] = Map(
+    "n15_mrl_eval" -> n15MrlEval,
     "n14_filtered_ann" -> n14FilteredAnn,
     "n13_maxsim" -> n13MaxSim,
     "n12_rrf_fusion" -> n12RrfFusion,
@@ -681,7 +723,38 @@ object Similarity {
     s"(CASE WHEN ${sqlDot("embedding", sqlPlane(j))} > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
 
+  private def mrlKCte(k: Int): String = {
+    val qe = s"q.embedding[1:$k]"
+    val ce = s"c.embedding[1:$k]"
+    s"""p$k AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    round(${sqlDot(qe, ce)} /
+       |          (${sqlNorm(qe)} * ${sqlNorm(ce)}), 6) AS sim
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+       |t$k AS (SELECT qid, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, cid) AS rnk FROM p$k) WHERE rnk = 1)"""
+      .stripMargin
+  }
+
+  private def mrlAgreeRow(k: Int): String =
+    s"""SELECT $k AS trunc_dims, count(1) AS n_queries,
+       |  CAST(sum(CASE WHEN a.cid = b.cid THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree
+       |FROM t$k a JOIN t$dims b USING (qid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // per-k truncated brute top-1 vs the full-dim top-1
+    "n15_mrl_eval" ->
+      s"""WITH ${mrlKCte(4)},
+         |${mrlKCte(16)},
+         |${mrlKCte(dims)}
+         |${mrlAgreeRow(4)}
+         |UNION ALL
+         |${mrlAgreeRow(16)}
+         |UNION ALL
+         |${mrlAgreeRow(dims)}""".stripMargin,
     // the label pre-filter as the join predicate, then n1's ranking
     "n14_filtered_ann" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb

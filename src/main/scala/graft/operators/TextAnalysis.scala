@@ -827,7 +827,36 @@ object TextAnalysis {
            sum(col("n_chars")).cast("long").as("sum_chars"),
            sum(col("pos") * col("doc_id")).cast("long").as("order_checksum"))
 
+  /** Span-corruption sample construction (the T5 / fill-in-the-middle
+    * shape): each document splits into (prefix, middle, suffix) around
+    * a DETERMINISTIC masked span — start = 1 + md5('span:'||doc_id)
+    * mod max(n−4, 1), middle = up to 4 tokens — so the training set is
+    * reproducible across runs and engines (no RNG). The middle's md5
+    * (aggregated as a per-source min) proves the TEXT was actually
+    * sliced, not just the arithmetic replayed; token conservation
+    * (prefix + middle + suffix = n) rides the three sums. Map-only +
+    * K-row aggregate — sample construction costs one scan at any
+    * scale.
+    */
+  val t27SpanCorruption: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("n", size(col("ws")))
+      .withColumn("st", expr(
+        """1 + cast(conv(substring(md5(concat('span:', cast(doc_id as string))),
+          |          1, 8), 16, 10) as bigint) % greatest(n - 4, 1)""".stripMargin))
+      .withColumn("mid_len", least(lit(4), col("n") - col("st") + 1))
+      .withColumn("mid_md5",
+        md5(concat_ws(" ", expr("slice(ws, st, mid_len)"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("st") - 1).cast("long").as("sum_prefix_toks"),
+           sum(col("mid_len")).cast("long").as("sum_middle_toks"),
+           sum(col("n") - (col("st") - 1) - col("mid_len")).cast("long")
+             .as("sum_suffix_toks"),
+           min(col("mid_md5")).as("min_mid_md5"))
+
   val queries: Map[String, Q] = Map(
+    "t27_span_corruption" -> t27SpanCorruption,
     "t25_inverted_index" -> t25InvertedIndex,
     "t26_epoch_shuffle" -> t26EpochShuffle,
     "t24_perplexity_filter" -> t24PerplexityFilter,
@@ -857,6 +886,25 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same md5 span arithmetic and the sliced middle's md5
+    "t27_span_corruption" ->
+      s"""WITH t AS ($sqlDocs),
+         |sp AS (SELECT source, length(ws) AS n,
+         |  1 + ('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % greatest(length(ws) - 4, 1) AS st,
+         |  ws
+         |FROM t),
+         |m AS (SELECT source, n, st,
+         |        least(4, n - st + 1) AS mid_len,
+         |        md5(array_to_string(ws[st:st + least(4, n - st + 1) - 1], ' '))
+         |          AS mid_md5
+         |      FROM sp)
+         |SELECT source, count(1) AS n_docs,
+         |  CAST(sum(st - 1) AS BIGINT) AS sum_prefix_toks,
+         |  CAST(sum(mid_len) AS BIGINT) AS sum_middle_toks,
+         |  CAST(sum(n - (st - 1) - mid_len) AS BIGINT) AS sum_suffix_toks,
+         |  min(mid_md5) AS min_mid_md5
+         |FROM m GROUP BY source""".stripMargin,
     // posting-list build + AND-intersection replayed via unnest
     "t25_inverted_index" ->
       """WITH toks AS (
