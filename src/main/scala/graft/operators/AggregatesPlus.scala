@@ -178,7 +178,24 @@ object AggregatesPlus {
            expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
            count(lit(1)).as("n"))
 
+  /** Ordered string aggregation — Spark 4's LISTAGG … WITHIN GROUP
+    * (ORDER BY …): the deterministic ordered form (unordered listagg
+    * is run-order-dependent and un-oracle-able). DuckDB replays it as
+    * string_agg(… ORDER BY …). At scale the per-group ORDER BY is a
+    * per-group sort riding the aggregation exchange — keep the groups
+    * small (this is a reporting aggregate, not a corpus op).
+    */
+  val a11Listagg: Q = (s, d) =>
+    orders(s, d)
+      .filter(col("o_orderkey") < 40)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr(
+        """listagg(CAST(o_orderkey AS STRING), ',')
+          |  WITHIN GROUP (ORDER BY o_orderkey)""".stripMargin).as("keys"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, Q] = Map(
+    "a11_listagg" -> a11Listagg,
     "a10_bool_aggs" -> a10BoolAggs,
     "a9_hll_union" -> a9HllUnion,
     "a8_bitmap_distinct" -> a8BitmapDistinct,
@@ -192,6 +209,14 @@ object AggregatesPlus {
   )
 
   val oracles: Map[String, String] = Map(
+    // LISTAGG WITHIN GROUP replayed as DuckDB's ordered string_agg
+    "a11_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |             ORDER BY o_orderkey) AS keys,
+        |  count(1) AS n
+        |FROM orders WHERE o_orderkey < 40
+        |GROUP BY o_orderstatus""".stripMargin,
     "a10_bool_aggs" ->
       """SELECT o_orderstatus,
         |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,

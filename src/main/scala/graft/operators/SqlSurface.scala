@@ -570,8 +570,25 @@ object SqlSurface {
 
   val x30PivotSql: Q = (s, d) => { views(s, d); s.sql(pivotSql) }
 
+  /** Aggregate FILTER clause (SQL-standard per-aggregate predicates —
+    * the form that replaces CASE-WHEN-wrapped aggregates): one SQL
+    * string is query and oracle. Catalyst compiles each FILTER into
+    * the aggregate's own predicate, so the plan is still ONE hash
+    * aggregate over one scan — per-aggregate filters never fork the
+    * pipeline.
+    */
+  private val filterClauseSql =
+    """SELECT o_orderstatus, count(1) AS n,
+      |  count(1) FILTER (WHERE o_totalprice > 100000) AS n_big,
+      |  min(o_orderkey) FILTER (WHERE o_orderpriority = '1-URGENT')
+      |    AS min_urgent
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  val x31FilterClause: Q = (s, d) => { views(s, d); s.sql(filterClauseSql) }
+
   val queries: Map[String, Q] = Map(
     "x30_pivot_sql" -> x30PivotSql,
+    "x31_filter_clause" -> x31FilterClause,
     "x29_window_clause" -> x29WindowClause,
     "x27_order_by_all" -> x27OrderByAll,
     "x28_limit_offset" -> x28LimitOffset,
@@ -605,6 +622,7 @@ object SqlSurface {
 
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
+    "x31_filter_clause" -> filterClauseSql,
     "x30_pivot_sql" ->
       """SELECT o_orderstatus,
         |  round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
