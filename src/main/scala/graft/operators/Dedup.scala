@@ -32,7 +32,7 @@ object Dedup {
       |   transform(sequence(1, size(ws) - 2),
       |             i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2))))""".stripMargin
 
-  private val sqlDocs =
+  private[operators] val sqlDocs =
     "SELECT *, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents"
 
   /** Exact dedup: group on content hash, count collapsed duplicates. */
@@ -972,7 +972,7 @@ object Dedup {
     "d10_curate_canonical" -> d10Curate,
   )
 
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     """CASE WHEN length(ws) < 3 THEN [array_to_string(ws, ' ')]
       |     ELSE list_transform(range(1, length(ws) - 1),
       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END""".stripMargin

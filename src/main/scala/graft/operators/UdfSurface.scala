@@ -146,7 +146,25 @@ object UdfSurface {
         |FROM u4_lineitem GROUP BY l_returnflag""".stripMargin)
   }
 
+  /** The native `shingles` Generator through the SQL front end's
+    * LATERAL VIEW syntax (d7 exercises the same UDTF via the
+    * DataFrame DSL): the table function registered by ShinglesApi must
+    * resolve and plan identically from SQL text — same codegen'd
+    * Generate node, pipelined, no shuffle before the aggregate.
+    */
+  val u5SqlUdtf: Q = (s, d) => {
+    org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
+    graft.sources.Tables.documents(s, d)
+      .createOrReplaceTempView("u5_documents")
+    s.sql(
+      """SELECT lang, source, count(1) AS n_shingles,
+        |  count(DISTINCT shingle) AS n_distinct
+        |FROM u5_documents LATERAL VIEW shingles(text, 3) t AS shingle
+        |GROUP BY lang, source""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "u5_sql_udtf" -> u5SqlUdtf,
     "u1_scalar_udf" -> u1ScalarUdf,
     "u2_typed_agg" -> u2TypedAgg,
     "u3_vector_udaf" -> u3VectorUdaf,
@@ -154,6 +172,14 @@ object UdfSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    // the UDTF replayed via unnest over the shared shingle expression
+    "u5_sql_udtf" ->
+      s"""WITH t AS (${Dedup.sqlDocs}),
+         |sh AS (SELECT lang, source, unnest(${Dedup.sqlShingles}) AS shingle
+         |       FROM t)
+         |SELECT lang, source, count(1) AS n_shingles,
+         |  count(DISTINCT shingle) AS n_distinct
+         |FROM sh GROUP BY lang, source""".stripMargin,
     // the SQL-UDF body inlined, folded through the shared decimal path
     "u4_sql_udf" ->
       """SELECT l_returnflag, count(1) AS n,
