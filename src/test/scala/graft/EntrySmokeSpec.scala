@@ -98,8 +98,9 @@ class EntrySmokeSpec extends AnyFunSuite {
       // qid<>cid predicate is deliberately non-equi); g5 rides g1's
       // one-row node-count edge map
       // n13 broadcasts n1's fixed 8-row query set (MaxSim scores the
-      // streamed corpus against it map-side)
-      "n12_rrf_fusion", "g5_label_prop", "n13_maxsim")
+      // streamed corpus against it map-side); n15 broadcasts its fixed
+      // 16-row query set per truncation width (n1's shape, three times)
+      "n12_rrf_fusion", "g5_label_prop", "n13_maxsim", "n15_mrl_eval")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
