@@ -194,7 +194,34 @@ object AggregatesPlus {
           |  WITHIN GROUP (ORDER BY o_orderkey)""".stripMargin).as("keys"),
         count(lit(1)).as("n"))
 
+  /** Least-squares regression aggregates (the regr_slope /
+    * regr_intercept pair), computed like a5/a6: exact DECIMAL moment
+    * sums, closed-form double arithmetic, fixed rounding — the
+    * built-in regr_* functions exist but sum in float arrival order,
+    * which no cross-engine hash compare survives. y = quantity over
+    * x = extendedprice per return flag.
+    */
+  val a12Regression: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum(dec2(col("l_extendedprice"))).cast("double").as("sx"),
+           sum(dec2(col("l_quantity"))).cast("double").as("sy"),
+           sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+             .cast("double").as("sxy"),
+           sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice")))
+             .cast("double").as("sxx"))
+      .withColumn("slope_raw",
+        (col("sxy") * col("n") - col("sx") * col("sy"))
+          / (col("sxx") * col("n") - col("sx") * col("sx")))
+      .select(col("l_returnflag"),
+              col("n").cast("long").as("n_rows"),
+              round(col("slope_raw") * 1e9, 4).as("slope_e9"),
+              round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6)
+                .as("intercept"))
+
   val queries: Map[String, Q] = Map(
+    "a12_regression" -> a12Regression,
     "a11_listagg" -> a11Listagg,
     "a10_bool_aggs" -> a10BoolAggs,
     "a9_hll_union" -> a9HllUnion,
@@ -209,6 +236,24 @@ object AggregatesPlus {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical exact-moment closed form (a5/a6's discipline)
+    "a12_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(1) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |sl AS (SELECT *, (sxy * n - sx * sy) / (sxx * n - sx * sx)
+        |         AS slope_raw FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round(slope_raw * 1e9, 4) AS slope_e9,
+        |  round((sy - slope_raw * sx) / n, 6) AS intercept
+        |FROM sl""".stripMargin,
     // LISTAGG WITHIN GROUP replayed as DuckDB's ordered string_agg
     "a11_listagg" ->
       """SELECT o_orderstatus,

@@ -586,9 +586,25 @@ object SqlSurface {
 
   val x31FilterClause: Q = (s, d) => { views(s, d); s.sql(filterClauseSql) }
 
+  /** Inline VALUES table constructor joined as a dimension — the
+    * literal-lookup-table idiom (status code → display name) with one
+    * SQL string for both engines. Catalyst plans the VALUES side as a
+    * LocalRelation and broadcasts it: a literal dim never shuffles the
+    * fact side beyond the aggregate's own exchange.
+    */
+  private val valuesSql =
+    """SELECT t.grp, count(1) AS n, min(o_orderkey) AS min_key
+      |FROM orders JOIN (VALUES ('P', 'pending'), ('O', 'open'),
+      |                         ('F', 'final')) AS t(st, grp)
+      |  ON o_orderstatus = t.st
+      |GROUP BY t.grp""".stripMargin
+
+  val x32ValuesClause: Q = (s, d) => { views(s, d); s.sql(valuesSql) }
+
   val queries: Map[String, Q] = Map(
     "x30_pivot_sql" -> x30PivotSql,
     "x31_filter_clause" -> x31FilterClause,
+    "x32_values_clause" -> x32ValuesClause,
     "x29_window_clause" -> x29WindowClause,
     "x27_order_by_all" -> x27OrderByAll,
     "x28_limit_offset" -> x28LimitOffset,
@@ -623,6 +639,7 @@ object SqlSurface {
   // The SQL is ANSI enough to run verbatim in DuckDB.
   val oracles: Map[String, String] = Map(
     "x31_filter_clause" -> filterClauseSql,
+    "x32_values_clause" -> valuesSql,
     "x30_pivot_sql" ->
       """SELECT o_orderstatus,
         |  round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
