@@ -259,6 +259,78 @@ object Multimodal {
   case class AugDecoded(doc_id: Long, width: Int, height: Int,
                         sum_r: Long, sum_g: Long, sum_b: Long)
 
+  case class AudioAug(doc_id: Long, n_samples: Int, sum_amp: Long,
+                      sum_abs: Long)
+
+  /** Deterministic audio augmentation through the REAL codec — m9's
+    * audio twin: decode (`AudioSystem.getAudioInputStream`), TRIM the
+    * first 16 samples and apply an integer inversion-halving gain
+    * (v′ = −(v ÷ 2), truncating toward zero — exactly replayable,
+    * unlike float gain), RE-ENCODE to RIFF/WAVE, decode AGAIN, and
+    * report amplitude stats from the second decode: the oracle match
+    * proves the augmented clip survives a full encode→decode round
+    * trip bit-exactly. Same per-partition codec-init mapPartitions
+    * shape as m7; the only exchange is the K-row per-source rollup.
+    */
+  val m10AudioAugment: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m10_wavs")
+    renderWavs(s, d, out)
+    s.read.format("binaryFile").load(out)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        it.map { case (id, bytes) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          // trim 16 samples, gain v' = -(v / 2) (Java int division)
+          val n2 = math.max(n - 16, 0)
+          val aug = new Array[Byte](n2 * 2)
+          var i = 0
+          while (i < n2) {
+            val v = ((pcm(2 * (i + 16)) & 0xff) |
+                     (pcm(2 * (i + 16) + 1) << 8)).toShort.toInt
+            val v2 = -(v / 2)
+            aug(2 * i) = (v2 & 0xff).toByte
+            aug(2 * i + 1) = ((v2 >> 8) & 0xff).toByte
+            i += 1
+          }
+          // full WAV round trip of the AUGMENTED clip
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(
+              new java.io.ByteArrayInputStream(aug), fmt, n2.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          val back = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val pcm2 = back.readAllBytes()
+          val m = pcm2.length / 2
+          var (sum, sabs) = (0L, 0L)
+          var j = 0
+          while (j < m) {
+            val v = ((pcm2(2 * j) & 0xff) | (pcm2(2 * j + 1) << 8)).toShort.toInt
+            sum += v; sabs += math.abs(v)
+            j += 1
+          }
+          AudioAug(id, m, sum, sabs)
+        }
+      }
+      .join(graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+           sum(col("n_samples").cast("long")).as("n_samples"),
+           sum(col("sum_amp")).as("sum_amp"),
+           sum(col("sum_abs")).as("sum_abs"))
+  }
+
   /** Deterministic augmentation through the REAL codec — the
     * vision-pipeline step after m6's decode: each PNG is decoded
     * (`ImageIO.read`), horizontally FLIPPED and center-CROPPED by a
@@ -355,9 +427,12 @@ object Multimodal {
     * closed-form from the documents table; any codec drift (sample
     * width, endianness, header misparse) breaks the hash compare.
     */
-  val m7AudioDecode: Q = (s, d) => {
-    import s.implicits._
-    val out = Coverage.scratchDir("m7_wavs")
+  /** Executor-side WAV render shared by m7/m10: one real RIFF/WAVE
+    * PCM file per doc (16-bit LE mono 8 kHz; n = 64+id%128 samples,
+    * sample(i) = (id·37 + i·17) mod 4096 − 2048) — the closed form
+    * the oracles recompute.
+    */
+  private def renderWavs(s: SparkSession, d: String, out: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     graft.sources.Tables.documents(s, d)
       .select(col("doc_id"))
@@ -381,6 +456,12 @@ object Multimodal {
             new java.io.File(out, f"$id%012d.wav"))
         }
       }
+  }
+
+  val m7AudioDecode: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m7_wavs")
+    renderWavs(s, d, out)
     val decoded = s.read.format("binaryFile").load(out)
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
@@ -523,6 +604,7 @@ object Multimodal {
     "m5_binary_ingest" -> m5BinaryIngest,
     "m6_image_decode" -> m6ImageDecode,
     "m9_image_augment" -> m9ImageAugment,
+    "m10_audio_augment" -> m10AudioAugment,
     "m7_audio_decode" -> m7AudioDecode,
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
@@ -578,6 +660,23 @@ object Multimodal {
     // the image is a pure function of doc_id and PNG is lossless, so
     // the oracle rebuilds every decoded stat without touching a codec:
     // per-pixel channel values replayed via list_transform over w*h
+    // trim+inversion-halving gain replayed closed-form; DuckDB's //
+    // truncates toward zero like Java int division, so -(v // 2) is
+    // bit-identical on negative samples
+    "m10_audio_augment" ->
+      """WITH clips AS (
+        |  SELECT doc_id, source, 64 + doc_id % 128 AS n FROM documents),
+        |sm AS (
+        |  SELECT source, n - 16 AS n2,
+        |    list_transform(range(16, n),
+        |      i -> -((((doc_id*37 + i*17) % 4096) - 2048) // 2)) AS vs
+        |  FROM clips)
+        |SELECT source, count(1) AS n_clips,
+        |  CAST(sum(n2) AS BIGINT) AS n_samples,
+        |  CAST(sum(list_sum(vs)) AS BIGINT) AS sum_amp,
+        |  CAST(sum(list_sum(list_transform(vs, v -> abs(v)))) AS BIGINT)
+        |    AS sum_abs
+        |FROM sm GROUP BY source""".stripMargin,
     // flip+crop replayed closed-form: aug(x,y) = orig(w-2-x, y+1)
     "m9_image_augment" ->
       """WITH imgs AS (
