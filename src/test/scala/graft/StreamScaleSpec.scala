@@ -70,21 +70,26 @@ class StreamScaleSpec extends AnyFunSuite {
     }
     val (dShort, nShort) = corpus(3)
     val (dLong, nLong) = corpus(9)
-    val short = StreamThroughputBench.run(spark, dShort, nShort)
-    val long_ = StreamThroughputBench.run(spark, dLong, nLong)
+    // RocksDB SST/changelog overhead varies with compaction timing —
+    // under full-suite GC pressure a single run's peak bytes has been
+    // observed past any fixed small bound while rows stayed exactly =
+    // keys. Run each length twice (fresh checkpoints) and compare the
+    // MINIMUM peaks: compaction noise is one-sided (only inflates), so
+    // the min is the stable signal; a real leak inflates EVERY run.
+    val shortRuns = Seq.fill(2)(StreamThroughputBench.run(spark, dShort, nShort))
+    val longRuns = Seq.fill(2)(StreamThroughputBench.run(spark, dLong, nLong))
     // state rows = keys with live state; bounded by the key count for
     // both lengths (a probe-buffer leak would not add rows — it grows
     // bytes — so both dimensions are pinned)
-    assert(short.peakStateRows > 0 && short.peakStateRows <= users)
-    assert(long_.peakStateRows <= users)
+    shortRuns.foreach(r => assert(r.peakStateRows > 0 && r.peakStateRows <= users))
+    longRuns.foreach(r => assert(r.peakStateRows <= users))
     // 3x the stream length, same keys/rate/horizon: peak state BYTES
     // must not grow with length. A leak of the 3x-longer buffered
-    // stream would show ~3x bytes; the bound sits at 2.5x because
-    // RocksDB SST/changelog overhead varies with compaction timing
-    // (measured clean growth 1.37x, but parallel-suite contention has
-    // pushed it past a 2x bound while rows stayed exactly = keys)
-    assert(long_.peakStateBytes * 2L < 5L * math.max(short.peakStateBytes, 1L),
-      s"state grew with stream length: short=${short.peakStateBytes}B " +
-        s"long=${long_.peakStateBytes}B")
+    // stream would show ~3x bytes on every run; the min-vs-min bound
+    // sits at 2.5x (measured clean growth 1.37x)
+    val shortB = shortRuns.map(_.peakStateBytes).min
+    val longB = longRuns.map(_.peakStateBytes).min
+    assert(longB * 2L < 5L * math.max(shortB, 1L),
+      s"state grew with stream length: short=${shortB}B long=${longB}B")
   }
 }
