@@ -948,7 +948,42 @@ object Dedup {
              .as("recall_ppm"))
   }
 
+  /** Nearest-duplicate report — the user-facing "what is this doc a
+    * near-copy of" output a curation reviewer reads (d5 publishes the
+    * pair HISTOGRAM; this publishes each doc's single best match):
+    * within d5's (lang, source, length-band) blocks, every doc's
+    * argmax exact token-set Jaccard (integer ppm, tie → smallest id),
+    * then the global top-20 most-similar pairs. Same blocked join as
+    * d5 — candidate generation never goes all-pairs — with a per-doc
+    * window (rank-1) on the candidate set and a TakeOrderedAndProject
+    * for the report.
+    */
+  val d22BestMatch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("n_chars") - col("n_chars") % 100).as("len_band"),
+      array_sort(array_distinct(col("ws"))).as("toks"))
+    val a = t.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                     col("len_band"), col("toks").as("a_toks"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                     col("source").as("b_source"), col("len_band").as("b_band"),
+                     col("toks").as("b_toks"))
+    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+              col("len_band") === col("b_band") && col("a_id") =!= col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("uni", size(col("a_toks")) + size(col("b_toks")) - col("inter"))
+      .withColumn("jac_ppm", expr("CAST(inter * 1000000 DIV uni AS BIGINT)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("jac_ppm").desc, col("b_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("a_id"), col("b_id").as("best_id"), col("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("a_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "d22_best_match" -> d22BestMatch,
     "d21_lsh_recall" -> d21LshRecall,
     "d20_contrastive_pairs" -> d20ContrastivePairs,
     "d19_edit_distance" -> d19EditDistance,
@@ -1010,6 +1045,23 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-doc argmax Jaccard within d5's blocks, global top-20
+    "d22_best_match" ->
+      s"""WITH t0 AS ($sqlDocs),
+         |t AS (SELECT doc_id, lang, source,
+         |        n_chars - n_chars % 100 AS len_band,
+         |        list_sort(list_distinct(ws)) AS toks FROM t0),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        (length(list_intersect(a.toks, b.toks)) * 1000000)
+         |          // (length(a.toks) + length(b.toks)
+         |              - length(list_intersect(a.toks, b.toks))) AS jac_ppm
+         |      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+         |        AND a.len_band = b.len_band AND a.doc_id <> b.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY a_id
+         |        ORDER BY jac_ppm DESC, b_id) AS rnk FROM p)
+         |SELECT a_id, b_id AS best_id, CAST(jac_ppm AS BIGINT) AS jac_ppm
+         |FROM r WHERE rnk = 1
+         |ORDER BY jac_ppm DESC, a_id LIMIT 20""".stripMargin,
     // planted word-drop variants through the SAME banding constants
     "d21_lsh_recall" ->
       s"""WITH t AS ($sqlDocs),
