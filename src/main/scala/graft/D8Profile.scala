@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import scala.collection.mutable
+
+/** Stage-level profile of d8_prefix_join at one corpus scale — the
+  * diagnostic behind the SCALECURVE deep-series watch item (sf10→sf30
+  * wall exponent 1.22 against candidates pinned linear at 0.9993):
+  * per-stage executor time, shuffle volume and SPILL bytes localize
+  * whether the drift is the build (d8Ordered), the candidate join, or
+  * the verify join, and whether it is CPU growth or memory-pressure
+  * spill (the classic fixed-reducer-count failure at growing scale).
+  *
+  * Usage: runMain graft.D8Profile <sfDir> [initialPartitionNum]
+  * The optional second arg raises AQE's initial shuffle partition
+  * count (reducers then track data volume instead of being pinned at
+  * core count) — the A/B that tests the spill hypothesis directly.
+  */
+object D8Profile {
+  case class StageRow(id: Int, name: String, tasks: Int, runMs: Long,
+                      cpuMs: Long, shufReadMB: Long, shufWriteMB: Long,
+                      spillMemMB: Long, spillDiskMB: Long, peakMemMB: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    if (args.length > 1)
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+               args(1))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stages = mutable.ArrayBuffer.empty[StageRow]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val s = e.stageInfo; val m = s.taskMetrics
+        stages += StageRow(s.stageId, s.name.takeWhile(_ != '\n').take(60),
+          s.numTasks, m.executorRunTime, m.executorCpuTime / 1000000,
+          m.shuffleReadMetrics.totalBytesRead >> 20,
+          m.shuffleWriteMetrics.bytesWritten >> 20,
+          m.memoryBytesSpilled >> 20, m.diskBytesSpilled >> 20,
+          m.peakExecutionMemory >> 20)
+      }
+    })
+    spark.range(1000).selectExpr("sum(id)").collect() // warmup
+    stages.clear()
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries("d8_prefix_join")(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"\nd8_prefix_join @ $sfDir: $n rows, $wall%.1f s wall")
+    println(f"${"stage"}%5s ${"tasks"}%5s ${"run_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shR_MB"}%7s ${"shW_MB"}%7s ${"spillM"}%7s ${"spillD"}%7s " +
+      f"${"peakM"}%7s  name")
+    stages.sortBy(-_.runMs).take(15).foreach { r =>
+      println(f"${r.id}%5d ${r.tasks}%5d ${r.runMs / 1e3}%8.1f " +
+        f"${r.cpuMs / 1e3}%8.1f ${r.shufReadMB}%7d ${r.shufWriteMB}%7d " +
+        f"${r.spillMemMB}%7d ${r.spillDiskMB}%7d ${r.peakMemMB}%7d  ${r.name}")
+    }
+    println(f"TOTAL run ${stages.map(_.runMs).sum / 1e3}%.1f s across " +
+      f"${stages.size} stages; spill mem ${stages.map(_.spillMemMB).sum} MB " +
+      f"disk ${stages.map(_.spillDiskMB).sum} MB")
+    spark.stop()
+  }
+}

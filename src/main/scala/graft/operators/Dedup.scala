@@ -848,20 +848,30 @@ object Dedup {
     * ship native levenshtein, so the oracle replays verbatim.
     */
   val d19EditDistance: Q = (s, d) => {
+    // Variants keep their ORIGINAL doc_id plus an is_var flag (no
+    // fixed id offset — +1,000,000 collides with real ids past 1M
+    // docs); unordered-pair dedup orders lexicographically on
+    // (doc_id, is_var) so the orig-vs-its-own-variant pair still
+    // appears exactly once.
     val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .withColumn("is_var", lit(false))
     val variants = base.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"),
         when(col("doc_id") % 15 === 0, concat(col("text"), lit(" rev 2")))
-          .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("text"),
+        lit(true).as("is_var"))
     val corpus = base.unionByName(variants)
       .withColumn("blk", substring(col("text"), 1, 24))
       .withColumn("len", length(col("text")))
     val lhs = corpus.select(col("blk"), col("doc_id").as("a_id"),
+      col("is_var").as("a_var"),
       col("source"), col("text").as("a_text"), col("len").as("a_len"))
     val rhs = corpus.select(col("blk"), col("doc_id").as("b_id"),
+      col("is_var").as("b_var"),
       col("text").as("b_text"), col("len").as("b_len"))
     lhs.join(rhs, Seq("blk"))
-      .filter(col("a_id") < col("b_id") &&
+      .filter((col("a_id") < col("b_id") ||
+               (col("a_id") === col("b_id") && !col("a_var") && col("b_var"))) &&
               abs(col("a_len") - col("b_len")) <= 4)
       // 3-arg levenshtein: banded O(n·k) DP with early exit, returns -1
       // past the threshold — the verifier cost is O(len·4), not
@@ -891,12 +901,18 @@ object Dedup {
     */
   val d20ContrastivePairs: Q = (s, d) => {
     val mem = dupMembership(s, d) // (id, cluster)
-    val nDocs = documents(s, d).count() // driver scalar, manifest-grade
+    // n_docs stays INSIDE the plan (one-row aggregate, broadcast onto
+    // the pair table) so query construction is lazy like every other
+    // Q — no Spark job at plan-build time — and an empty corpus
+    // degrades identically in both engines (no pairs → the modulo
+    // never evaluates).
+    val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val pos = mem.toDF("a", "ca").join(mem.toDF("b", "cb"),
         col("ca") === col("cb") && col("a") < col("b"))
       .select(col("a"), col("b"), col("ca").as("cluster"))
     val withNeg = pos
-      .withColumn("neg", (col("a") * 7919L + col("b")) % nDocs)
+      .crossJoin(nd)
+      .withColumn("neg", (col("a") * 7919L + col("b")) % col("n_docs"))
       .join(mem.toDF("neg", "cn"), Seq("neg"), "left")
       .withColumn("neg_ok", col("cn").isNull || col("cn") =!= col("cluster"))
     withNeg
@@ -922,20 +938,27 @@ object Dedup {
     * equi-join on (band, planted-id offset): nothing all-pairs.
     */
   val d21LshRecall: Q = (s, d) => {
+    // Variants ride an is_var FLAG, not an id offset: a fixed
+    // +1,000,000 offset collides with real ids once the corpus passes
+    // 1M docs (sf30 = 1.5M) and silently misclassifies originals as
+    // variants — the flag is collision-proof at any scale.
     val base = docs(s, d).select(col("doc_id"), col("source"), col("ws"))
+      .withColumn("is_var", lit(false))
     val variants = base.filter(col("doc_id") % 4 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-        expr("slice(ws, 1, greatest(size(ws) * 2 div 3, 1))").as("ws"))
+      .select(col("doc_id"), col("source"),
+        expr("slice(ws, 1, greatest(size(ws) * 2 div 3, 1))").as("ws"),
+        lit(true).as("is_var"))
     val corpus = base.unionByName(variants)
     val bands = corpus
       .withColumn("sh", expr(shinglesExpr))
       .withColumn("hs", expr(baseHashes))
-      .select(col("doc_id"), explode(expr(bandArrayExpr)).as("band"))
+      .select(col("doc_id"), col("is_var"),
+              explode(expr(bandArrayExpr)).as("band"))
     val origBands = bands
-      .filter(col("doc_id") % 4 === 0 && col("doc_id") < 1000000L)
+      .filter(!col("is_var") && col("doc_id") % 4 === 0)
       .select(col("doc_id").as("a"), col("band"))
-    val varBands = bands.filter(col("doc_id") >= 1000000L)
-      .select((col("doc_id") - 1000000L).as("a"), col("band"))
+    val varBands = bands.filter(col("is_var"))
+      .select(col("doc_id").as("a"), col("band"))
     val recalled = origBands.join(varBands, Seq("a", "band"))
       .select(col("a")).distinct().withColumn("hit", lit(1L))
     base.filter(col("doc_id") % 4 === 0)
@@ -951,29 +974,40 @@ object Dedup {
   /** Nearest-duplicate report — the user-facing "what is this doc a
     * near-copy of" output a curation reviewer reads (d5 publishes the
     * pair HISTOGRAM; this publishes each doc's single best match):
-    * within d5's (lang, source, length-band) blocks, every doc's
-    * argmax exact token-set Jaccard (integer ppm, tie → smallest id),
-    * then the global top-20 most-similar pairs. Same blocked join as
-    * d5 — candidate generation never goes all-pairs — with a per-doc
-    * window (rank-1) on the candidate set and a TakeOrderedAndProject
-    * for the report.
+    * every doc's argmax exact shingle-set Jaccard among its NEAR
+    * DUPLICATES (Jaccard >= 0.7 — d8's threshold), integer ppm, tie →
+    * smallest id, then the global top-20 most-similar pairs.
+    *
+    * Candidates come from d8's PREFIX-FILTERED machinery, not a
+    * (lang, source, len_band) equi-block: block cardinality there is
+    * FIXED (langs × sources × max_len/100 does not grow with the
+    * corpus), so within-block pairs grow ~N² — fine at sf0.1, a
+    * scale-killer at 100×. d8's candidate count is measured linear
+    * (SCALECURVE d8_candidates exp 0.9993) and the prefix filter
+    * GUARANTEES every Jaccard >= 0.7 pair is a candidate, so the
+    * report is exact. Each unordered pair is verified ONCE (native
+    * two-pointer intersect on value-sorted token arrays); only the
+    * slim (a_id, b_id, jac_ppm) survivors are symmetrized for the
+    * per-doc argmax window.
     */
   val d22BestMatch: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val t = docs(s, d).select(
-      col("doc_id"), col("lang"), col("source"),
-      (col("n_chars") - col("n_chars") % 100).as("len_band"),
-      array_sort(array_distinct(col("ws"))).as("toks"))
-    val a = t.select(col("doc_id").as("a_id"), col("lang"), col("source"),
-                     col("len_band"), col("toks").as("a_toks"))
-    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-                     col("source").as("b_source"), col("len_band").as("b_band"),
-                     col("toks").as("b_toks"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
-              col("len_band") === col("b_band") && col("a_id") =!= col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn("uni", size(col("a_toks")) + size(col("b_toks")) - col("inter"))
-      .withColumn("jac_ppm", expr("CAST(inter * 1000000 DIV uni AS BIGINT)"))
+    val ordered = d8Ordered(s, d)
+    val oa = ordered.select(col("doc_id").as("a_id"),
+                            array_sort(col("otoks")).as("a_t"))
+    val ob = ordered.select(col("doc_id").as("b_id"),
+                            array_sort(col("otoks")).as("b_t"))
+    val scored = d8Candidates(ordered)
+      .join(oa, "a_id").join(ob, "b_id")
+      .withColumn("inter",
+        graft.functions.VectorFunctions.sortedIntersectSize(col("a_t"), col("b_t")))
+      .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .select(col("a_id"), col("b_id"),
+              expr("CAST(inter AS BIGINT) * 1000000 DIV uni").as("jac_ppm"))
+    val sym = scored.union(
+      scored.select(col("b_id").as("a_id"), col("a_id").as("b_id"), col("jac_ppm")))
+    sym
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("jac_ppm").desc, col("b_id"))))
       .filter(col("rnk") === 1)
@@ -1045,38 +1079,62 @@ object Dedup {
        |cc AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // per-doc argmax Jaccard within d5's blocks, global top-20
+    // per-doc argmax Jaccard among >=0.7 near-dups, global top-20.
+    // Replays d8's prefix-filter candidate machinery (the prefix join
+    // is a guaranteed superset of every >=0.7 pair, so the threshold
+    // filter makes both engines' qualifying sets identical even though
+    // Spark additionally applies the length/positional prunes).
     "d22_best_match" ->
-      s"""WITH t0 AS ($sqlDocs),
-         |t AS (SELECT doc_id, lang, source,
-         |        n_chars - n_chars % 100 AS len_band,
-         |        list_sort(list_distinct(ws)) AS toks FROM t0),
-         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |        (length(list_intersect(a.toks, b.toks)) * 1000000)
-         |          // (length(a.toks) + length(b.toks)
-         |              - length(list_intersect(a.toks, b.toks))) AS jac_ppm
-         |      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
-         |        AND a.len_band = b.len_band AND a.doc_id <> b.doc_id),
+      s"""WITH t AS ($sqlDocs),
+         |ts AS (SELECT doc_id,
+         |         list_sort(list_distinct(
+         |           list_transform($sqlShingles, $sqlHash60))) AS ts
+         |       FROM t),
+         |f AS (SELECT tok, count(1) AS freq
+         |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) GROUP BY tok),
+         |o AS (SELECT doc_id, list(tok ORDER BY freq, tok) AS otoks
+         |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) e
+         |      JOIN f USING (tok)
+         |      GROUP BY doc_id),
+         |p0 AS (SELECT doc_id, otoks, length(otoks) AS n,
+         |         length(otoks) - (length(otoks) * 7 + 9) // 10 + 1 AS plen
+         |       FROM o),
+         |pr AS (SELECT doc_id, otoks,
+         |         unnest(list_slice(otoks, 1, plen)) AS tok FROM p0),
+         |c AS (SELECT DISTINCT a.doc_id AS a_id, a.otoks AS a_t,
+         |        b.doc_id AS b_id, b.otoks AS b_t
+         |      FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, b_id,
+         |        length(list_intersect(a_t, b_t)) AS inter,
+         |        length(a_t) + length(b_t) - length(list_intersect(a_t, b_t)) AS uni
+         |      FROM c),
+         |q AS (SELECT a_id, b_id,
+         |        CAST(inter AS BIGINT) * 1000000 // uni AS jac_ppm
+         |      FROM j WHERE 10 * inter >= 7 * uni),
+         |sym AS (SELECT a_id, b_id, jac_ppm FROM q
+         |        UNION ALL SELECT b_id, a_id, jac_ppm FROM q),
          |r AS (SELECT *, row_number() OVER (PARTITION BY a_id
-         |        ORDER BY jac_ppm DESC, b_id) AS rnk FROM p)
+         |        ORDER BY jac_ppm DESC, b_id) AS rnk FROM sym)
          |SELECT a_id, b_id AS best_id, CAST(jac_ppm AS BIGINT) AS jac_ppm
          |FROM r WHERE rnk = 1
          |ORDER BY jac_ppm DESC, a_id LIMIT 20""".stripMargin,
     // planted word-drop variants through the SAME banding constants
     "d21_lsh_recall" ->
       s"""WITH t AS ($sqlDocs),
-         |base AS (SELECT doc_id, source, ws FROM t),
-         |var AS (SELECT doc_id + 1000000 AS doc_id, source,
-         |          ws[1:greatest(length(ws) * 2 // 3, 1)] AS ws
+         |base AS (SELECT doc_id, source, ws, FALSE AS is_var FROM t),
+         |var AS (SELECT doc_id, source,
+         |          ws[1:greatest(length(ws) * 2 // 3, 1)] AS ws,
+         |          TRUE AS is_var
          |        FROM base WHERE doc_id % 4 = 0),
          |c AS (SELECT * FROM base UNION ALL SELECT * FROM var),
-         |sng AS (SELECT doc_id, $sqlShingles AS sh FROM c),
-         |hs0 AS (SELECT doc_id, $sqlBaseHashes AS hs FROM sng),
-         |e0 AS (SELECT doc_id, unnest($sqlBands) AS band FROM hs0),
+         |sng AS (SELECT doc_id, is_var, $sqlShingles AS sh FROM c),
+         |hs0 AS (SELECT doc_id, is_var, $sqlBaseHashes AS hs FROM sng),
+         |e0 AS (SELECT doc_id, is_var, unnest($sqlBands) AS band FROM hs0),
          |rec AS (SELECT DISTINCT a.doc_id AS a
          |        FROM e0 a JOIN e0 b ON a.band = b.band
-         |          AND b.doc_id = a.doc_id + 1000000
-         |        WHERE a.doc_id % 4 = 0 AND a.doc_id < 1000000),
+         |          AND b.doc_id = a.doc_id
+         |          AND NOT a.is_var AND b.is_var
+         |        WHERE a.doc_id % 4 = 0),
          |p AS (SELECT b.doc_id AS a, b.source,
          |        CASE WHEN rec.a IS NULL THEN 0 ELSE 1 END AS hit
          |      FROM base b LEFT JOIN rec ON rec.a = b.doc_id
@@ -1106,17 +1164,20 @@ object Dedup {
     // replayed verbatim (both engines ship the native function)
     "d19_edit_distance" ->
       """WITH v AS (
-        |  SELECT doc_id + 1000000 AS doc_id, source,
+        |  SELECT doc_id, source,
         |    CASE WHEN doc_id % 15 = 0 THEN text || ' rev 2'
-        |         ELSE text || ' v2' END AS text
+        |         ELSE text || ' v2' END AS text,
+        |    TRUE AS is_var
         |  FROM documents WHERE doc_id % 5 = 0),
-        |c AS (SELECT doc_id, source, text FROM documents
-        |      UNION ALL SELECT doc_id, source, text FROM v),
+        |c AS (SELECT doc_id, source, text, FALSE AS is_var FROM documents
+        |      UNION ALL SELECT doc_id, source, text, is_var FROM v),
         |k AS (SELECT *, substr(text, 1, 24) AS blk, length(text) AS len
         |      FROM c),
         |p AS (SELECT a.source, a.doc_id AS a_id,
         |        levenshtein(a.text, b.text) AS dist
-        |      FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |      FROM k a JOIN k b ON a.blk = b.blk
+        |        AND (a.doc_id < b.doc_id
+        |             OR (a.doc_id = b.doc_id AND NOT a.is_var AND b.is_var))
         |        AND abs(a.len - b.len) <= 4)
         |SELECT source, count(1) AS n_pairs,
         |  CAST(sum(dist) AS BIGINT) AS sum_dist, min(a_id) AS min_a

@@ -116,13 +116,20 @@ object UdfSurface {
 
   val u3VectorUdaf: Q = (s, d) => {
     import s.implicits._
+    // The Aggregator carries ARRAY state (the point of the exemplar);
+    // the published output posexplodes it to (label, pos, mm) rows —
+    // the repo-wide convention that no query surfaces a container
+    // column (the driver's comparer sorts rendered scalars; see the
+    // EntrySmokeSpec output-schema lint).
     embeddings(s, d)
       .select(col("label"), col("embedding"))
       .as[VecRow]
       .groupByKey(_.label)
       .agg(VecMean.toColumn.name("mean_micros"))
       .toDF("label", "mean_micros")
-      .select(col("label").cast("int").as("label"), col("mean_micros"))
+      .select(col("label").cast("int").as("label"),
+              posexplode(col("mean_micros")).as(Seq("pos", "mm")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("pos"), col("mm"))
   }
 
   /** SQL-defined UDF (Spark 4's CREATE FUNCTION … RETURN <expr>): the
@@ -197,18 +204,15 @@ object UdfSurface {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // same fixed-point replay: float -> double is exact, round() is
     // half-away-from-zero in both engines, // truncates like long
-    // division; list re-assembled in element order
+    // division; one row per (label, 1-based element position)
     "u3_vector_udaf" ->
       """WITH el AS (
         |  SELECT label, unnest(embedding) AS x,
         |         generate_subscripts(embedding, 1) AS pos
-        |  FROM embeddings),
-        |m AS (
-        |  SELECT label, pos,
-        |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-        |         // count(1) AS BIGINT) AS mm
-        |  FROM el GROUP BY 1, 2)
-        |SELECT label, list(mm ORDER BY pos) AS mean_micros
-        |FROM m GROUP BY label""".stripMargin,
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |       // count(1) AS BIGINT) AS mm
+        |FROM el GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -100,11 +100,34 @@ class EntrySmokeSpec extends AnyFunSuite {
       // n13 broadcasts n1's fixed 8-row query set (MaxSim scores the
       // streamed corpus against it map-side); n15 broadcasts its fixed
       // 16-row query set per truncation width (n1's shape, three times)
-      "n12_rrf_fusion", "g5_label_prop", "n13_maxsim", "n15_mrl_eval")
+      // d20 broadcasts its one-row corpus-count aggregate onto the
+      // positive-pair table (the in-plan n_docs scalar)
+      "n12_rrf_fusion", "g5_label_prop", "n13_maxsim", "n15_mrl_eval",
+      "d20_contrastive_pairs")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("no query publishes a container column (driver-comparer contract)") {
+    // The driver's pandas-based comparer sorts raw cell values and
+    // dies on array/map/struct cells (round-6 u3: `TypeError:
+    // unhashable type: 'numpy.ndarray'`), and tools/check.py now
+    // mirrors that strictness. Container-valued RESULTS must be
+    // projected to scalars before publishing — posexplode (u3),
+    // array_join (a2) — so the lint allows no exceptions.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val bad = try fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] => f.name
+      } catch { case _: Throwable => Array.empty[String] } // planning lint covers throws
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"container-typed output columns (driver cannot sort them): $offenders")
   }
 
   test("no query plans a CartesianProduct") {

@@ -91,5 +91,14 @@ class StreamScaleSpec extends AnyFunSuite {
     val longB = longRuns.map(_.peakStateBytes).min
     assert(longB * 2L < 5L * math.max(shortB, 1L),
       s"state grew with stream length: short=${shortB}B long=${longB}B")
+    // ... and a generous ABSOLUTE ceiling on every individual run so
+    // an intermittent leak that only inflates under unlucky compaction
+    // timing can't hide inside the min-of-two: 50 keys × one horizon
+    // of buffered probes is well under 1 MiB of honest state; 16 MiB
+    // is compaction-noise headroom, not leak headroom (the 3x stream
+    // buffers ~27 MB of raw rows if leaked).
+    (shortRuns ++ longRuns).foreach(r =>
+      assert(r.peakStateBytes < 16L * 1024 * 1024,
+        s"single-run peak state ${r.peakStateBytes}B past the absolute ceiling"))
   }
 }

@@ -23,11 +23,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-        # normalize arrow lists/ndarrays to tuples for sorting
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple))
-                or type(v).__name__ == "ndarray" else v)
+    # NO container normalization: the driver's comparer sorts raw
+    # values and dies on ndarray/list cells, so this stand-in must be
+    # exactly as strict — a query emitting an array/map/struct column
+    # fails HERE, not at the round gate (round-6 u3 lesson).
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
