@@ -4,34 +4,36 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import scala.collection.mutable
 
-/** Stage-level profile of d8_prefix_join at one corpus scale — the
-  * diagnostic behind the SCALECURVE deep-series watch item (sf10→sf30
-  * wall exponent 1.22 against candidates pinned linear at 0.9993):
+/** Stage-level profile of one registered query at one corpus scale —
+  * the diagnostic behind SCALECURVE watch items (first used on d8's
+  * r6 "sf10→sf30 wall exponent 1.22" — which this tool localized to
+  * HARNESS state pollution, not the plan: a fresh JVM ran sf30 in
+  * 75.9 s with zero spill and ~2.6× executor time for 3× data):
   * per-stage executor time, shuffle volume and SPILL bytes localize
-  * whether the drift is the build (d8Ordered), the candidate join, or
-  * the verify join, and whether it is CPU growth or memory-pressure
-  * spill (the classic fixed-reducer-count failure at growing scale).
+  * whether a drift is a build stage, a join, or memory-pressure spill
+  * (the classic fixed-reducer-count failure at growing scale).
   *
-  * Usage: runMain graft.D8Profile <sfDir> [initialPartitionNum]
-  * The optional second arg raises AQE's initial shuffle partition
+  * Usage: runMain graft.QueryProfile <query> <sfDir> [initialPartitionNum]
+  * The optional third arg raises AQE's initial shuffle partition
   * count (reducers then track data volume instead of being pinned at
-  * core count) — the A/B that tests the spill hypothesis directly.
+  * core count) — the A/B that tests a spill hypothesis directly.
   */
-object D8Profile {
+object QueryProfile {
   case class StageRow(id: Int, name: String, tasks: Int, runMs: Long,
                       cpuMs: Long, shufReadMB: Long, shufWriteMB: Long,
                       spillMemMB: Long, spillDiskMB: Long, peakMemMB: Long)
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
+    val query = args(0)
+    val sfDir = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    if (args.length > 1)
+    if (args.length > 2)
       b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-               args(1))
+               args(2))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,9 +52,9 @@ object D8Profile {
     spark.range(1000).selectExpr("sum(id)").collect() // warmup
     stages.clear()
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries("d8_prefix_join")(spark, sfDir).count()
+    val n = SparkEntry.queries(query)(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"\nd8_prefix_join @ $sfDir: $n rows, $wall%.1f s wall")
+    println(f"\n$query @ $sfDir: $n rows, $wall%.1f s wall")
     println(f"${"stage"}%5s ${"tasks"}%5s ${"run_s"}%8s ${"cpu_s"}%8s " +
       f"${"shR_MB"}%7s ${"shW_MB"}%7s ${"spillM"}%7s ${"spillD"}%7s " +
       f"${"peakM"}%7s  name")

@@ -161,6 +161,10 @@ object ScaleCurve {
     // round-6: character-window boilerplate detection — the heaviest
     // new corpus-shaped op (a window-hash row per 16 chars of text)
     "d17_substring_dedup" -> "documents",
+    // round-7: the nearest-duplicate report re-blocked onto d8's
+    // prefix-filtered candidates — the curve proves the re-block
+    // actually removed the old (lang, source, len_band) N² term
+    "d22_best_match" -> "documents",
     "n5_ivf_kmeans" -> "embeddings",
     "q13_join_asof" -> "events",
     "q19_asof_native" -> "events",
@@ -183,11 +187,32 @@ object ScaleCurve {
     // wall 2.2→7.4 s over sf0.1→sf1) — it rides the deep series
     // because it is the TOP BENCH RESIDENT: the decade fit is the
     // direct answer to "how does the heaviest op scale at 300×"
-    "d8_prefix_join" -> "documents")
+    "d8_prefix_join" -> "documents",
+    // d22 rides d8's candidate machinery plus a per-doc argmax window
+    // — the deep fit is the direct evidence its round-7 re-block
+    // scales like d8 and not like its old fixed-cardinality blocking
+    "d22_best_match" -> "documents")
 
-  private def time2(body: => Unit): Double = {
+  /** min-of-2 timer WITH the per-measurement block sweep Bench.scala
+    * learned in round 5: the iterative ops (d9/d10 run EARLY in the
+    * deep series) localCheckpoint per iteration, and without an
+    * unpersist those blocks accumulate across every (op, scale)
+    * measurement — block-manager/GC pressure then inflates LATE
+    * measurements. d8@sf30 (the last deep point) read 112 s inside the
+    * polluted r6 session vs 75.9 s in a fresh JVM — the entire
+    * "1.22 decade exponent" watch item was this harness leak, not the
+    * query (stage profile at both scales shows zero spill and ~2.6×
+    * executor time for 3× data).
+    */
+  private def time2(spark: SparkSession)(body: => Unit): Double = {
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
     val ts = (1 to 2).map { _ =>
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime(); body
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(blocking = false)
+      }
+      dt
     }
     ts.min
   }
@@ -230,7 +255,7 @@ object ScaleCurve {
     val series = ops.map { case (op, table) =>
       val fn = SparkEntry.queries(op)
       val pts = scales.map { case (sfName, dir) =>
-        val sec = time2 { fn(spark, dir).count(); () }
+        val sec = time2(spark) { fn(spark, dir).count(); () }
         (sfName, nRows((sfName, table)), sec)
       }
       (op, table, pts)
@@ -283,7 +308,7 @@ object ScaleCurve {
     val deepSeries = deepOps.map { case (op, table) =>
       val fn = SparkEntry.queries(op)
       val pts = deepScales.map { case (sfName, dir) =>
-        val sec = time2 { fn(spark, dir).count(); () }
+        val sec = time2(spark) { fn(spark, dir).count(); () }
         println(s"[deep] $op $sfName: ${fmt(sec)} s")
         (sfName, deepN((sfName, table)), sec)
       }

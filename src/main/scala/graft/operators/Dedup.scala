@@ -280,6 +280,20 @@ object Dedup {
       .withColumn("n", size(col("otoks")))
       // plen = n - ceil(0.7 n) + 1, in pure integer arithmetic
       .withColumn("plen", col("n") - expr("(n * 7 + 9) DIV 10") + 1)
+      // st = the VALUE-sorted token set for the verify stage's
+      // two-pointer intersect, sorted here so it's sorted ONCE per doc
+      .withColumn("st", array_sort(col("otoks")))
+      // MATERIALIZE the build once (non-eager local checkpoint =
+      // persist + lineage cut on first compute). Every consumer of
+      // this table fans out ABOVE the doc_id exchange — the prefix
+      // explode plus both verify-join sides — and exchange reuse only
+      // dedupes below an exchange, so without this the collect_list +
+      // double array_sort aggregate re-ran once PER CONSUMER (stage
+      // profile at sf30: the agg stage alone 927 exec-s in d8 and
+      // 2091 in d22). On a cluster this is the standard "cache the
+      // build side" move; blocks go MEMORY_AND_DISK and Bench's
+      // per-query sweep unpersists them.
+      .localCheckpoint(eager = false)
   }
 
   /** Slim prefix-token table: (doc_id, set size n, 0-based prefix
@@ -358,16 +372,16 @@ object Dedup {
     // most duplicate rows, so the handful of repeated verifications
     // costs less than a full-candidate shuffle did.
     val pairs = d8RawPairs(ordered)
-    // tok-ASCENDING copies of the token sets, sorted ONCE per document
-    // (amortized over every candidate pair the doc appears in) so the
-    // per-pair intersection is the native zero-allocation two-pointer
-    // merge (SortedIntersectSize) instead of size(array_intersect)'s
-    // per-pair hash set + materialized intersection array — measured
-    // on the verify stage, the former hot path of this query
+    // tok-ASCENDING token sets (`st`, sorted once per doc inside the
+    // materialized build) so the per-pair intersection is the native
+    // zero-allocation two-pointer merge (SortedIntersectSize) instead
+    // of size(array_intersect)'s per-pair hash set + materialized
+    // intersection array — measured on the verify stage, the former
+    // hot path of this query
     val oa = ordered.select(col("doc_id").as("a_id"), col("lang"),
-                            array_sort(col("otoks")).as("a_t"))
+                            col("st").as("a_t"))
     val ob = ordered.select(col("doc_id").as("b_id"),
-                            array_sort(col("otoks")).as("b_t"))
+                            col("st").as("b_t"))
     // verification rebind: the doc-token side is already partitioned on
     // the doc id (d8Ordered groups by it), so only the slim pair stream
     // shuffles — the array side joins exchange-free (AQE may still
@@ -994,9 +1008,9 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val ordered = d8Ordered(s, d)
     val oa = ordered.select(col("doc_id").as("a_id"),
-                            array_sort(col("otoks")).as("a_t"))
+                            col("st").as("a_t"))
     val ob = ordered.select(col("doc_id").as("b_id"),
-                            array_sort(col("otoks")).as("b_t"))
+                            col("st").as("b_t"))
     val scored = d8Candidates(ordered)
       .join(oa, "a_id").join(ob, "b_id")
       .withColumn("inter",

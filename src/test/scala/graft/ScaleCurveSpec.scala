@@ -37,7 +37,7 @@ class ScaleCurveSpec extends AnyFunSuite {
     // on any degeneration toward all-pairs
     for (op <- Seq("d8_prefix_join", "d9_dup_clusters", "d10_curate_canonical",
                    "d11_decontaminate", "d12_chunk_dedup", "t14_corpus_pipeline",
-                   "t17_bigram_lm",
+                   "t17_bigram_lm", "d17_substring_dedup", "d22_best_match",
                    "n5_ivf_kmeans", "q13_join_asof", "q19_asof_native",
                    "q24_interval_join")) {
       val e = expFor(op)
@@ -66,7 +66,7 @@ class ScaleCurveSpec extends AnyFunSuite {
     //  - the decade growth exponent stays sub-quadratic.
     for (op <- Seq("d9_dup_clusters", "d10_curate_canonical",
                    "t14_corpus_pipeline", "q24_interval_join",
-                   "d8_prefix_join")) {
+                   "d8_prefix_join", "d22_best_match")) {
       val pts = deepSeries(op)
       assert(pts.size >= 4, s"$op deep series incomplete: $pts")
       val (n1, s1) = pts(1) // sf3
