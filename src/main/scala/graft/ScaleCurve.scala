@@ -207,6 +207,11 @@ object ScaleCurve {
   private def time2(spark: SparkSession)(body: => Unit): Double = {
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val ts = (1 to 2).map { _ =>
+      // every curve point measures the COLD computation: the
+      // dup-membership artifact memo (production reuse, see
+      // Dedup.dupMembership) would otherwise make d10/d20/d21 ride
+      // d9's materialized clusters and flatten their curves
+      graft.operators.Dedup.clearMaterialized()
       val t0 = System.nanoTime(); body
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>

@@ -51,6 +51,14 @@ object AggregatesPlus {
       .withColumn("within_rsd",
         abs(col("approx_custs") - col("exact_custs"))
           .leq(greatest(col("exact_custs") * 0.02 * 10, lit(10.0))))
+      // the raw HLL estimate is engine-specific (DuckDB cannot replay
+      // Spark's sketch), so the PUBLISHED columns are the portable
+      // ones: the exact count and the tolerance verdict the estimate
+      // feeds. The oracle replays them as count(DISTINCT …) + literal
+      // TRUE — a broken sketch flips within_rsd and fails the hash,
+      // so the driver gate now CHECKS the sketch instead of
+      // downgrading this query to rows-only (the round-6 shape).
+      .drop("approx_custs")
 
   /** from_json parse + to_json construction round-trip. */
   val a4JsonRoundtrip: Q = (s, d) =>
@@ -141,11 +149,14 @@ object AggregatesPlus {
     * state being merged, which is the property that makes incremental
     * refresh possible (union yesterday's sketch with today's).
     *
-    * Sketch bytes are engine-specific, so no SQL oracle (rows-only by
-    * design, like a3/d13) — the query is SELF-CHECKING instead: the
-    * exact distinct rides along and `within_tol` bounds the merged
-    * estimate at 10× the lgK=12 standard error (~1.6%); a broken merge
-    * or column mix-up flips the rows-only hash on any engine.
+    * Sketch bytes and estimates are engine-specific, so the PUBLISHED
+    * columns are the portable ones — shard count, exact distinct, and
+    * `within_tol`, which bounds the merged estimate at 10× the lgK=12
+    * standard error (~1.6%). The oracle replays them exactly
+    * (count(DISTINCT user_id % 8), count(DISTINCT user_id), literal
+    * TRUE): a broken merge or column mix-up flips within_tol and
+    * fails the driver hash, so the sketch is gate-CHECKED rather than
+    * rows-only as in round 6.
     */
   val a9HllUnion: Q = (s, d) => {
     val shardSketches = events(s, d)
@@ -163,6 +174,7 @@ object AggregatesPlus {
       .withColumn("within_tol",
         abs(col("approx_users") - col("exact_users"))
           .leq(greatest(col("exact_users") * 0.016 * 10, lit(10.0))))
+      .drop("approx_users")
   }
 
   /** Boolean aggregate family (count_if / bool_and / bool_or — the
@@ -220,7 +232,44 @@ object AggregatesPlus {
               round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6)
                 .as("intercept"))
 
+  /** Approximate-quantile sketch with a gate-checked RANK-error
+    * verdict — the quantile member of the a3/a9/d13 sketch family:
+    * `approx_percentile` (Spark's mergeable KLL-style quantile
+    * summary, the only way to take quantiles of 100 TB in one pass —
+    * an exact percentile is a global sort) estimates the per-status
+    * median at accuracy 10000 (rank error ≤ n/10⁴), and the estimate
+    * is then VERIFIED in rank space: a second keyed pass counts rows
+    * ≤ the estimate, and `within_rank_tol` asserts that count sits
+    * within 4% of n/2 (400× the sketch's guarantee — ties headroom).
+    * Published columns are all engine-portable: exact count, the
+    * EXACT doubled median in integer cents (2·median of int cents is
+    * an integer under type-7 interpolation, so no float rounding
+    * crosses the engines), and the verdict the sketch feeds; the raw
+    * estimate stays internal, like a3/a9's.
+    */
+  val a13ApproxQuantile: Q = (s, d) => {
+    val o = orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    val agg = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           expr("CAST(round(2 * percentile(cents, 0.5D)) AS BIGINT)")
+             .as("median_x2_cents"),
+           expr("approx_percentile(cents, 0.5D, 10000)").as("apx"))
+    val ranks = o.join(agg.select(col("o_orderstatus"), col("apx")),
+                       "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(when(col("cents") <= col("apx"), 1L).otherwise(0L))
+             .as("cnt_le"))
+    agg.join(ranks, "o_orderstatus")
+      .withColumn("within_rank_tol",
+        abs(col("cnt_le") * 2 - col("n_orders"))
+          .leq(greatest(expr("n_orders DIV 25"), lit(20L))))
+      .select(col("o_orderstatus"), col("n_orders"),
+              col("median_x2_cents"), col("within_rank_tol"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a13_approx_quantile" -> a13ApproxQuantile,
     "a12_regression" -> a12Regression,
     "a11_listagg" -> a11Listagg,
     "a10_bool_aggs" -> a10BoolAggs,
@@ -284,7 +333,32 @@ object AggregatesPlus {
       """SELECT o_orderpriority,
         | array_to_string((list_sort(list(o_orderkey)))[1:5], ',') AS first_keys, count(1) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
-    // a3_approx_distinct intentionally omitted (sketch, not portable)
+    // a3/a9 publish only sketch-INDEPENDENT columns (exact counts +
+    // the tolerance verdict the estimate feeds), so the oracle replays
+    // them exactly; the literal TRUE is the contract that the sketch
+    // landed inside tolerance — any sketch breakage fails the hash
+    // exact doubled-median in integer cents + the rank verdict the
+    // quantile sketch feeds (2·type-7 median of ints is an integer)
+    "a13_approx_quantile" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_orderstatus, count(1) AS n_orders,
+        |  CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT)
+        |    AS median_x2_cents,
+        |  TRUE AS within_rank_tol
+        |FROM o GROUP BY o_orderstatus""".stripMargin,
+    "a3_approx_distinct" ->
+      """SELECT o_orderstatus,
+        | count(DISTINCT o_custkey) AS exact_custs,
+        | TRUE AS within_rsd
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "a9_hll_union" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id % 8) AS n_shards,
+        | count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
     "a5_variance" ->
       """WITH m AS (SELECT o_orderstatus, count(1) AS n,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -700,13 +700,17 @@ object Coverage {
   val c26SqlScripting: Q = (s, d) => {
     // ONE corpus pass pre-aggregates lineitem into a CACHED 7-row
     // per-linenumber summary; the WHILE loop's per-iteration scalar
-    // subqueries then read 7 in-memory rows each instead of
-    // re-planning + re-scanning the corpus 14 times (the round-6
-    // shape — 1.76 s of pure loop overhead; this is also the only
-    // shape that survives 100 TB, where a per-iteration table scan
-    // inside procedural control flow is the classic anti-pattern).
-    // The scripting surface proven is unchanged: DECLARE, WHILE, SET,
-    // scalar subqueries, final SELECT over the accumulated variables.
+    // subquery then reads 7 in-memory rows instead of re-planning +
+    // re-scanning the corpus (the round-6 shape — 1.76 s of pure loop
+    // overhead; this is also the only shape that survives 100 TB,
+    // where a per-iteration table scan inside procedural control flow
+    // is the classic anti-pattern). Each iteration is ONE
+    // multi-variable SET (row-subquery assignment) rather than one
+    // SET per accumulator: per-iteration cost is front-end planning,
+    // so halving the statement count halves the loop's wall time
+    // (round-7: 14 subqueries → 7). The scripting surface proven is
+    // unchanged — DECLARE, WHILE, multi-assign SET, scalar
+    // subqueries, final SELECT over the accumulated variables.
     lineitem(s, d)
       .groupBy(col("l_linenumber"))
       .agg(count(lit(1)).as("n"),
@@ -721,10 +725,10 @@ object Coverage {
         |  DECLARE n_acc BIGINT DEFAULT 0;
         |  DECLARE q_acc BIGINT DEFAULT 0;
         |  WHILE ln <= 7 DO
-        |    SET n_acc = n_acc + (SELECT coalesce(sum(n), 0) FROM c26_pre
-        |                         WHERE l_linenumber = ln);
-        |    SET q_acc = q_acc + (SELECT coalesce(sum(q), 0) FROM c26_pre
-        |                         WHERE l_linenumber = ln);
+        |    SET (n_acc, q_acc) =
+        |      (SELECT n_acc + coalesce(sum(n), 0),
+        |              q_acc + coalesce(sum(q), 0) FROM c26_pre
+        |       WHERE l_linenumber = ln);
         |    SET ln = ln + 1;
         |  END WHILE;
         |  SELECT n_acc AS n_rows, q_acc AS sum_qty, ln - 1 AS n_iters;

@@ -689,7 +689,69 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** Margin-based bitext mining — the LASER/CCMatrix recipe for
+    * building parallel corpora from two monolingual embedding pools
+    * (Artetxe & Schwenk 2019's ratio margin): a raw cosine threshold
+    * over-selects "hubs" (vectors close to everything), so each
+    * candidate pair is scored by its cosine RELATIVE to the two
+    * vectors' average k-NN cosine, and a pair is mined only when that
+    * ratio clears 1 — i.e. the two sides are closer to each other
+    * than to their own neighborhoods. Sides are the deterministic
+    * vec_id parity split (stand-ins for the two languages).
+    *
+    * Scale shape: candidates and both k-NN neighborhoods come from
+    * the SAME n2/n3 sign-bit LSH bucketing — bucket id is the one
+    * corpus-sized shuffle key, neighborhoods are window functions
+    * over the slim (bucket, a, b, sim) pair stream (two keyed
+    * exchanges on pair rows, never on embeddings), and nothing is
+    * all-pairs. Margins are integer ppm end-to-end: sims quantize to
+    * e6 micro-units immediately, so the ratio is pure int64
+    * arithmetic (`DIV`) that replays bit-exactly in the oracle — no
+    * float-association drift, and the positive-only filter keeps
+    * truncating vs flooring division semantics off the table.
+    */
+  val n16BitextMining: Q = (s, d) => {
+    val e = graft.sources.Tables.embeddings(s, d)
+    val withB = e.select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+    val a = withB.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ae"), col("bucket"))
+    val b = withB.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("be"),
+              col("bucket").as("b_bucket"))
+    val pairs = a.join(b, col("bucket") === col("b_bucket"))
+      .withColumn("sim_e6",
+        round(graft.functions.VectorFunctions.cosineSim(col("ae"), col("be"))
+                * 1000000, 0).cast("long"))
+      .select(col("bucket"), col("a_id"), col("b_id"), col("sim_e6"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim_e6").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("sim_e6").desc, col("a_id"))
+    val aN = pairs.withColumn("r", row_number().over(wa)).filter(col("r") <= 4)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("ka"), sum(col("sim_e6")).as("sa"))
+    val bN = pairs.withColumn("r", row_number().over(wb)).filter(col("r") <= 4)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("kb"), sum(col("sim_e6")).as("sb"))
+    // ratio margin sim / ((mean_a + mean_b) / 2) in exact integer ppm:
+    // 2e6·sim·ka·kb DIV (sa·kb + sb·ka); positive-only so Spark's
+    // truncating DIV and DuckDB's flooring // agree
+    val best = pairs.join(aN, "a_id").join(bN, "b_id")
+      .filter(col("sim_e6") > 0 &&
+              col("sa") * col("kb") + col("sb") * col("ka") > 0)
+      .withColumn("margin_ppm",
+        expr("2000000 * sim_e6 * ka * kb DIV (sa * kb + sb * ka)"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("a_id"))
+        .orderBy(col("margin_ppm").desc, col("b_id"))))
+      .filter(col("rk") === 1 && col("margin_ppm") > 1000000)
+    best.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_mined"),
+           sum(col("margin_ppm")).as("sum_margin_ppm"),
+           min(col("a_id")).as("min_a"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n16_bitext_mining" -> n16BitextMining,
     "n15_mrl_eval" -> n15MrlEval,
     "n14_filtered_ann" -> n14FilteredAnn,
     "n13_maxsim" -> n13MaxSim,
@@ -986,6 +1048,38 @@ object Similarity {
       s"""WITH b AS (SELECT vec_id, $sqlBucket AS bucket FROM embeddings)
          |SELECT bucket, count(1) AS n_vecs, min(vec_id) AS min_vec
          |FROM b GROUP BY bucket""".stripMargin,
+    // the ratio margin replayed in exact integer ppm over the same
+    // LSH buckets; r is computed on the UNFILTERED pair table exactly
+    // as the Spark windows are
+    "n16_bitext_mining" ->
+      s"""WITH b0 AS (SELECT vec_id, embedding, $sqlBucket AS bucket
+         |            FROM embeddings),
+         |p AS (
+         |  SELECT a.bucket, a.vec_id AS a_id, c.vec_id AS b_id,
+         |    CAST(round(${sqlDot("a.embedding", "c.embedding")} /
+         |          (${sqlNorm("a.embedding")} * ${sqlNorm("c.embedding")})
+         |          * 1000000) AS BIGINT) AS sim_e6
+         |  FROM b0 a JOIN b0 c ON a.bucket = c.bucket
+         |   AND a.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+         |an AS (SELECT a_id, count(1) AS ka, CAST(sum(sim_e6) AS BIGINT) AS sa
+         |  FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY a_id ORDER BY sim_e6 DESC, b_id) AS r FROM p)
+         |  WHERE r <= 4 GROUP BY a_id),
+         |bn AS (SELECT b_id, count(1) AS kb, CAST(sum(sim_e6) AS BIGINT) AS sb
+         |  FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY b_id ORDER BY sim_e6 DESC, a_id) AS r FROM p)
+         |  WHERE r <= 4 GROUP BY b_id),
+         |sc AS (SELECT p.bucket, p.a_id, p.b_id,
+         |    (2000000 * sim_e6 * ka * kb) // (sa * kb + sb * ka) AS margin_ppm
+         |  FROM p JOIN an USING (a_id) JOIN bn USING (b_id)
+         |  WHERE sim_e6 > 0 AND sa * kb + sb * ka > 0),
+         |best AS (SELECT *, row_number() OVER
+         |    (PARTITION BY a_id ORDER BY margin_ppm DESC, b_id) AS rk FROM sc)
+         |SELECT bucket, count(1) AS n_mined,
+         |  CAST(sum(margin_ppm) AS BIGINT) AS sum_margin_ppm,
+         |  min(a_id) AS min_a
+         |FROM best WHERE rk = 1 AND margin_ppm > 1000000
+         |GROUP BY bucket""".stripMargin,
     "n3_lsh_topk" ->
       s"""WITH b AS (SELECT vec_id, embedding, $sqlBucket AS bucket FROM embeddings),
          |p AS (
