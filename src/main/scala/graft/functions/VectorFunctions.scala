@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, SortedIntersectSize}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, SortedIntersectSize}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -21,6 +21,13 @@ object VectorFunctions {
     */
   def cdcChunkHashes(text: Column): Column =
     Bridge.column(CdcChunkHashes(Bridge.expression(text)))
+
+  /** Column API: ColBERT-style MaxSim over packed multi-vectors —
+    * Σ over `tokDim`-wide query tokens of the max dot product against
+    * any candidate token (codegen'd nested loop, zero allocation).
+    */
+  def maxSim(q: Column, c: Column, tokDim: Int): Column =
+    Bridge.column(MaxSim(Bridge.expression(q), Bridge.expression(c), tokDim))
 
   /** SQL registration: SELECT cosine_sim(a, b) ... (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -87,6 +87,19 @@ object Dedup {
       .withColumn("hs", expr(baseHashes))
       .select(col("doc_id"), explode(expr(bandArrayExpr)).as("band"))
 
+  /** Band-explode an arbitrary `text`-carrying DataFrame with the SAME
+    * shingle/hash/band constants as d3/d9 — shared with the streaming
+    * near-dup filter ([[graft.streaming.StreamingNearDup]]) so the
+    * continuous index is the batch index, not a copy that can drift.
+    * Adds one `band` row per (row, band); helper columns are dropped.
+    */
+  private[graft] def bandExploded(df: DataFrame): DataFrame =
+    df.withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("hs", expr(baseHashes))
+      .withColumn("band", explode(expr(bandArrayExpr)))
+      .drop("ws", "sh", "hs", "text")
+
   /** MinHash LSH banding: 4 bands × 2 rows; docs sharing any band are
     * candidate near-dups. groupBy(band) — no all-pairs join; shuffle
     * volume is 4 rows/doc at any corpus size.
@@ -1077,7 +1090,31 @@ object Dedup {
       .limit(20)
   }
 
+  /** Batch analog of the streaming near-dup filter
+    * ([[graft.streaming.StreamingNearDup]], StreamingNearDupSpec) —
+    * the wb-family contract: the continuous operator's fold, replayed
+    * over the full corpus so the oracle can gate it. Arrival order is
+    * doc_id (the documents table carries no timestamp); a doc is
+    * flagged iff any of its d3/d9 bands was claimed by an earlier
+    * doc. Same banding constants as the batch index, same
+    * band-partitioned shape (the window exchanges on the band key —
+    * 4 slim rows per doc, never all-pairs).
+    */
+  val wb7NearDup: Q = (s, d) => {
+    val verdicts = graft.streaming.StreamingNearDup.batchOracle(
+      documents(s, d).select(col("doc_id"), col("doc_id").as("ts_ms"),
+                             col("text")))
+    verdicts
+      .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+           coalesce(min(when(col("is_dup"), col("doc_id"))), lit(-1L))
+             .as("first_dup"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "wb7_near_dup" -> wb7NearDup,
     "d22_best_match" -> d22BestMatch,
     "d21_lsh_recall" -> d21LshRecall,
     "d20_contrastive_pairs" -> d20ContrastivePairs,
@@ -1386,6 +1423,24 @@ object Dedup {
         |  count(1) - count(DISTINCT canon) AS n_dups_removed,
         |  min(canon) AS first_canon
         |FROM c GROUP BY source""".stripMargin,
+    // the streaming near-dup filter's fold replayed over the corpus:
+    // same shingle/hash/band pipeline as d3/d9's oracles, band claimed
+    // by its earliest (doc-id-ordered) member, later members flagged
+    "wb7_near_dup" ->
+      s"""WITH t AS ($sqlDocs),
+         |s AS (SELECT doc_id, lang, $sqlShingles AS sh FROM t),
+         |hs0 AS (SELECT doc_id, lang, $sqlBaseHashes AS hs FROM s),
+         |b AS (SELECT doc_id, lang, unnest($sqlBands) AS band FROM hs0),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY band ORDER BY doc_id) AS rn FROM b),
+         |v AS (SELECT doc_id, lang,
+         |        max(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS is_dup
+         |      FROM r GROUP BY doc_id, lang)
+         |SELECT lang, count(1) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |  CAST(coalesce(min(CASE WHEN is_dup = 1 THEN doc_id END), -1)
+         |       AS BIGINT) AS first_dup
+         |FROM v GROUP BY lang""".stripMargin,
     // bloom bits aren't portable, but d13's published columns are all
     // sketch-INDEPENDENT: exact batch/dup counts plus the two verdicts
     // (no false negatives; FP ≤ 10% of batch) the bloom must satisfy —

@@ -593,13 +593,19 @@ object Similarity {
     * the "tokens" come from slicing); a production encoder would swap
     * in its own Array[Array[Float]] column without changing the plan.
     *
-    * The whole 8×8 interaction matrix folds IN-ROW through nested
-    * higher-order functions (no explode: token vectors never become
-    * rows, so nothing about the multi-vector structure rides a
-    * shuffle). Scale shape = n1's: fixed query set broadcast, corpus
-    * streamed map-side, per-query top-k via window. Dot products fold
-    * left-to-right in doubles; maxima and the qi-ordered sum replay
-    * identically in the oracle, so comparison is exact.
+    * The whole 8×8 interaction matrix folds IN-ROW (no explode: token
+    * vectors never become rows, so nothing about the multi-vector
+    * structure rides a shuffle) through the NATIVE codegen'd `maxsim`
+    * kernel — the nested-HOF original (aggregate over array_max over
+    * zip_with/slice dots) evaluated an interpreted lambda per element
+    * and materialized a sliced array per token-pair dot, which held
+    * n13 in the bench top-3 at ~2 s; the kernel is one straight-line
+    * nested loop with identical fold order (MaxSimSpec pins
+    * bit-equality against the HOF form). Scale shape = n1's: fixed
+    * query set broadcast, corpus streamed map-side, per-query top-k
+    * via window. Dot products fold left-to-right in doubles; maxima
+    * and the qi-ordered sum replay identically in the oracle, so
+    * comparison is exact.
     */
   val n13MaxSim: Q = (s, d) => {
     val e = graft.sources.Tables.embeddings(s, d)
@@ -608,13 +614,8 @@ object Similarity {
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val w = Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col("cid"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("maxsim", round(expr(
-        """aggregate(sequence(0, 7), cast(0.0 as double), (acc, qi) ->
-          |  acc + array_max(transform(sequence(0, 7), di ->
-          |    aggregate(zip_with(slice(qe, qi * 8 + 1, 8),
-          |                       slice(ce, di * 8 + 1, 8),
-          |                       (x, y) -> cast(x as double) * cast(y as double)),
-          |              cast(0.0 as double), (a2, x) -> a2 + x))))""".stripMargin), 6))
+      .withColumn("maxsim", round(
+        graft.functions.VectorFunctions.maxSim(col("qe"), col("ce"), 8), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("cid"), col("maxsim"), col("rnk").cast("long").as("rnk"))
