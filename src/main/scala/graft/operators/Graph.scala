@@ -365,10 +365,16 @@ object Graph {
       .withColumn("lbl",
         (row_number().over(Window.orderBy(col("node"))) - 1).cast("long"))
     val e = edgeList(s, d).filter(col("src") =!= col("dst"))
+    // both per-round inputs are PINNED K/K²-row tables (d9's iterative
+    // discipline): labels is referenced twice per round (majority count
+    // + carry-forward join), so without a lineage cut the plan embeds
+    // the previous round twice and grows ~2^iters — at 3 rounds that
+    // was ~2 s of pure re-planning/re-execution on an 8-node graph
     val nbrs = e.select(col("src").as("v"), col("dst").as("u"), col("w"))
       .union(e.select(col("dst").as("v"), col("src").as("u"), col("w")))
       .groupBy(col("v"), col("u")).agg(sum(col("w")).as("w"))
-    var labels = nodes.select(col("node"), col("lbl"))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("lbl")).localCheckpoint()
     for (_ <- 1 to iters) {
       val cnt = nbrs
         .join(labels.select(col("node").as("u"), col("lbl")), "u")
@@ -380,6 +386,7 @@ object Graph {
         .select(col("v").as("node"), col("lbl").as("new_lbl"))
       labels = labels.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
     }
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("community_size"))
