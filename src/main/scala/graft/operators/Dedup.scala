@@ -792,6 +792,10 @@ object Dedup {
       .withColumn("hs", expr(baseHashes))
       .select(col("doc_id"), expr(mhArr).as("mh"),
               array_distinct(col("sh")).as("shd"))
+      // two consumers (sizes + the shingle explode) of the expensive
+      // shingle/md5/minhash map pass — materialize it once (the
+      // d8-build lesson; one row per doc)
+      .localCheckpoint(eager = false)
     val sizes = base.select(col("doc_id"), col("mh"), size(col("shd")).as("nsh"))
     val bands = bandTable(s, d)
     val pairs = bands.toDF("a", "band").join(bands.toDF("b", "band_b"),
@@ -1079,6 +1083,12 @@ object Dedup {
       .filter(col("inter") * 10 >= col("uni") * 7)
       .select(col("a_id"), col("b_id"),
               expr("CAST(inter AS BIGINT) * 1000000 DIV uni").as("jac_ppm"))
+      // scored feeds BOTH union branches below; without the cut the
+      // entire candidate + verify join ran twice (the d8-build lesson
+      // applied one level up — this was the whole d22-vs-d8 wall gap
+      // at sf30). Survivors are the tiny >=0.7 set, so the
+      // materialization is a few rows per duplicate pair.
+      .localCheckpoint(eager = false)
     val sym = scored.union(
       scored.select(col("b_id").as("a_id"), col("a_id").as("b_id"), col("jac_ppm")))
     sym

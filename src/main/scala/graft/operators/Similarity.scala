@@ -719,11 +719,16 @@ object Similarity {
     val b = withB.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("b_id"), col("embedding").as("be"),
               col("bucket").as("b_bucket"))
+    // the pair table has THREE consumers (both k-NN neighborhood aggs
+    // + the margin join) — materialize it once or the bucket join and
+    // every pairwise cosine recompute per consumer (the d8-build
+    // lesson; slim (bucket, a, b, sim) rows, candidate-sized)
     val pairs = a.join(b, col("bucket") === col("b_bucket"))
       .withColumn("sim_e6",
         round(graft.functions.VectorFunctions.cosineSim(col("ae"), col("be"))
                 * 1000000, 0).cast("long"))
       .select(col("bucket"), col("a_id"), col("b_id"), col("sim_e6"))
+      .localCheckpoint(eager = false)
     val wa = Window.partitionBy(col("a_id"))
       .orderBy(col("sim_e6").desc, col("b_id"))
     val wb = Window.partitionBy(col("b_id"))
