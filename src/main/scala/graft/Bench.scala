@@ -93,10 +93,14 @@ object Bench {
     // judge can parse, and keep stdout for the compact total.
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_PER_QUERY.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => } // read-only cwd: stdout line below still carries the map
+    // only a FULL-surface run may write the artifact: a targeted
+    // dev run (positional args) would otherwise clobber the
+    // 230-entry map with its handful of queries
+    if (args.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_PER_QUERY.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => } // read-only cwd: stdout line below still carries the map
     // per-query detail first, compact total LAST: a single long line
     // gets its head truncated by the tail capture — the final short
     // line always survives
