@@ -81,4 +81,58 @@ class StreamingNearDupSpec extends AnyFunSuite {
       assert(got.forall(_._4 == 4L), s"n_bands drifted: $got")
     } finally StreamScale.restore(spark, prev)
   }
+
+  test("re-ingesting duplicates does not grow claim state with stream length") {
+    // The operator's state contract: claims grow with DISTINCT bands
+    // (unique corpus), NOT with stream length — re-crawls of known
+    // docs hit existing claims and add nothing durable. Stream 3x the
+    // slices over a FIXED 50-doc universe: peak state must saturate,
+    // not scale with rows ingested. (The deliberate linear-in-history
+    // axis — more UNIQUE docs — is documented on the operator; this
+    // test pins the orthogonal axis a leak would show up on.)
+    import spark.implicits._
+    val users = 50
+    def textOf(u: Int) =
+      s"unique document number $u with words w${u}a w${u}b w${u}c w${u}d"
+    def corpus(slices: Int): String = {
+      val dir = Files.createTempDirectory(s"graft-sndup-sc$slices").toString
+      for (sl <- 0 until slices) {
+        (0 until users)
+          .map(u => StreamingNearDup.Doc(sl.toLong * users + u,
+            B + sl * M, textOf(u)))
+          .toDF().coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    }
+    def run(dir: String): (Long, Long) = {
+      val ckpt = Files.createTempDirectory("graft-sndup-sc-ckpt").toString
+      val prev = StreamScale.enableRocksDb(spark)
+      try {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir).as[StreamingNearDup.Doc]
+        val q = StreamingNearDup.probe(stream)
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+        val progress = q.recentProgress.toSeq
+        (progress.flatMap(_.stateOperators.map(_.numRowsTotal)).max,
+         progress.flatMap(_.stateOperators.map(_.memoryUsedBytes)).max)
+      } finally StreamScale.restore(spark, prev)
+    }
+    val (shortRows, shortBytes) = run(corpus(3))
+    val (longRows, longBytes) = run(corpus(9))
+    assert(shortRows > 0)
+    // 3x the ingested rows, same 50-doc universe: claims saturate at
+    // <= 4 bands/doc; the drainable buffer is bounded by the watermark
+    // horizon (identical for both runs). 2x is saturation headroom,
+    // not growth headroom — a per-ingest leak would show ~3x.
+    assert(longRows <= shortRows * 2,
+      s"state rows grew with stream length: short=$shortRows long=$longRows")
+    assert(longBytes < math.max(shortBytes, 1L) * 5 / 2,
+      s"state bytes grew with stream length: short=$shortBytes long=$longBytes")
+  }
 }
