@@ -17,6 +17,14 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("the registered surface never shrinks") {
+    // a refactor that drops a module's map from SparkEntry (or a
+    // merge that shadows keys between modules) would silently shrink
+    // the driver-gated surface; pin the round-7 floor
+    assert(SparkEntry.queries.size >= 230,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 230)")
+  }
+
   test("every registered query has an oracle") {
     // forgetting an oracle silently downgrades a query to the weaker
     // rows-only driver check. Round 7 closed the last three
