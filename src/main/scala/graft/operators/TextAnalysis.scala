@@ -855,7 +855,52 @@ object TextAnalysis {
              .as("sum_suffix_toks"),
            min(col("mid_md5")).as("min_mid_md5"))
 
+  /** Unicode NFC normalization — the canonicalization pass a
+    * multilingual curation pipeline runs before any hashing or dedup:
+    * the same visible text arrives both precomposed (é = U+00E9) and
+    * decomposed (e + U+0301) from different crawls/encoders, and
+    * every downstream exact-match (d1's md5 groups, d13's bloom keys,
+    * t4's fingerprints) silently treats them as DIFFERENT documents
+    * until normalized. The corpus carries no decomposed text, so the
+    * query PLANTS deterministic combining sequences (a function of
+    * doc_id — the t10 planted-PII discipline) and proves the
+    * normalizer collapses them: per-lang changed-doc counts, exact
+    * code-point totals before/after, and an md5 over the normalized
+    * text that only matches the oracle if both engines produced
+    * byte-identical NFC output.
+    *
+    * This is a deliberate Scala UDF (`java.text.Normalizer`): Spark
+    * has no built-in NFC, and a custom Expression would wrap the same
+    * JVM library call without codegen benefit — the honest exception
+    * to the functions-over-UDFs rule, like the u-family exemplars.
+    * Scale shape: pure per-row map, no shuffle; the aggregation is
+    * the only exchange.
+    */
+  val t28NfcNormalize: Q = (s, d) => {
+    val nfc = udf((t: String) =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+    documents(s, d)
+      .withColumn("planted",
+        // DECOMPOSED sequences (source bytes really are 'e'+U+0301 and
+        // 'A'+U+030A — editors render them composed): NFC collapses
+        // each to one precomposed code point, so every planted doc
+        // shrinks by exactly one code point and flips n_changed
+        when(col("doc_id") % 3 === 0, concat(lit("Café "), col("text")))
+          .when(col("doc_id") % 3 === 1, concat(lit("Å "), col("text")))
+          .otherwise(col("text")))
+      .withColumn("norm", nfc(col("planted")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("norm") =!= col("planted"), 1L).otherwise(0L))
+             .as("n_changed"),
+           sum(length(col("planted"))).cast("long").as("sum_len_raw"),
+           sum(length(col("norm"))).cast("long").as("sum_len_norm"),
+           min(md5(col("norm"))).as("min_norm_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t28_nfc_normalize" -> t28NfcNormalize,
     "t27_span_corruption" -> t27SpanCorruption,
     "t25_inverted_index" -> t25InvertedIndex,
     "t26_epoch_shuffle" -> t26EpochShuffle,
@@ -886,6 +931,24 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same planted combining sequences built explicitly from
+    // code points (chr(769) = U+0301, chr(778) = U+030A), normalized
+    // by DuckDB's utf8proc NFC — the md5 only matches if both
+    // engines' normalizers emit byte-identical output
+    "t28_nfc_normalize" ->
+      """WITH p AS (SELECT lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769) || ' ' || text
+        |       WHEN doc_id % 3 = 1 THEN 'A' || chr(778) || ' ' || text
+        |       ELSE text END AS planted
+        |FROM documents),
+        |n AS (SELECT lang, planted, nfc_normalize(planted) AS norm FROM p)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(CASE WHEN norm <> planted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(length(planted)) AS BIGINT) AS sum_len_raw,
+        |  CAST(sum(length(norm)) AS BIGINT) AS sum_len_norm,
+        |  min(md5(norm)) AS min_norm_md5
+        |FROM n GROUP BY lang""".stripMargin,
     // the same md5 span arithmetic and the sliced middle's md5
     "t27_span_corruption" ->
       s"""WITH t AS ($sqlDocs),
