@@ -24,12 +24,17 @@ import org.apache.spark.sql.types.{
   * ~2 s): one straight-line nested loop inside whole-stage codegen,
   * zero allocation.
   *
-  * Semantics match the HOF form bit-exactly so the DuckDB oracle is
-  * unchanged: dots fold left-to-right in doubles (floats widened
-  * before arithmetic), the per-query-token max is a `>` fold in
-  * candidate-token order, and token counts are numElements / tokDim
-  * (trailing partial tokens ignored, like the slice-based original).
-  * An empty candidate side yields 0.0, not null.
+  * Semantics match the HOF form bit-exactly FOR NON-EMPTY, FINITE
+  * inputs — the regime n13's fixed 64-element embeddings live in, and
+  * the one MaxSimSpec pins over 1000 pairs: dots fold left-to-right
+  * in doubles (floats widened before arithmetic), the per-query-token
+  * max is a `>` fold in candidate-token order, and token counts are
+  * numElements / tokDim (trailing partial tokens ignored, like the
+  * slice-based original). Outside that regime the two forms diverge
+  * by construction: an empty candidate side yields 0.0 here where the
+  * HOF's array_max over an empty array yields NULL, and NaN dot
+  * products follow the `>` fold (kept only when first) where
+  * array_max propagates NaN.
   */
 case class MaxSim(left: Expression, right: Expression, tokDim: Int)
     extends BinaryExpression with ExpectsInputTypes {

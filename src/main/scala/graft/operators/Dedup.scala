@@ -165,8 +165,16 @@ object Dedup {
       // evict entries of stopped sessions (same discipline as Tables)
       membershipMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
       membershipMemo.computeIfAbsent((s, d), { _ =>
+        // key the scratch name on a COLLISION-RESISTANT digest of the
+        // corpus path: String.hashCode collides easily enough that two
+        // corpus dirs in one session could share a path — the first
+        // memoized DataFrame would then lazily read the second
+        // corpus's overwrite, i.e. silently wrong results, not an error
+        val dig = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(d.getBytes("UTF-8")).take(12)
+          .map(b => f"$b%02x").mkString
         val out = graft.operators.Coverage.scratchDir(
-          "dup_membership_" + Integer.toHexString(d.hashCode) +
+          "dup_membership_" + dig +
             "_" + Integer.toHexString(System.identityHashCode(s)))
         dupMembershipCold(s, d).write.mode("overwrite").parquet(out)
         s.read.parquet(out)

@@ -53,9 +53,10 @@ object StreamingNearDup {
   case class BandHit(doc_id: Long, ts_ms: Long, band: String,
                      hit: Boolean, claim_doc: Long)
 
-  /** Must equal the stream's watermark delay (TwsQuota/TwsCep
-    * contract): a buffered probe is final once the watermark passes
-    * its timestamp.
+  /** The stream's watermark delay (TwsQuota/TwsCep contract): a
+    * buffered probe is final once the watermark passes its timestamp.
+    * `probe` derives its `withWatermark` string from THIS constant so
+    * the two can't drift apart.
     */
   val latenessMs: Long = 10 * 60 * 1000L
 
@@ -91,11 +92,17 @@ object StreamingNearDup {
       if (ready.isEmpty) return Iterator.empty
       val out = Seq.newBuilder[BandHit]
       var c: Option[Claim] = if (claim.exists()) Some(claim.get()) else None
+      var claimed = false // update state ONLY when the claim is newly
+      // set this drain: an unconditional update would reset a
+      // configured TTL on every drain, turning "expire N after claim
+      // creation" into "expire N after last band activity" — and the
+      // claim is immutable once set, so re-writing it buys nothing
       for (p <- ready.sortBy(x => (x.ts_ms, x.doc_id))) {
         c match {
           case None =>
             out += BandHit(p.doc_id, p.ts_ms, key, hit = false, claim_doc = -1L)
             c = Some(Claim(p.ts_ms, p.doc_id))
+            claimed = true
           case Some(h) =>
             // the claimant is the earliest probe this band ever
             // drained; everything after it is a near-dup candidate
@@ -105,7 +112,7 @@ object StreamingNearDup {
       }
       buf.clear()
       if (rest.nonEmpty) buf.appendList(rest.toArray)
-      c.foreach(claim.update)
+      if (claimed) c.foreach(claim.update)
       out.result().iterator
     }
   }
@@ -117,7 +124,7 @@ object StreamingNearDup {
     graft.operators.Dedup.bandExploded(docs.toDF())
       .select(col("band"), col("doc_id"), col("ts_ms"),
               timestamp_millis(col("ts_ms")).as("event_ts"))
-      .withWatermark("event_ts", "10 minutes")
+      .withWatermark("event_ts", s"$latenessMs milliseconds")
       .as[Probe]
       .groupByKey(_.band)
       .transformWithState(new BandClaimProcessor(claimTtl),
