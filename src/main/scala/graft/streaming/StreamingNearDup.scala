@@ -32,9 +32,20 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   * linearly with unique corpus — the same linear-in-history footprint
   * d13's bloom sketch carries, and the real product requirement
   * ("dup of anything ever ingested"). RocksDB keeps it on disk; a
-  * deployment that only needs a retention horizon bounds it with a
-  * TTL on the claim state (the `claimTtl` knob) without touching the
-  * operator.
+  * deployment that only needs a retention horizon bounds it with the
+  * `claimTtlMs` knob: an EVENT-TIME TTL evaluated inside the
+  * processor — a claim covers (claim.ts, claim.ts + ttl]; a probe
+  * past the window finds the band unclaimed and becomes the new
+  * claimant, and a watermark-driven cleanup timer physically clears
+  * expired claims so idle bands do not hold state forever. Event
+  * time, not Spark's TTLConfig, for two reasons: TTLConfig is
+  * processing-time-only (Spark rejects it under TimeMode.EventTime —
+  * `StatefulProcessorCannotAssignTTLInTimeMode`), and a wall-clock
+  * horizon is the wrong semantics for an event-time operator anyway
+  * (a checkpoint replay or backfill would expire claims at replay
+  * speed; the event-time window is replay-deterministic).
+  * StreamingNearDupSpec pins expiry, re-claim, bounded state, and
+  * unaffected within-horizon detection.
   *
   * Emission is one BandHit per (doc, band) probe; `consolidate` folds
   * the 4 probes of a document into its verdict (dup iff ANY band hit,
@@ -60,16 +71,23 @@ object StreamingNearDup {
     */
   val latenessMs: Long = 10 * 60 * 1000L
 
-  class BandClaimProcessor(claimTtl: TTLConfig)
+  /** Sentinel for "no TTL": claims live forever (the default, honest
+    * dup-of-anything-ever shape).
+    */
+  val NoTtl: Long = Long.MaxValue
+
+  class BandClaimProcessor(claimTtlMs: Long)
       extends StatefulProcessor[String, Probe, BandHit] {
+    require(claimTtlMs > 0, s"claimTtlMs must be positive: $claimTtlMs")
     @transient private var buf: ListState[ProbeBuf] = _
     @transient private var claim: ValueState[Claim] = _
+    private def ttlFinite: Boolean = claimTtlMs != NoTtl
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[ProbeBuf](
         "buf", Encoders.product[ProbeBuf], TTLConfig.NONE)
       claim = getHandle.getValueState[Claim](
-        "claim", Encoders.product[Claim], claimTtl)
+        "claim", Encoders.product[Claim], TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String, rows: Iterator[Probe],
@@ -89,37 +107,57 @@ object StreamingNearDup {
                                     info: ExpiredTimerInfo): Iterator[BandHit] = {
       val cutoff = tv.getCurrentWatermarkInMs()
       val (ready, rest) = buf.get().toSeq.partition(_.ts_ms <= cutoff)
-      if (ready.isEmpty) return Iterator.empty
       val out = Seq.newBuilder[BandHit]
       var c: Option[Claim] = if (claim.exists()) Some(claim.get()) else None
-      var claimed = false // update state ONLY when the claim is newly
-      // set this drain: an unconditional update would reset a
-      // configured TTL on every drain, turning "expire N after claim
-      // creation" into "expire N after last band activity" — and the
-      // claim is immutable once set, so re-writing it buys nothing
+      var claimed = false // write state ONLY when the claim changed
+      // this drain — the claim is immutable until it expires, so
+      // re-writing it every drain buys nothing
       for (p <- ready.sortBy(x => (x.ts_ms, x.doc_id))) {
+        // event-time TTL: the claim covers (claim.ts, claim.ts + ttl];
+        // a probe past the window sees the band unclaimed (and becomes
+        // the new claimant below). Evaluated per probe because a claim
+        // can expire BETWEEN two probes of the same drain.
+        if (ttlFinite && c.exists(h => p.ts_ms - h.ts_ms > claimTtlMs))
+          c = None
         c match {
           case None =>
             out += BandHit(p.doc_id, p.ts_ms, key, hit = false, claim_doc = -1L)
             c = Some(Claim(p.ts_ms, p.doc_id))
             claimed = true
+            // physical cleanup for idle bands: without a timer, an
+            // expired claim on a band that never receives another
+            // probe would hold its state row forever — exactly the
+            // unbounded growth the TTL exists to prevent
+            if (ttlFinite &&
+                !getHandle.listTimers().contains(p.ts_ms + claimTtlMs + 1))
+              getHandle.registerTimer(p.ts_ms + claimTtlMs + 1)
           case Some(h) =>
-            // the claimant is the earliest probe this band ever
-            // drained; everything after it is a near-dup candidate
+            // the claimant is the earliest probe inside the live
+            // window; everything after it is a near-dup candidate
             out += BandHit(p.doc_id, p.ts_ms, key, hit = true,
                            claim_doc = h.doc_id)
         }
       }
       buf.clear()
       if (rest.nonEmpty) buf.appendList(rest.toArray)
-      if (claimed) c.foreach(claim.update)
+      // expiry vs the WATERMARK is safe to apply physically: any probe
+      // drained in the future carries ts >= the watermark at its own
+      // ingest >= this cutoff (older ones are dropped as late), so if
+      // the claim is expired relative to cutoff no future probe can
+      // ever sit inside its window again
+      if (ttlFinite && c.exists(h => cutoff - h.ts_ms > claimTtlMs)) {
+        if (claim.exists()) claim.clear()
+      } else if (claimed) c.foreach(claim.update)
       out.result().iterator
     }
   }
 
-  /** The streaming operator: one BandHit per (document, band) probe. */
+  /** The streaming operator: one BandHit per (document, band) probe.
+    * `claimTtlMs` bounds claim state to an event-time retention
+    * horizon (see the class doc); the default keeps claims forever.
+    */
   def probe(docs: Dataset[Doc],
-            claimTtl: TTLConfig = TTLConfig.NONE): Dataset[BandHit] = {
+            claimTtlMs: Long = NoTtl): Dataset[BandHit] = {
     import docs.sparkSession.implicits._
     graft.operators.Dedup.bandExploded(docs.toDF())
       .select(col("band"), col("doc_id"), col("ts_ms"),
@@ -127,7 +165,7 @@ object StreamingNearDup {
       .withWatermark("event_ts", s"$latenessMs milliseconds")
       .as[Probe]
       .groupByKey(_.band)
-      .transformWithState(new BandClaimProcessor(claimTtl),
+      .transformWithState(new BandClaimProcessor(claimTtlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
