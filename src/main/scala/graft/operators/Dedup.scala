@@ -290,8 +290,12 @@ object Dedup {
            countDistinct(col("shingle")).as("n_distinct"))
   }
 
-  /** Per-doc rare-first ordered token table with prefix length — the
-    * build side of `d8_prefix_join`.
+  /** The `d8_prefix_join` build: TWO slim materialized tables —
+    *  - prefix rows (doc_id, n, pos, tok): one row per rare-first
+    *    prefix token, computed by a per-doc RANK over global token
+    *    frequency; these drive the candidate self-join;
+    *  - token sets (doc_id, lang, n, st): the per-doc VALUE-sorted
+    *    token array the verify stage's two-pointer intersect reads.
     *
     * Token sets are the docs' distinct 3-word SHINGLES, not raw words:
     * the synthetic corpus draws words from a ~31-word vocabulary, so
@@ -300,8 +304,28 @@ object Dedup {
     * shingles vs 5k docs at sf0.1) — the regime real text is in and
     * the one prefix filtering is designed for. No corpus bound: this
     * runs over the FULL documents table.
+    *
+    * Why rank-then-filter instead of the previous collect-then-slice
+    * (one wide aggregate building a freq-ordered array per doc, then
+    * exploding its prefix): the freq-ordered array was only ever
+    * consumed through its first `plen` elements, yet every doc paid a
+    * collect_list(struct(freq, tok)) aggregation buffer plus an
+    * array_sort over struct rows — the ONE stage of this plan that
+    * spilled at scale (sf30/48g profile: 7.2 GB memory spill, 933
+    * exec-s). Ranking inside a doc_id window keeps every hot stage on
+    * SLIM PRIMITIVE ROWS: the window is a spill-graceful sort of
+    * ~32-byte rows, the prefix filter emits rows (never arrays), and
+    * the only array ever built is the value-sorted `st` — a
+    * collect_list of bare longs with no struct wrapping and no
+    * post-agg struct sort (re-profiled at sf30: zero spill, the build
+    * stage's exec-time halved). Order semantics are IDENTICAL:
+    * row_number over (freq, tok) is the array_sort(struct(freq, tok))
+    * order, and (freq, tok) is unique within a doc, so the rank — and
+    * therefore the published output — is deterministic.
     */
-  private[graft] def d8Ordered(s: SparkSession, d: String): DataFrame = {
+  private[graft] def d8Build(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
     // Two deliberate moves here:
     // - shingling goes through the NATIVE `shingles` Generator (d7's
@@ -312,7 +336,7 @@ object Dedup {
     //   tokenizes once per document and streams its shingles;
     // - tokens are HASHED to 60-bit longs (md5-prefix, so the DuckDB
     //   oracle replays them exactly — same trick as the minhash base
-    //   hash): every downstream shuffle, join and array_intersect then
+    //   hash): every downstream shuffle, join and intersect then
     //   runs on primitive longs instead of UTF8Strings (measured ~3×
     //   on the verify stage); 27k tokens in a 2^60 space makes a
     //   collision (which would only merge two tokens) vanishingly rare
@@ -322,54 +346,48 @@ object Dedup {
     // tok alone satisfies the clustering of the per-doc-distinct
     // aggregate (tok ⊆ its grouping keys), of the freq aggregate AND of
     // the freq join, so distinct → freq → join all run with ZERO further
-    // exchanges — three stages of the old shape collapse into one.
+    // exchanges.
     val byTok = raw.repartition(col("tok"))
-    // per-doc distinct token set, MATERIALIZED: it has two consumers
-    // (the freq aggregate and the freq join), and exchange reuse only
-    // dedupes the exchange subtree below the final distinct — without
-    // the cut, the corpus-sized final hash-distinct runs once per
-    // consumer (the sf30 stage profile shows the build stage reading
-    // the token exchange exactly TWICE: 1921 MB read of a 960 MB
-    // write). LogicalRDD keeps the tok hash-partitioning, so freq and
-    // the join still consume it exchange-free.
+    // per-doc distinct token set, MATERIALIZED: it has three consumers
+    // (the freq aggregate, the freq join, and the token-set build), and
+    // exchange reuse only dedupes the exchange subtree below the final
+    // distinct — without the cut the corpus-sized hash-distinct runs
+    // once per consumer. LogicalRDD keeps the tok hash-partitioning,
+    // so freq and the join still consume it exchange-free.
     val exploded = byTok.distinct().localCheckpoint(eager = false)
     // freq is one row per distinct shingle — it grows with the corpus,
     // and the join is co-partitioned on tok (no shuffle either side)
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    // Group by doc_id alone (lang rides along as first(): one value
-    // per doc) — one narrow grouping key keeps the sort/agg cheap.
-    exploded.join(freq, "tok")
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq"), col("tok"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    // Slim prefix-token table: (doc_id, set size n, 0-based prefix
+    // position, token). One exchange on doc_id + one in-partition sort
+    // (both over ~32-byte rows); a token is a prefix token iff its
+    // rare-first rank is within plen = n - ceil(0.7 n) + 1 (integer
+    // arithmetic). MATERIALIZED because both sides of the candidate
+    // self-join consume it above its exchange.
+    val prefix = exploded.join(freq, "tok")
+      .select(col("doc_id"), col("tok"),
+              row_number().over(wOrd).as("rnk"),
+              count(lit(1)).over(wAll).as("n"))
+      .filter(col("rnk") <= col("n") - expr("(n * 7 + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("n"), (col("rnk") - 1).as("pos"), col("tok"))
+      .localCheckpoint(eager = false)
+    // st = the VALUE-sorted token set for the verify stage's
+    // two-pointer intersect — the only array in the plan, built
+    // directly from `exploded` (value order needs no freq), so the
+    // collect_list buffers bare longs. MATERIALIZED once; both verify
+    // sides (and d22's) fan out above its doc_id exchange. Blocks go
+    // MEMORY_AND_DISK and Bench's per-query sweep unpersists them.
+    val sets = exploded
       .groupBy(col("doc_id"))
       .agg(first(col("lang")).as("lang"),
-           transform(array_sort(collect_list(struct(col("freq"), col("tok")))),
-                     x => x.getField("tok")).as("otoks"))
-      .withColumn("n", size(col("otoks")))
-      // plen = n - ceil(0.7 n) + 1, in pure integer arithmetic
-      .withColumn("plen", col("n") - expr("(n * 7 + 9) DIV 10") + 1)
-      // st = the VALUE-sorted token set for the verify stage's
-      // two-pointer intersect, sorted here so it's sorted ONCE per doc
-      .withColumn("st", array_sort(col("otoks")))
-      // MATERIALIZE the build once (non-eager local checkpoint =
-      // persist + lineage cut on first compute). Every consumer of
-      // this table fans out ABOVE the doc_id exchange — the prefix
-      // explode plus both verify-join sides — and exchange reuse only
-      // dedupes below an exchange, so without this the collect_list +
-      // double array_sort aggregate re-ran once PER CONSUMER (stage
-      // profile at sf30: the agg stage alone 927 exec-s in d8 and
-      // 2091 in d22). On a cluster this is the standard "cache the
-      // build side" move; blocks go MEMORY_AND_DISK and Bench's
-      // per-query sweep unpersists them.
+           array_sort(collect_list(col("tok"))).as("st"))
+      .withColumn("n", size(col("st")))
       .localCheckpoint(eager = false)
+    (prefix, sets)
   }
-
-  /** Slim prefix-token table: (doc_id, set size n, 0-based prefix
-    * position, token) — 16 bytes of metadata per row, the arrays never
-    * ride the explode/join.
-    */
-  private def d8Prefix(ordered: DataFrame): DataFrame =
-    ordered.select(col("doc_id"), col("n"),
-      posexplode(slice(col("otoks"), lit(1), col("plen"))))
-      .withColumnRenamed("col", "tok")
 
   /** Raw candidate rows (one per shared prefix token that survives the
     * cheap filters; a pair sharing k such tokens appears k times). The
@@ -388,10 +406,9 @@ object Dedup {
     *    semantics (the countDistinct downstream) stays complete —
     *    later-token duplicate rows may be pruned, which is the point.
     */
-  private def d8RawPairs(ordered: DataFrame): DataFrame = {
-    val slim = d8Prefix(ordered)
-    val a = slim.toDF("a_id", "n_a", "pos_a", "tok")
-    val b = slim.toDF("b_id", "n_b", "pos_b", "tok_b")
+  private def d8RawPairs(prefix: DataFrame): DataFrame = {
+    val a = prefix.toDF("a_id", "n_a", "pos_a", "tok")
+    val b = prefix.toDF("b_id", "n_b", "pos_b", "tok_b")
     a.join(b,
       col("tok") === col("tok_b") && col("a_id") < col("b_id") &&
         col("n_a") * 10 >= col("n_b") * 7 &&
@@ -414,8 +431,8 @@ object Dedup {
     * verification join on a_id needs — dedup + join co-location for
     * the price of one shuffle of slim id-pairs.
     */
-  private[graft] def d8Candidates(ordered: DataFrame): DataFrame =
-    d8RawPairs(ordered).repartition(col("a_id")).distinct()
+  private[graft] def d8Candidates(prefix: DataFrame): DataFrame =
+    d8RawPairs(prefix).repartition(col("a_id")).distinct()
 
   /** Set-similarity join via PREFIX FILTERING (the PPJoin-family
     * technique from the distributed set-similarity-join literature):
@@ -430,26 +447,26 @@ object Dedup {
     * the whole corpus (see d8Ordered for why tokens are shingles).
     */
   val d8PrefixJoin: Q = (s, d) => {
-    val ordered = d8Ordered(s, d)
+    val (prefix, sets) = d8Build(s, d)
     // RAW candidate rows (duplicates retained): the pre-verification
     // `distinct()` exchange is fused into the final aggregate instead
     // (countDistinct over the few rows that survive the Jaccard
     // threshold) — the positional filter in d8RawPairs already prunes
     // most duplicate rows, so the handful of repeated verifications
     // costs less than a full-candidate shuffle did.
-    val pairs = d8RawPairs(ordered)
+    val pairs = d8RawPairs(prefix)
     // tok-ASCENDING token sets (`st`, sorted once per doc inside the
     // materialized build) so the per-pair intersection is the native
     // zero-allocation two-pointer merge (SortedIntersectSize) instead
     // of size(array_intersect)'s per-pair hash set + materialized
     // intersection array — measured on the verify stage, the former
     // hot path of this query
-    val oa = ordered.select(col("doc_id").as("a_id"), col("lang"),
-                            col("st").as("a_t"))
-    val ob = ordered.select(col("doc_id").as("b_id"),
-                            col("st").as("b_t"))
-    // verification rebind: the doc-token side is already partitioned on
-    // the doc id (d8Ordered groups by it), so only the slim pair stream
+    val oa = sets.select(col("doc_id").as("a_id"), col("lang"),
+                         col("st").as("a_t"))
+    val ob = sets.select(col("doc_id").as("b_id"),
+                         col("st").as("b_t"))
+    // verification rebind: the token-set side is already partitioned on
+    // the doc id (d8Build groups by it), so only the slim pair stream
     // shuffles — the array side joins exchange-free (AQE may still
     // demote to broadcast when it measures small)
     pairs.join(oa, "a_id").join(ob, "b_id")
@@ -1078,12 +1095,12 @@ object Dedup {
     */
   val d22BestMatch: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ordered = d8Ordered(s, d)
-    val oa = ordered.select(col("doc_id").as("a_id"),
-                            col("st").as("a_t"))
-    val ob = ordered.select(col("doc_id").as("b_id"),
-                            col("st").as("b_t"))
-    val scored = d8Candidates(ordered)
+    val (prefix, sets) = d8Build(s, d)
+    val oa = sets.select(col("doc_id").as("a_id"),
+                         col("st").as("a_t"))
+    val ob = sets.select(col("doc_id").as("b_id"),
+                         col("st").as("b_t"))
+    val scored = d8Candidates(prefix)
       .join(oa, "a_id").join(ob, "b_id")
       .withColumn("inter",
         graft.functions.VectorFunctions.sortedIntersectSize(col("a_t"), col("b_t")))

@@ -17,11 +17,11 @@ class DedupSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("d8 prefix filter finds exactly the brute-force pair set") {
-    val t = Dedup.d8Ordered(spark, sf)
-      .select(col("doc_id"), col("lang"), col("otoks"))
+    val t = Dedup.d8Build(spark, sf)._2
+      .select(col("doc_id"), col("lang"), col("st"))
     val a = t.select(col("doc_id").as("a_id"), col("lang"),
-                     col("otoks").as("a_t"))
-    val b = t.select(col("doc_id").as("b_id"), col("otoks").as("b_t"))
+                     col("st").as("a_t"))
+    val b = t.select(col("doc_id").as("b_id"), col("st").as("b_t"))
     val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .withColumn("inter", size(array_intersect(col("a_t"), col("b_t"))))
       .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
@@ -180,10 +180,10 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("d8 candidate pairs are a small fraction of all-pairs") {
-    val ordered = Dedup.d8Ordered(spark, sf)
-    val n = ordered.count()
+    val (prefix, sets) = Dedup.d8Build(spark, sf)
+    val n = sets.count()
     val allPairs = n * (n - 1) / 2
-    val cand = Dedup.d8Candidates(ordered).count()
+    val cand = Dedup.d8Candidates(prefix).count()
     // measured: 28 candidates vs 124,750 all-pairs at this corpus —
     // the 1% bound leaves room for fixture drift while still failing
     // loudly if the filter ever degenerates toward all-pairs
