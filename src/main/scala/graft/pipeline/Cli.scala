@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   *   stream-dump --input <dir> --dest <root> [--dump-id ID]
   *          [--max-per-file N] [--checkpoint DIR]
   *   compact --dest <root> --dump-id ID [--max-per-file N]
+  *   pipeline --sf-dir <dir> --dest <root> --sink <dir>
+  *          --corpus-out <dir> [--dump-id ID] [--max-per-file N]
+  *          [--transformer FQCN]
   *
   * `--input` here is any parquet of (key binary, value binary,
   * partition int, offset long) records — in a brokered deployment the
@@ -42,7 +45,7 @@ object Cli {
     }
   }
 
-  private def run(spark: SparkSession, cmd: String, opts: Map[String, String]): Unit = {
+  private[graft] def run(spark: SparkSession, cmd: String, opts: Map[String, String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     cmd match {
       case "dump" =>
@@ -104,6 +107,50 @@ object Cli {
         println(s"compacted ${req(opts, "dest")}/$dumpId to ${names.size} files")
         names.foreach(n => println(s"  $n"))
 
+      case "pipeline" =>
+        // CAPSTONE: the advertised Kafka→curated-shards flow as ONE
+        // command — produce-shaped records of the corpus are dumped in
+        // the reference's catalog layout (K1 naming), reloaded through
+        // a transformer, decoded back into a corpus, and the curation
+        // (t14) + epoch-shard (t26) reports run on the result. Every
+        // step is a distributed job; the driver only renames files and
+        // prints the K-row reports. PipelineE2ESpec pins the whole
+        // chain against direct query runs on the source corpus.
+        val sfDir = req(opts, "sf-dir")
+        val dest = req(opts, "dest")
+        val sinkDir = req(opts, "sink")
+        val corpusOut = req(opts, "corpus-out")
+        val dumpId = opts.getOrElse("dump-id", DumpCatalog.newDumpId())
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        val names = new Dumper(spark).dump(
+          CorpusCodec.encode(docs), dest, dumpId,
+          opts.getOrElse("max-per-file", "100000").toInt)
+        println(s"dumped ${names.size} files under $dest/$dumpId")
+        val store = new FileStateStore(
+          opts.getOrElse("state-dir", s"$dest/_state"))
+        val transformer = Transformer.load(
+          opts.getOrElse("transformer", classOf[IdentityTransformer].getName))
+        new Reloader(spark, store).reload(
+            CorpusCodec.Topic, s"$dest/$dumpId", dumpId, transformer,
+            new ParquetRecordSink(spark, sinkDir)) match {
+          case HotReload(offsets) =>
+            println(s"hot reload: reset consumer group to $offsets (no data moved)")
+          case Reloaded(rows, state) =>
+            println(s"reloaded $rows rows; state saved: ${state.toJson}")
+        }
+        CorpusCodec.decode(spark.read.parquet(sinkDir))
+          .write.mode("overwrite").parquet(s"$corpusOut/documents.parquet")
+        // the overwrite above replaces part files under a dir the
+        // table memo may already have listed (a re-run with the same
+        // --corpus-out) — invalidate before the queries re-read it
+        graft.sources.Tables.invalidate(corpusOut)
+        val t14 = graft.SparkEntry.queries("t14_corpus_pipeline")(spark, corpusOut)
+        t14.orderBy("source").collect()
+          .foreach(r => println(s"  t14 $r"))
+        val t26 = graft.SparkEntry.queries("t26_epoch_shuffle")(spark, corpusOut)
+        t26.orderBy("shard").collect()
+          .foreach(r => println(s"  t26 $r"))
+
       case "explain" =>
         // explain --query <name> [--sf-dir <dir>]: formatted physical
         // plan of a registered SparkEntry query — the plan-iteration loop
@@ -117,7 +164,7 @@ object Cli {
 
       case other =>
         System.err.println(
-          s"unknown command '$other'; expected dump|reload|stream-dump|compact|explain")
+          s"unknown command '$other'; expected dump|reload|stream-dump|compact|pipeline|explain")
         sys.exit(2)
     }
   }

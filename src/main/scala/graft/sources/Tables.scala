@@ -32,6 +32,16 @@ object Tables {
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Write-path invalidation — what a metastore does on INSERT
+    * OVERWRITE: any job that rewrites a table directory in place must
+    * drop the memoized DataFrame (its InMemoryFileIndex lists part
+    * files once, at construction) before the next read, or stale file
+    * paths surface as FAILED_READ_FILE. Used by the CLI `pipeline`
+    * command, which overwrites its corpus-out table on every run.
+    */
+  def invalidate(dir: String): Unit =
+    memo.keySet.removeIf(_._2 == dir)
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
