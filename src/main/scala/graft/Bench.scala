@@ -46,7 +46,7 @@ object Bench {
         graft.sources.Tables.table(spark, sfDir, "events"))
         .foreach { df => df.cache(); df.count() }
     } catch { case _: Throwable => }
-    // min of 2 executions per query: the first run of a plan shape
+    // min of N executions per query: the first run of a plan shape
     // pays one-time codegen/analysis compile and is exposed to
     // transient host hiccups (observed: a 0.5 s query spiking to 13 s
     // under co-tenant load); the min reports the query's warm cost,
