@@ -217,7 +217,7 @@ object ScaleCurve {
     */
   private def time2(spark: SparkSession)(body: => Unit): Double = {
     val keep = spark.sparkContext.getPersistentRDDs.keySet
-    val ts = (1 to 2).map { _ =>
+    def one(): Double = {
       // every curve point measures the COLD computation: the
       // dup-membership artifact memo (production reuse, see
       // Dedup.dupMembership) would otherwise make d10/d20/d21 ride
@@ -230,7 +230,71 @@ object ScaleCurve {
       }
       dt
     }
-    ts.min
+    // Adaptive third pass: a min can only be polluted UP, but a host
+    // burst spanning BOTH passes of one point still lands in the
+    // artifact (seen r8: a d22 sf3 point 2.3x its sf10 neighbor). When
+    // the two passes disagree by >25% the measurement is demonstrably
+    // noisy, so buy one more sample before trusting the min.
+    val a = one(); val b = one()
+    val m = math.min(a, b)
+    if (math.max(a, b) / math.max(m, 1e-9) > 1.25) math.min(one(), m) else m
+  }
+
+  private def exponent(n1: Long, v1: Double, n2: Long, v2: Double): Double =
+    math.log(math.max(v2, 1e-9) / math.max(v1, 1e-9)) /
+      math.log(n2.toDouble / n1.toDouble)
+
+  // Locale.ROOT: f"" uses the default locale, which would emit comma
+  // decimals (invalid JSON) on non-dot-decimal JVMs
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
+  private val deepestOps = Set("d8_prefix_join", "d22_best_match")
+
+  /** Re-measure ONLY the named deep-series ops and splice their
+    * entries into the existing artifact. This is the recovery path
+    * when a host burst pollutes individual points of the ~40-minute
+    * full curve: the adaptive third pass in time2 bounds per-point
+    * noise, and this mode re-pays only the affected ops instead of
+    * the whole curve. Selected via SPARK_GRAFT_CURVE_PATCH_DEEP
+    * (comma-separated op names); corpora must already exist.
+    */
+  private def patchDeep(spark: SparkSession, out: String,
+                        opsSel: Seq[String], deepScales: Seq[(String, String)],
+                        gen100: String, sf100On: Boolean): Unit = {
+    val tableFor = deepOps.toMap
+    val path = java.nio.file.Paths.get(out)
+    var json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    opsSel.foreach { op =>
+      val table = tableFor.getOrElse(op,
+        sys.error(s"$op is not a deep-series op"))
+      val scalesFor =
+        if (sf100On && deepestOps(op)) deepScales :+ ("sf100" -> gen100)
+        else deepScales
+      val pts = scalesFor.map { case (sfName, dir) =>
+        val n = graft.sources.Tables.table(spark, dir, table).count()
+        val sec = time2(spark) { SparkEntry.queries(op)(spark, dir).count(); () }
+        println(s"[deep] $op $sfName: ${fmt(sec)} s")
+        (sfName, n, sec)
+      }
+      val Seq(p1, p2) = pts.takeRight(2)
+      val e = exponent(p1._2, p1._3, p2._2, p2._3)
+      val ratio = p2._3 / math.max(p1._3, 1e-9)
+      val ser = pts.map { case (sf, n, sec) =>
+        s"""{"sf":"$sf","n":$n,"sec":${fmt(sec)}}""" }.mkString("[", ",", "]")
+      val entry = s""""$op":{"table":"$table","series":$ser,""" +
+        s""""exp_top2":${fmt(e)},"wall_ratio_top2":${fmt(ratio)}}"""
+      // only deep entries carry exp_top2, so the pattern cannot hit
+      // the shallow series entry for the same op
+      val pat = ("\"" + op + "\":\\{\"table\":\"[a-z]+\",\"series\":" +
+        "\\[[^\\]]*\\],\"exp_top2\":[-0-9.]+," +
+        "\"wall_ratio_top2\":[-0-9.]+\\}").r
+      require(pat.findFirstIn(json).isDefined, s"no deep entry for $op in $out")
+      json = pat.replaceFirstIn(json,
+        java.util.regex.Matcher.quoteReplacement(entry))
+    }
+    java.nio.file.Files.write(path, json.getBytes("UTF-8"))
+    println(json.substring(json.indexOf("\"deep_ops\"")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -260,6 +324,23 @@ object ScaleCurve {
     // raw table), not just inside genSf1 (skipped when _GEN_DONE exists)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM warmup
+    val patchSel = sys.env.get("SPARK_GRAFT_CURVE_PATCH_DEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    if (patchSel.isDefined) {
+      patchDeep(spark, out, patchSel.get,
+        Seq("sf1" -> gen,
+            "sf3" -> sys.env.getOrElse("SPARK_GRAFT_SF3_DIR",
+              "/root/repo/target/scalecurve/sf3"),
+            "sf10" -> sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+              "/root/repo/target/scalecurve/sf10"),
+            "sf30" -> sys.env.getOrElse("SPARK_GRAFT_SF30_DIR",
+              "/root/repo/target/scalecurve/sf30")),
+        sys.env.getOrElse("SPARK_GRAFT_SF100_DIR",
+          "/root/repo/target/scalecurve/sf100"),
+        sys.env.getOrElse("SPARK_GRAFT_SF100", "1") != "0")
+      spark.stop(); return
+    }
     genSf1(spark, s"$base/sf0.1", gen)
     val scales = Seq("sf0.01" -> s"$base/sf0.01", "sf0.1" -> s"$base/sf0.1",
                      "sf1" -> gen)
@@ -283,13 +364,6 @@ object ScaleCurve {
         graft.operators.Dedup.d8Build(spark, dir)._1).count()
       (sfName, nRows((sfName, "documents")), c)
     }
-    def exponent(n1: Long, v1: Double, n2: Long, v2: Double): Double =
-      math.log(math.max(v2, 1e-9) / math.max(v1, 1e-9)) /
-        math.log(n2.toDouble / n1.toDouble)
-    // Locale.ROOT: f"" uses the default locale, which would emit comma
-    // decimals (invalid JSON) on non-dot-decimal JVMs
-    def fmt(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val opJson = series.map { case (op, table, pts) =>
       val e = exponent(pts(1)._2, pts(1)._3, pts(2)._2, pts(2)._3)
       val ser = pts.map { case (sf, n, sec) =>
@@ -323,7 +397,6 @@ object ScaleCurve {
     val gen100 = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR",
       "/root/repo/target/scalecurve/sf100")
     val sf100On = sys.env.getOrElse("SPARK_GRAFT_SF100", "1") != "0"
-    val deepestOps = Set("d8_prefix_join", "d22_best_match")
     if (sf100On)
       genScaled(spark, s"$base/sf0.1", gen100, 1000, Set("documents"))
     val deepScales = Seq("sf1" -> gen, "sf3" -> gen3, "sf10" -> gen10,

@@ -158,6 +158,23 @@ object Dedup {
 
   private[graft] def clearMaterialized(): Unit = membershipMemo.clear()
 
+  /** Corpus-sized shared-build materialization: non-eager
+    * localCheckpoint with SERIALIZED block storage. The default
+    * deserialized level stores row objects (~4-6x the serialized
+    * bytes for these primitive-heavy rows) and, when a block lands on
+    * disk, re-inflates it to objects on every read
+    * (maybeCacheDiskValuesInMemory) — at sf100 (5M docs) the d8/d22
+    * build overflowed the 28 GB storage pool, paged through disk with
+    * per-partition eviction churn, and finally OOM'd a 48g heap on
+    * exactly that re-inflation. Serialized blocks keep the footprint
+    * ~proportional to the parquet bytes and disk reads stay bytes.
+    * Node-sized tables (d9's label table) and tiny survivor sets keep
+    * the default level — object form is faster when it surely fits.
+    */
+  private def matSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   private[graft] def dupMembership(s: SparkSession, d: String): DataFrame =
     if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "0")
       dupMembershipCold(s, d)
@@ -354,7 +371,7 @@ object Dedup {
     // distinct — without the cut the corpus-sized hash-distinct runs
     // once per consumer. LogicalRDD keeps the tok hash-partitioning,
     // so freq and the join still consume it exchange-free.
-    val exploded = byTok.distinct().localCheckpoint(eager = false)
+    val exploded = matSer(byTok.distinct())
     // freq is one row per distinct shingle — it grows with the corpus,
     // and the join is co-partitioned on tok (no shuffle either side)
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -373,19 +390,20 @@ object Dedup {
               count(lit(1)).over(wAll).as("n"))
       .filter(col("rnk") <= col("n") - expr("(n * 7 + 9) DIV 10") + 1)
       .select(col("doc_id"), col("n"), (col("rnk") - 1).as("pos"), col("tok"))
-      .localCheckpoint(eager = false)
+      .transform(matSer)
     // st = the VALUE-sorted token set for the verify stage's
     // two-pointer intersect — the only array in the plan, built
     // directly from `exploded` (value order needs no freq), so the
     // collect_list buffers bare longs. MATERIALIZED once; both verify
     // sides (and d22's) fan out above its doc_id exchange. Blocks go
-    // MEMORY_AND_DISK and Bench's per-query sweep unpersists them.
+    // serialized MEMORY_AND_DISK and Bench's per-query sweep
+    // unpersists them.
     val sets = exploded
       .groupBy(col("doc_id"))
       .agg(first(col("lang")).as("lang"),
            array_sort(collect_list(col("tok"))).as("st"))
       .withColumn("n", size(col("st")))
-      .localCheckpoint(eager = false)
+      .transform(matSer)
     (prefix, sets)
   }
 
@@ -819,8 +837,8 @@ object Dedup {
               array_distinct(col("sh")).as("shd"))
       // two consumers (sizes + the shingle explode) of the expensive
       // shingle/md5/minhash map pass — materialize it once (the
-      // d8-build lesson; one row per doc)
-      .localCheckpoint(eager = false)
+      // d8-build lesson; one row per doc, but array-heavy → serialized)
+      .transform(matSer)
     val sizes = base.select(col("doc_id"), col("mh"), size(col("shd")).as("nsh"))
     val bands = bandTable(s, d)
     val pairs = bands.toDF("a", "band").join(bands.toDF("b", "band_b"),
