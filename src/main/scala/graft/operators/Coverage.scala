@@ -227,8 +227,9 @@ object Coverage {
     * natively (orc-core ships with spark-sql — no extra jar), so the
     * third columnar/self-describing format joins the c10/c11
     * aggregate-after-reread contract. ORC embeds its schema, so the
-    * re-read needs none (unlike c10's schema-on-read CSV). Avro stays
-    * out: the spark-avro DataSource module is not on this classpath.
+    * re-read needs none (unlike c10's schema-on-read CSV). Avro joins
+    * via c32 on the raw avro container API (the spark-avro DataSource
+    * module is not on this classpath — see AvroIO).
     */
   val c12OrcRoundtrip: Q = (s, d) => {
     val out = scratchDir("c12_orc")
@@ -262,6 +263,28 @@ object Coverage {
       .agg(count(lit(1)).as("n"),
            moneySum(col("c_acctbal")).as("total_bal"),
            min(col("c_custkey")).as("min_key"))
+  }
+
+  /** Avro source/sink round-trip, same aggregate-after-reread contract
+    * as c10–c13, for the fourth self-describing row format. The
+    * `spark-avro` DataSource module is not on this classpath, so the
+    * round trip runs through `sources.AvroIO` — a partition-parallel
+    * writer / file-parallel reader built directly on the public
+    * `org.apache.avro` container API that DOES ship with Spark's jars
+    * (see AvroIO's scaladoc for the scale shape). Like ORC, Avro files
+    * embed their schema: the re-read takes none.
+    */
+  val c32AvroRoundtrip: Q = (s, d) => {
+    val out = scratchDir("c32_avro")
+    val src = part(s, d).filter(col("p_partkey") % 25 === 0)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+              col("p_retailprice"))
+    graft.sources.AvroIO.write(src, out)
+    graft.sources.AvroIO.read(s, out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("p_retailprice")).as("total"),
+           min(col("p_partkey")).as("min_key"))
   }
 
   /** UNPIVOT (melt) — the inverse of c8's pivot: wide measure columns
@@ -953,6 +976,7 @@ object Coverage {
     "c14_unpivot" -> c14Unpivot,
     "c13_xml_roundtrip" -> c13XmlRoundtrip,
     "c12_orc_roundtrip" -> c12OrcRoundtrip,
+    "c32_avro_roundtrip" -> c32AvroRoundtrip,
     "c1_arg_max" -> c1ArgMax,
     "c2_shuffle_hash_hint" -> c2ShuffleHashHint,
     "c3_union_by_name" -> c3UnionByName,
@@ -1241,6 +1265,12 @@ object Coverage {
          |  min(event_id) AS min_event
          |FROM events WHERE event_id % 20 = 0
          |GROUP BY event_type""".stripMargin,
+    "c32_avro_roundtrip" ->
+      s"""SELECT p_brand, count(1) AS n,
+         |  ${sqlMoneySum("p_retailprice")} AS total,
+         |  min(p_partkey) AS min_key
+         |FROM part WHERE p_partkey % 25 = 0
+         |GROUP BY p_brand""".stripMargin,
     // struct-ordered arg-max has no direct DuckDB form → window oracle
     "c1_arg_max" ->
       """WITH mx AS (SELECT o_orderpriority, o_orderkey,
