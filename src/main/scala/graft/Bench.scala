@@ -103,15 +103,18 @@ object Bench {
       if (results.nonEmpty && warm.nonEmpty && warm.min > 0)
         (warm.max - warm.min) / warm.min * 100.0
       else 0.0
-    // These queries read the memoized dup-cluster ARTIFACT (the
-    // production persisted-cluster-table shape, see Dedup.dupMembership):
-    // run 1 pays the connected-components build, runs 2+ scan the
-    // parquet, so their published min measures a warm artifact read.
-    // Declare that in the artifact instead of letting the numbers
-    // silently change meaning (the CC build itself is measured cold in
-    // SCALECURVE.json's d9/d10 series).
+    // These queries read a memoized scratch-parquet ARTIFACT (the
+    // production persisted-table shape): the dup-cluster table for the
+    // d-queries (Dedup.dupMembership) and the derived link graph for
+    // the g-queries (Graph.edgeList). Run 1 pays the build, runs 2+
+    // scan the parquet, so their published min measures a warm
+    // artifact read. Declare that in the artifact instead of letting
+    // the numbers silently change meaning (the CC build itself is
+    // measured cold in SCALECURVE.json's d9/d10 series).
     val artifactWarm = Seq("d9_dup_clusters", "d10_curate_canonical",
-                           "d20_contrastive_pairs")
+                           "d20_contrastive_pairs",
+                           "g1_pagerank", "g2_triangles",
+                           "g3_neighbor_agg", "g4_bfs", "g5_label_prop")
       .filter(results.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val meta = s""""runs":$runs,"spread_pct":${f"$spreadPct%.1f"},""" +

@@ -219,10 +219,12 @@ object ScaleCurve {
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     def one(): Double = {
       // every curve point measures the COLD computation: the
-      // dup-membership artifact memo (production reuse, see
-      // Dedup.dupMembership) would otherwise make d10/d20/d21 ride
-      // d9's materialized clusters and flatten their curves
+      // dup-membership and link-graph artifact memos (production
+      // reuse, see Dedup.dupMembership / Graph.edgeList) would
+      // otherwise make d10/d20/d21 ride d9's materialized clusters
+      // and flatten their curves
       graft.operators.Dedup.clearMaterialized()
+      graft.operators.Graph.clearMaterialized()
       val t0 = System.nanoTime(); body
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
