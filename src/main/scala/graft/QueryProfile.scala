@@ -31,9 +31,18 @@ object QueryProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    if (args.length > 2)
-      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-               args(2))
+      // Deep-scale default (overridable by the third arg): implicit
+      // exchanges (EnsureRequirements-created, e.g. both sides of a
+      // join neither of which satisfies the distribution) are CREATED
+      // at the session initial width and AQE can only coalesce DOWN —
+      // at sf100 a 32-wide verify-join exchange carried 17 GB and
+      // spilled 22 GB through its SMJ sort. Starting high and letting
+      // AQE coalesce to byte-proportional widths is the standard
+      // cluster deployment shape for this config; at small scales AQE
+      // coalesces back to ~core-count, so small-SF numbers are
+      // unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+              if (args.length > 2) args(2) else "1024")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,6 +75,18 @@ object QueryProfile {
     println(f"TOTAL run ${stages.map(_.runMs).sum / 1e3}%.1f s across " +
       f"${stages.size} stages; spill mem ${stages.map(_.spillMemMB).sum} MB " +
       f"disk ${stages.map(_.spillDiskMB).sum} MB")
+    // Machine-readable summary (one line, greppable as PROFILE_JSON):
+    // exec_s (total executor run time) is the NOISE-ROBUST work
+    // measure — wall on a saturated 32-core box swings with scheduling
+    // and AQE join-strategy flips at borderline build sizes, but total
+    // work does not. Deep-scale exponents are fitted on exec_s.
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    println(s"""PROFILE_JSON {"query":"$query","sf":"$sfDir","rows":$n,""" +
+      s""""wall_s":${fmt(wall)},"exec_s":${fmt(stages.map(_.runMs).sum / 1e3)},""" +
+      s""""cpu_s":${fmt(stages.map(_.cpuMs).sum / 1e3)},""" +
+      s""""spill_mem_mb":${stages.map(_.spillMemMB).sum},""" +
+      s""""spill_disk_mb":${stages.map(_.spillDiskMB).sum}}""")
     spark.stop()
   }
 }

@@ -310,6 +310,16 @@ object ScaleCurve {
       .master(s"local[$cpus]")
       // partitions == cores, the Bench methodology this harness extends
       .config("spark.sql.shuffle.partitions", cpus)
+      // implicit exchanges start at the INITIAL width and AQE only
+      // coalesces down; with the 32 default, EnsureRequirements-created
+      // exchanges (join sides) at sf30+ carried 4-17 GB per 32
+      // reducers and spilled through their SMJ sorts. High initial +
+      // AQE coalescing is the cluster deployment shape; at small
+      // scales AQE coalesces back toward core count (parallelismFirst
+      // stays at Spark's default TRUE, see below), so the small-SF
+      // data term is unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+              "1024")
       // parallelismFirst stays at Spark's default TRUE here (Bench sets
       // it false to cut small-scale noise): with false, AQE holds
       // per-reducer bytes at the advisory size, so as the corpus grows
@@ -362,8 +372,8 @@ object ScaleCurve {
     // d8 candidate-count curve: the direct sub-quadratic evidence (no
     // timer noise) — candidates must grow ≈ linearly in this corpus
     val candPts = scales.map { case (sfName, dir) =>
-      val c = graft.operators.Dedup.d8Candidates(
-        graft.operators.Dedup.d8Build(spark, dir)._1).count()
+      val b = graft.operators.Dedup.d8Build(spark, dir)
+      val c = graft.operators.Dedup.d8Candidates(b._1, b._3).count()
       (sfName, nRows((sfName, "documents")), c)
     }
     val opJson = series.map { case (op, table, pts) =>

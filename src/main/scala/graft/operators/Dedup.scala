@@ -175,6 +175,28 @@ object Dedup {
     df.localCheckpoint(eager = false,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Data-proportional shuffle width for the corpus-sized build
+    * stages: sized so each reducer's share of the EXPANDED data (the
+    * exploded-token and candidate-pair streams run ~30× the document
+    * parquet bytes) stays well inside task execution memory. With the
+    * session floor of 32, small corpora keep today's plans exactly;
+    * at sf100 (835 MB of documents) this yields ~420 reducers —
+    * measured there: the 32-reducer plan spilled 62 GB mem / 28 GB
+    * disk across the window sort, the candidate-expansion join and
+    * the verify join, because AQE can only coalesce DOWN from the
+    * session's initialPartitionNum and sizes the expansion join by
+    * its (small) INPUT bytes, blind to its ~8× output. Explicit width
+    * on these four exchanges is the same sizing a cluster job does
+    * with spark.sql.shuffle.partitions ∝ input bytes.
+    */
+  private def scaleParts(s: SparkSession, d: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val floor = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(floor, (bytes / (2L << 20)).toInt)
+  }
+
   private[graft] def dupMembership(s: SparkSession, d: String): DataFrame =
     if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "0")
       dupMembershipCold(s, d)
@@ -341,7 +363,7 @@ object Dedup {
     * therefore the published output — is deterministic.
     */
   private[graft] def d8Build(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     org.apache.spark.sql.graftnative.ShinglesApi.ensureRegistered(s)
     // Two deliberate moves here:
@@ -359,12 +381,13 @@ object Dedup {
     //   collision (which would only merge two tokens) vanishingly rare
     //   and, since both engines hash identically, oracle-invisible.
     val raw = hashedShingleToks(s, d).select(col("doc_id"), col("lang"), col("tok"))
+    val parts = scaleParts(s, d)
     // ONE exchange on tok feeds the whole build: hash-partitioning on
     // tok alone satisfies the clustering of the per-doc-distinct
     // aggregate (tok ⊆ its grouping keys), of the freq aggregate AND of
     // the freq join, so distinct → freq → join all run with ZERO further
-    // exchanges.
-    val byTok = raw.repartition(col("tok"))
+    // exchanges. Width scales with corpus bytes (see scaleParts).
+    val byTok = raw.repartition(parts, col("tok"))
     // per-doc distinct token set, MATERIALIZED: it has three consumers
     // (the freq aggregate, the freq join, and the token-set build), and
     // exchange reuse only dedupes the exchange subtree below the final
@@ -385,6 +408,10 @@ object Dedup {
     // arithmetic). MATERIALIZED because both sides of the candidate
     // self-join consume it above its exchange.
     val prefix = exploded.join(freq, "tok")
+      // explicit doc_id exchange at scaled width: it satisfies both
+      // windows' required distribution (no second exchange) and keeps
+      // the per-reducer sort inside execution memory at deep scales
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"), col("tok"),
               row_number().over(wOrd).as("rnk"),
               count(lit(1)).over(wAll).as("n"))
@@ -399,12 +426,16 @@ object Dedup {
     // serialized MEMORY_AND_DISK and Bench's per-query sweep
     // unpersists them.
     val sets = exploded
+      // scaled-width doc_id exchange; clustering satisfied, so the
+      // list-building aggregate runs single-phase on slim partitions
+      // (collect_list has no useful partial combine to lose)
+      .repartition(parts, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(first(col("lang")).as("lang"),
            array_sort(collect_list(col("tok"))).as("st"))
       .withColumn("n", size(col("st")))
       .transform(matSer)
-    (prefix, sets)
+    (prefix, sets, parts)
   }
 
   /** Raw candidate rows (one per shared prefix token that survives the
@@ -424,9 +455,17 @@ object Dedup {
     *    semantics (the countDistinct downstream) stays complete —
     *    later-token duplicate rows may be pruned, which is the point.
     */
-  private def d8RawPairs(prefix: DataFrame): DataFrame = {
+  private def d8RawPairs(prefix: DataFrame, parts: Int): DataFrame = {
+    // explicit scaled-width tok exchange on BOTH sides: this join
+    // EXPANDS ~8× (slim prefix rows in, candidate pairs out), and AQE
+    // sizes reducers by input bytes — at sf100 it chose 43 reducers
+    // for a stage emitting 19 GB, spilling 15 GB through the join
+    // sort. Pinning the width keeps each reducer's share of the
+    // expanded output inside execution memory.
     val a = prefix.toDF("a_id", "n_a", "pos_a", "tok")
+      .repartition(parts, col("tok"))
     val b = prefix.toDF("b_id", "n_b", "pos_b", "tok_b")
+      .repartition(parts, col("tok_b"))
     a.join(b,
       col("tok") === col("tok_b") && col("a_id") < col("b_id") &&
         col("n_a") * 10 >= col("n_b") * 7 &&
@@ -449,8 +488,8 @@ object Dedup {
     * verification join on a_id needs — dedup + join co-location for
     * the price of one shuffle of slim id-pairs.
     */
-  private[graft] def d8Candidates(prefix: DataFrame): DataFrame =
-    d8RawPairs(prefix).repartition(col("a_id")).distinct()
+  private[graft] def d8Candidates(prefix: DataFrame, parts: Int): DataFrame =
+    d8RawPairs(prefix, parts).repartition(parts, col("a_id")).distinct()
 
   /** Set-similarity join via PREFIX FILTERING (the PPJoin-family
     * technique from the distributed set-similarity-join literature):
@@ -465,14 +504,14 @@ object Dedup {
     * the whole corpus (see d8Ordered for why tokens are shingles).
     */
   val d8PrefixJoin: Q = (s, d) => {
-    val (prefix, sets) = d8Build(s, d)
+    val (prefix, sets, parts) = d8Build(s, d)
     // RAW candidate rows (duplicates retained): the pre-verification
     // `distinct()` exchange is fused into the final aggregate instead
     // (countDistinct over the few rows that survive the Jaccard
     // threshold) — the positional filter in d8RawPairs already prunes
     // most duplicate rows, so the handful of repeated verifications
     // costs less than a full-candidate shuffle did.
-    val pairs = d8RawPairs(prefix)
+    val pairs = d8RawPairs(prefix, parts)
     // tok-ASCENDING token sets (`st`, sorted once per doc inside the
     // materialized build) so the per-pair intersection is the native
     // zero-allocation two-pointer merge (SortedIntersectSize) instead
@@ -1113,12 +1152,12 @@ object Dedup {
     */
   val d22BestMatch: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val (prefix, sets) = d8Build(s, d)
+    val (prefix, sets, parts) = d8Build(s, d)
     val oa = sets.select(col("doc_id").as("a_id"),
                          col("st").as("a_t"))
     val ob = sets.select(col("doc_id").as("b_id"),
                          col("st").as("b_t"))
-    val scored = d8Candidates(prefix)
+    val scored = d8Candidates(prefix, parts)
       .join(oa, "a_id").join(ob, "b_id")
       .withColumn("inter",
         graft.functions.VectorFunctions.sortedIntersectSize(col("a_t"), col("b_t")))

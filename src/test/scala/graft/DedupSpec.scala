@@ -180,10 +180,10 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("d8 candidate pairs are a small fraction of all-pairs") {
-    val (prefix, sets) = Dedup.d8Build(spark, sf)
+    val (prefix, sets, parts) = Dedup.d8Build(spark, sf)
     val n = sets.count()
     val allPairs = n * (n - 1) / 2
-    val cand = Dedup.d8Candidates(prefix).count()
+    val cand = Dedup.d8Candidates(prefix, parts).count()
     // measured: 28 candidates vs 124,750 all-pairs at this corpus —
     // the 1% bound leaves room for fixture drift while still failing
     // loudly if the filter ever degenerates toward all-pairs

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Splice fresh-JVM deep-series measurements into SCALECURVE.json.
+
+Reads the PROFILE_JSON lines from a tools/deep_profile.sh output dir,
+takes the per-(query, scale) MIN across reps for wall and exec, and
+rewrites the named queries' deep_ops entries: each series point gains
+an "exec_s" field (total executor run time — the noise-robust work
+measure), and the entry gains "exp_exec_top2" (exponent fitted on
+exec_s between the two largest scales) alongside the wall-based
+"exp_top2"/"wall_ratio_top2". Point shape stays {"sf","n","sec",...}
+so ScaleCurveSpec's regex keeps reading the committed artifact.
+
+Usage: tools/patch_deepcurve.py <profile_outdir> <query> [query...]
+"""
+import glob
+import json
+import math
+import re
+import sys
+
+CURVE = "/root/repo/SCALECURVE.json"
+ORDER = ["sf1", "sf3", "sf10", "sf30", "sf100"]
+
+
+def main(outdir, queries):
+    with open(CURVE) as f:
+        curve = json.load(f)
+    deep = curve["deep_ops"]
+    for q in queries:
+        pts = {}
+        for log in glob.glob(f"{outdir}/{q}_*.log"):
+            sf = re.search(r"_(sf[0-9.]+)_r\d+\.log$", log).group(1)
+            with open(log, errors="replace") as f:
+                for line in f:
+                    if "PROFILE_JSON" in line:
+                        j = json.loads(line.split("PROFILE_JSON", 1)[1])
+                        cur = pts.setdefault(sf, j)
+                        if j["wall_s"] < cur["wall_s"]:
+                            pts[sf] = j
+        assert pts, f"no PROFILE_JSON for {q} under {outdir}"
+        old = {p["sf"]: p["n"] for p in deep[q]["series"]}
+        series = []
+        for sf in ORDER:
+            if sf not in pts:
+                continue
+            j = pts[sf]
+            n = old.get(sf)
+            if n is None:  # scale not in the old series: count unavailable
+                raise SystemExit(f"{q} {sf}: no row count in old series")
+            series.append({"sf": sf, "n": n, "sec": j["wall_s"],
+                           "exec_s": j["exec_s"],
+                           "spill_disk_mb": j["spill_disk_mb"]})
+        (n1, s1, e1), (n2, s2, e2) = [
+            (p["n"], p["sec"], p["exec_s"]) for p in series[-2:]]
+        deep[q] = {
+            "table": deep[q]["table"],
+            "methodology": "fresh-jvm-per-point min-of-reps (QueryProfile)",
+            "series": series,
+            "exp_top2": round(math.log(s2 / s1) / math.log(n2 / n1), 4),
+            "wall_ratio_top2": round(s2 / s1, 4),
+            "exp_exec_top2": round(math.log(e2 / e1) / math.log(n2 / n1), 4),
+        }
+        print(q, json.dumps(deep[q]["series"]), "exp", deep[q]["exp_top2"],
+              "exp_exec", deep[q]["exp_exec_top2"])
+    with open(CURVE, "w") as f:
+        json.dump(curve, f, separators=(",", ":"))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
