@@ -43,6 +43,13 @@ object QueryProfile {
       // unaffected.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
               if (args.length > 2) args(2) else "1024")
+      // 16 MB advisory (default 64): AQE sizes a stage's width by its
+      // shuffle-READ bytes, so a stage whose work is dominated by a
+      // larger OUTPUT (the d8 candidate-expansion join emits ~8× its
+      // input) gets 4× more headroom before its map-side write sorter
+      // spills. Small scales are unaffected (parallelismFirst's core-
+      // count floor binds there).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -320,6 +320,9 @@ object ScaleCurve {
       // data term is unaffected.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
               "1024")
+      // 16 MB advisory: output-expanding stages (see QueryProfile's
+      // note) get width headroom their read-sized AQE estimate misses
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
       // parallelismFirst stays at Spark's default TRUE here (Bench sets
       // it false to cut small-scale noise): with false, AQE holds
       // per-reducer bytes at the advisory size, so as the corpus grows

@@ -505,13 +505,18 @@ object Dedup {
     */
   val d8PrefixJoin: Q = (s, d) => {
     val (prefix, sets, parts) = d8Build(s, d)
-    // RAW candidate rows (duplicates retained): the pre-verification
-    // `distinct()` exchange is fused into the final aggregate instead
-    // (countDistinct over the few rows that survive the Jaccard
-    // threshold) — the positional filter in d8RawPairs already prunes
-    // most duplicate rows, so the handful of repeated verifications
-    // costs less than a full-candidate shuffle did.
-    val pairs = d8RawPairs(prefix, parts)
+    // DISTINCT candidates before verification (the classic PPJoin
+    // candidate/verify split, and the same path d22 rides). The r7
+    // shape verified RAW pair rows, betting the positional filter left
+    // only "a handful" of duplicates — measured wrong at scale: sf100
+    // profiles show ~24 raw rows per distinct pair (19 GB of raw pairs
+    // into the verify join vs ~0.8 GB of candidates), because every
+    // shared prefix token of a true near-dup pair passes the
+    // positional bound. The dedup exchange carries the same bytes the
+    // verify exchange otherwise would, and everything downstream —
+    // the two set joins, the per-pair intersect, the final aggregate —
+    // runs on candidate-sized data.
+    val pairs = d8Candidates(prefix, parts)
     // tok-ASCENDING token sets (`st`, sorted once per doc inside the
     // materialized build) so the per-pair intersection is the native
     // zero-allocation two-pointer merge (SortedIntersectSize) instead
@@ -532,6 +537,9 @@ object Dedup {
       .withColumn("uni", size(col("a_t")) + size(col("b_t")) - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
       .groupBy(col("lang"))
+      // candidates are already distinct; countDistinct is kept so the
+      // published semantics ("distinct verified pairs per lang") are
+      // explicit in the plan rather than an upstream invariant
       .agg(countDistinct(col("a_id"), col("b_id")).as("n_pairs"),
            min(col("a_id")).as("min_a"))
   }
