@@ -50,6 +50,11 @@ object QueryProfile {
       // spills. Small scales are unaffected (parallelismFirst's core-
       // count floor binds there).
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+    // ad-hoc config A/Bs without a rebuild:
+    // SPARK_GRAFT_CONF="k=v,k2=v2" applies last, overriding the above
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
