@@ -356,6 +356,13 @@ object ScaleCurve {
         sys.env.getOrElse("SPARK_GRAFT_SF100", "1") != "0")
       spark.stop(); return
     }
+    // SHALLOW_ONLY: re-measure just the sf0.01/sf0.1/sf1 series and
+    // splice, preserving the committed deep_ops/d8_candidates sections
+    // (which may carry the more expensive fresh-JVM methodology) — the
+    // recovery path when the shallow phase of a full run absorbed
+    // concurrent-build noise.
+    val shallowOnly = sys.env.get("SPARK_GRAFT_CURVE_SHALLOW_ONLY")
+      .contains("1")
     genSf1(spark, s"$base/sf0.1", gen)
     val scales = Seq("sf0.01" -> s"$base/sf0.01", "sf0.1" -> s"$base/sf0.1",
                      "sf1" -> gen)
@@ -372,6 +379,23 @@ object ScaleCurve {
       }
       (op, table, pts)
     }
+    val opJson = series.map { case (op, table, pts) =>
+      val e = exponent(pts(1)._2, pts(1)._3, pts(2)._2, pts(2)._3)
+      val ser = pts.map { case (sf, n, sec) =>
+        s"""{"sf":"$sf","n":$n,"sec":${fmt(sec)}}""" }.mkString("[", ",", "]")
+      s""""$op":{"table":"$table","series":$ser,"exp_sf01_sf1":${fmt(e)}}"""
+    }.mkString(",")
+    if (shallowOnly) {
+      val path = java.nio.file.Paths.get(out)
+      val old = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      val keepFrom = old.indexOf("\"d8_candidates\"")
+      require(keepFrom >= 0, s"no d8_candidates section in $out")
+      val json = s"""{"copies":$copies,"ops":{$opJson},""" +
+        old.substring(keepFrom)
+      java.nio.file.Files.write(path, json.getBytes("UTF-8"))
+      println(json)
+      spark.stop(); return
+    }
     // d8 candidate-count curve: the direct sub-quadratic evidence (no
     // timer noise) — candidates must grow ≈ linearly in this corpus
     val candPts = scales.map { case (sfName, dir) =>
@@ -379,12 +403,6 @@ object ScaleCurve {
       val c = graft.operators.Dedup.d8Candidates(b._1, b._3).count()
       (sfName, nRows((sfName, "documents")), c)
     }
-    val opJson = series.map { case (op, table, pts) =>
-      val e = exponent(pts(1)._2, pts(1)._3, pts(2)._2, pts(2)._3)
-      val ser = pts.map { case (sf, n, sec) =>
-        s"""{"sf":"$sf","n":$n,"sec":${fmt(sec)}}""" }.mkString("[", ",", "]")
-      s""""$op":{"table":"$table","series":$ser,"exp_sf01_sf1":${fmt(e)}}"""
-    }.mkString(",")
     val candExp = exponent(candPts(1)._2, candPts(1)._3.toDouble,
                            candPts(2)._2, candPts(2)._3.toDouble)
     val candJson = candPts.map { case (sf, n, c) =>
