@@ -456,16 +456,25 @@ object Dedup {
     *    later-token duplicate rows may be pruned, which is the point.
     */
   private def d8RawPairs(prefix: DataFrame, parts: Int): DataFrame = {
-    // explicit scaled-width tok exchange on BOTH sides: this join
-    // EXPANDS ~8× (slim prefix rows in, candidate pairs out), and AQE
-    // sizes reducers by input bytes — at sf100 it chose 43 reducers
-    // for a stage emitting 19 GB, spilling 15 GB through the join
-    // sort. Pinning the width keeps each reducer's share of the
-    // expanded output inside execution memory.
-    val a = prefix.toDF("a_id", "n_a", "pos_a", "tok")
-      .repartition(parts, col("tok"))
-    val b = prefix.toDF("b_id", "n_b", "pos_b", "tok_b")
-      .repartition(parts, col("tok_b"))
+    // explicit scaled-width tok exchange on BOTH sides — but only at
+    // scale (parts above the session floor): this join EXPANDS ~8×
+    // (slim prefix rows in, candidate pairs out), and AQE sizes
+    // reducers by input bytes — at sf100 it chose 43 reducers for a
+    // stage emitting 19 GB, spilling 15 GB through the join sort.
+    // Pinning the width keeps each reducer's share of the expanded
+    // output inside execution memory. At SMALL corpora the pin is
+    // pure cost (it denies the planner the broadcast self-join a
+    // 1-2 MB prefix table deserves — measured ~+0.5 s on d22 at
+    // sf0.1), so below the floor the planner keeps its freedom.
+    val floor = prefix.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val a0 = prefix.toDF("a_id", "n_a", "pos_a", "tok")
+    val b0 = prefix.toDF("b_id", "n_b", "pos_b", "tok_b")
+    val (a, b) =
+      if (parts > floor)
+        (a0.repartition(parts, col("tok")),
+         b0.repartition(parts, col("tok_b")))
+      else (a0, b0)
     a.join(b,
       col("tok") === col("tok_b") && col("a_id") < col("b_id") &&
         col("n_a") * 10 >= col("n_b") * 7 &&
