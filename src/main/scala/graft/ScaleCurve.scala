@@ -70,15 +70,7 @@ object ScaleCurve {
                 col("n_chars"))
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
-    if (tables("embeddings")) {
-      // embeddings: id shift only
-      val emb = graft.sources.Tables.table(spark, srcDir, "embeddings")
-      (0 until nCopies).map { c =>
-        emb.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
-                   col("embedding"), col("label"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    }
+    if (tables("embeddings")) genEmbeddings(spark, srcDir, outDir, nCopies)
     if (tables("events")) {
       // events: ts is written as an int64 nanos column (Tables.events
       // div-1000s it on read; tools/check.py normalizes the DuckDB
@@ -106,6 +98,23 @@ object ScaleCurve {
     }
     done.createNewFile()
     ()
+  }
+
+  /** embeddings replication: id shift only (vectors unchanged — copy
+    * density growth is exactly what an ANN index sees). Explode-based
+    * like documents, not an nCopies-way union (plan stays O(1) in
+    * nCopies). Public so GenSf10Gate can complete a deep corpus that
+    * was generated documents/events-only.
+    */
+  def genEmbeddings(spark: SparkSession, srcDir: String, outDir: String,
+                    nCopies: Int): Unit = {
+    val emb = graft.sources.Tables.table(spark, srcDir, "embeddings")
+    emb
+      .withColumn("c", explode(sequence(lit(0), lit(nCopies - 1))))
+      .repartition(col("vec_id"), col("c"))
+      .select((col("vec_id") + col("c").cast("long") * 10000000L).as("vec_id"),
+              col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   def genSf1(spark: SparkSession, srcDir: String, outDir: String): Unit =
@@ -253,6 +262,33 @@ object ScaleCurve {
 
   private val deepestOps = Set("d8_prefix_join", "d22_best_match")
 
+  /** Brace-balanced extraction of the `"key":{...}` entry starting at
+    * or after `from`. A regex cannot carry this: the entries nest
+    * objects (series points) and their shape evolves (the r8 deep
+    * entries gained methodology/exec_s/exp_exec_top2 fields), so shape
+    * -pinned patterns silently stop matching exactly when the entry
+    * matters most.
+    */
+  private def extractEntry(json: String, key: String,
+                           from: Int = 0): Option[String] = {
+    val i = json.indexOf("\"" + key + "\":{", from)
+    if (i < 0) None
+    else {
+      var depth = 0
+      var j = json.indexOf('{', i)
+      var end = -1
+      while (end < 0) {
+        json.charAt(j) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = j
+          case _ =>
+        }
+        j += 1
+      }
+      Some(json.substring(i, end + 1))
+    }
+  }
+
   /** Re-measure ONLY the named deep-series ops and splice their
     * entries into the existing artifact. This is the recovery path
     * when a host burst pollutes individual points of the ~40-minute
@@ -268,6 +304,17 @@ object ScaleCurve {
     val path = java.nio.file.Paths.get(out)
     var json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     opsSel.foreach { op =>
+      // d8/d22 deep points are owned by the fresh-JVM-per-point
+      // methodology (in-session walls for these ops are bimodal,
+      // 1.5-4x between contexts — ROUND8_NOTES) and their entries
+      // carry exec_s/spill/methodology fields this splice does not
+      // produce. An in-session re-measure here would both mis-measure
+      // and strip that evidence.
+      require(!deepestOps(op),
+        s"$op: use tools/deep_profile.sh + tools/patch_deepcurve.py " +
+          "(fresh-JVM-per-point), not PATCH_DEEP — in-session walls " +
+          "for this op are bimodal and the splice would drop the " +
+          "exec_s/methodology fields")
       val table = tableFor.getOrElse(op,
         sys.error(s"$op is not a deep-series op"))
       val scalesFor =
@@ -396,17 +443,49 @@ object ScaleCurve {
       println(json)
       spark.stop(); return
     }
+    // The committed artifact carries sections this run does NOT
+    // re-measure (the d8/d22 fresh-JVM deep entries and the CandCount
+    // extension of d8_candidates): read it up front so a routine full
+    // regen PRESERVES that evidence instead of silently reverting it
+    // to the weaker in-session / shallow-only form (the r8 ADVICE
+    // medium finding).
+    val oldArtifact: Option[String] = {
+      val p = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else None
+    }
     // d8 candidate-count curve: the direct sub-quadratic evidence (no
-    // timer noise) — candidates must grow ≈ linearly in this corpus
-    val candPts = scales.map { case (sfName, dir) =>
+    // timer noise) — candidates must grow ≈ linearly in this corpus.
+    // This run re-measures the shallow scales (deterministic counts —
+    // they change only when the algorithm changes); points BEYOND sf1
+    // are owned by the CandCount main (run per deep corpus, spliced by
+    // hand or tool) and are carried over from the committed artifact.
+    val candShallow = scales.map { case (sfName, dir) =>
       val b = graft.operators.Dedup.d8Build(spark, dir)
       val c = graft.operators.Dedup.d8Candidates(b._1, b._3).count()
       (sfName, nRows((sfName, "documents")), c)
     }
-    val candExp = exponent(candPts(1)._2, candPts(1)._3.toDouble,
-                           candPts(2)._2, candPts(2)._3.toDouble)
-    val candJson = candPts.map { case (sf, n, c) =>
+    val shallowSfs = scales.map(_._1).toSet
+    val candDeep: Seq[(String, Long, Long)] = oldArtifact.toSeq.flatMap { o =>
+      extractEntry(o, "d8_candidates").toSeq.flatMap { e =>
+        """\{"sf":"([^"]+)","n":([0-9]+),"candidates":([0-9]+)\}""".r
+          .findAllMatchIn(e)
+          .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+          .filterNot(p => shallowSfs(p._1)).toSeq
+      }
+    }
+    val candAll = candShallow ++ candDeep
+    // exponent on the LARGEST adjacent pair of the merged series (the
+    // r8 artifact's value was hand-edited under the old, now-mislabeled
+    // exp_sf01_sf1 name; the generator owns the computation again)
+    val Seq(cp1, cp2) = candAll.takeRight(2)
+    val candExp = exponent(cp1._2, cp1._3.toDouble, cp2._2, cp2._3.toDouble)
+    val candJson = candAll.map { case (sf, n, c) =>
       s"""{"sf":"$sf","n":$n,"candidates":$c}""" }.mkString("[", ",", "]")
+    val candNote = "shallow points re-measured by ScaleCurve full runs; " +
+      "deeper points produced by the CandCount main per deep corpus and " +
+      "preserved across regens; exp_top2 fits the largest adjacent pair"
     // ---- deep curve: sf1 / sf3 / sf10 for the fixed-cost-dominated ops
     val gen3 = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR",
       "/root/repo/target/scalecurve/sf3")
@@ -434,27 +513,28 @@ object ScaleCurve {
       genScaled(spark, s"$base/sf0.1", gen100, 1000, Set("documents"))
     val deepScales = Seq("sf1" -> gen, "sf3" -> gen3, "sf10" -> gen10,
                          "sf30" -> gen30)
-    val deepN: Map[(String, String), Long] = ((for {
+    val deepN: Map[(String, String), Long] = (for {
       (sfName, dir) <- deepScales
       t <- deepTables.toSeq
     } yield (sfName, t) ->
-        graft.sources.Tables.table(spark, dir, t).count()) ++
-      (if (sf100On) Seq(("sf100", "documents") ->
-        graft.sources.Tables.table(spark, gen100, "documents").count())
-       else Nil)).toMap
-    val deepSeries = deepOps.map { case (op, table) =>
-      val fn = SparkEntry.queries(op)
-      val scalesFor =
-        if (sf100On && deepestOps(op)) deepScales :+ ("sf100" -> gen100)
-        else deepScales
-      val pts = scalesFor.map { case (sfName, dir) =>
-        val sec = time2(spark) { fn(spark, dir).count(); () }
-        println(s"[deep] $op $sfName: ${fmt(sec)} s")
-        (sfName, deepN((sfName, table)), sec)
+        graft.sources.Tables.table(spark, dir, t).count()).toMap
+    // d8/d22 are EXCLUDED from in-session deep measurement: their
+    // committed entries are fresh-JVM-per-point (tools/deep_profile.sh
+    // + tools/patch_deepcurve.py — in-session walls for them swing
+    // 1.5-4x between contexts) and carry exec_s/spill/methodology
+    // fields this loop does not produce. A full regen preserves those
+    // entries verbatim; regenerating THEM means re-running the tools.
+    val deepSeries = deepOps.filterNot(o => deepestOps(o._1))
+      .map { case (op, table) =>
+        val fn = SparkEntry.queries(op)
+        val pts = deepScales.map { case (sfName, dir) =>
+          val sec = time2(spark) { fn(spark, dir).count(); () }
+          println(s"[deep] $op $sfName: ${fmt(sec)} s")
+          (sfName, deepN((sfName, table)), sec)
+        }
+        (op, table, pts)
       }
-      (op, table, pts)
-    }
-    val deepJson = deepSeries.map { case (op, table, pts) =>
+    val deepJson = (deepSeries.map { case (op, table, pts) =>
       // fit between the two LARGEST scales; also record the wall
       // ratio — the "data term dominates" evidence the shallow curve
       // lacked (ratio ≈ 1 would mean still fixed-cost-bound)
@@ -465,10 +545,18 @@ object ScaleCurve {
         s"""{"sf":"$sf","n":$n,"sec":${fmt(sec)}}""" }.mkString("[", ",", "]")
       s""""$op":{"table":"$table","series":$ser,""" +
       s""""exp_top2":${fmt(e)},"wall_ratio_top2":${fmt(ratio)}}"""
-    }.mkString(",")
+    } ++ deepOps.collect { case (op, _) if deepestOps(op) =>
+      oldArtifact
+        .flatMap(o => extractEntry(o, op, o.indexOf("\"deep_ops\"")))
+        .getOrElse(sys.error(s"no committed deep entry for $op in $out — " +
+          "its points come from tools/deep_profile.sh + " +
+          "tools/patch_deepcurve.py (fresh-JVM-per-point); run those " +
+          "against the generated deep corpora"))
+    }).mkString(",")
     val json =
       s"""{"copies":$copies,"ops":{$opJson},""" +
-      s""""d8_candidates":{"series":$candJson,"exp_sf01_sf1":${fmt(candExp)}},""" +
+      s""""d8_candidates":{"series":$candJson,"exp_top2":${fmt(candExp)},""" +
+      s""""note":"$candNote"},""" +
       s""""deep_ops":{$deepJson}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))

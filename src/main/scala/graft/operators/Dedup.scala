@@ -179,7 +179,11 @@ object Dedup {
     * stages: sized so each reducer's share of the EXPANDED data (the
     * exploded-token and candidate-pair streams run ~30× the document
     * parquet bytes) stays well inside task execution memory. With the
-    * session floor of 32, small corpora keep today's plans exactly;
+    * session floor of 32, small corpora keep their pre-r8 plan
+    * WIDTHS — not byte-identical plans: the numbered repartition is
+    * REPARTITION_BY_NUM, which pins the count and opts out of the AQE
+    * partition coalescing the unnumbered form allowed (the benched
+    * sf0.1 numbers carry this pinned shape);
     * at sf100 (835 MB of documents) this yields ~420 reducers —
     * measured there: the 32-reducer plan spilled 62 GB mem / 28 GB
     * disk across the window sort, the candidate-expansion join and

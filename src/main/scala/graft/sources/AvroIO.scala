@@ -158,6 +158,18 @@ object AvroIO {
       }
     }.sum()
     require(nWritten.toLong >= 0) // forces the job; count is informational
+    // Empty input (zero rows, or zero partitions entirely) would
+    // otherwise leave a file-less directory that `read` rejects — the
+    // round trip must stay symmetric and keep the schema, so emit one
+    // record-less container (header carries the schema) from the
+    // driver. A header-only file is a few hundred bytes.
+    if (fs.listStatus(root).forall(!_.getPath.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(CodecFactory.deflateCodec(6))
+      w.create(schema, fs.create(new Path(root, "part-00000.avro"), true))
+      w.close()
+    }
   }
 
   /** Read a directory of Avro container files written by `write` (or
@@ -187,8 +199,15 @@ object AvroIO {
         val in = new DataFileStream(
           p.getFileSystem(conf.value).open(p),
           new GenericDatumReader[GenericRecord](schema))
-        // iterate fully then close: file contents comfortably stream
-        // through one task (per-file tasks by construction)
+        // Exhaustion alone must not own the close: a downstream
+        // limit/take or an exception abandons the iterator mid-file
+        // and would leak the Hadoop input stream for the task's
+        // lifetime. The task-completion listener covers every exit
+        // path; the eager close on exhaustion just frees the stream
+        // early on the common full-scan path (double close is a no-op
+        // on these streams).
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = in.hasNext

@@ -78,6 +78,33 @@ class AvroIOSpec extends AnyFunSuite {
       == (0L until 100L).sum)
   }
 
+  test("empty dataset round-trips to an empty DataFrame with the schema") {
+    // write/read must stay symmetric for empty inputs: all-empty
+    // partitions still emit one record-less container (the header
+    // carries the schema) — a curation pipeline that filters a shard
+    // to nothing must not produce an unreadable sink
+    val dir = Files.createTempDirectory("graft-avro-empty").toString
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), schema)
+    AvroIO.write(empty, dir)
+    val back = AvroIO.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 0)
+  }
+
+  test("partially consumed read (limit) does not wedge subsequent scans") {
+    // the task-completion listener owns the stream close — a limit
+    // that abandons the iterator mid-file must not leak the input
+    // stream (exhaustion-only close would)
+    val dir = Files.createTempDirectory("graft-avro-limit").toString
+    import spark.implicits._
+    AvroIO.write(spark.range(0, 1000, 1, 2).map(i => (i, s"v$i"))
+      .toDF("id", "v"), dir)
+    assert(AvroIO.read(spark, dir).limit(3).collect().length == 3)
+    assert(AvroIO.read(spark, dir).count() == 1000)
+  }
+
   test("overwrite replaces prior contents") {
     val dir = Files.createTempDirectory("graft-avro-ow").toString
     import spark.implicits._

@@ -80,7 +80,15 @@ class ScaleCurveSpec extends AnyFunSuite {
   }
 
   test("d8 candidate count grows linearly, not as corpus^2 (timer-free evidence)") {
-    val e = expFor("d8_candidates")
+    // candidates carry exp_top2 (largest adjacent pair of the merged
+    // shallow+CandCount series), not the shallow ops' exp_sf01_sf1 —
+    // the entry's own exp_top2 precedes deep_ops in the artifact, so
+    // the substring search cannot slide into a deep entry's field
+    val i = json.indexOf("\"d8_candidates\"")
+    assert(i >= 0, "d8_candidates missing from SCALECURVE.json")
+    val m = """"exp_top2":(-?[0-9.]+)""".r.findFirstMatchIn(json.substring(i))
+    assert(m.isDefined, "no exponent recorded for d8_candidates")
+    val e = m.get.group(1).toDouble
     assert(e < 1.3, s"d8 candidate growth exponent $e — prefix filter degenerating")
     // absolute bound at the largest scale: candidates must be a
     // vanishing fraction of all-pairs
