@@ -131,16 +131,25 @@ object Multimodal {
     */
   val m5BinaryIngest: Q = (s, d) => {
     val out = Coverage.scratchDir("m5_files")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    graft.sources.Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(out, f"${r.getLong(0)}%012d.bin"),
-            r.getAs[Array[Byte]](1))
+    // m5's fixture depends on the TEXT payload, not just ids — the
+    // fingerprint folds a payload checksum in so a text change with
+    // identical ids re-renders
+    val fpRow = graft.sources.Tables.documents(s, d)
+      .agg(count(lit(1)), sum(col("doc_id")),
+           sum(crc32(encode(col("text"), "UTF-8")))).head()
+    renderedOnce(out, s"payload:${fpRow.get(0)}:${fpRow.get(1)}:${fpRow.get(2)}") {
+      val src = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val p = s.sparkContext.defaultParallelism
+      (if (src.rdd.getNumPartitions < p) src.repartition(p) else src)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"${r.getLong(0)}%012d.bin"),
+              r.getAs[Array[Byte]](1))
+          }
         }
-      }
+    }
     val ingested = s.read.format("binaryFile").load(out)
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
@@ -181,15 +190,73 @@ object Multimodal {
     * mapPartitions plumbing drives a REAL codec, not only the
     * deterministic stand-in.
     */
-  /** Executor-side PNG render shared by m6/m9: one real PNG per doc,
-    * pixels a pure function of doc_id (w = 8+id%25, h = 8+(id/7)%25,
-    * channel c at (x,y) = (id·31 + 7x + 13y + 101c) mod 256) — the
-    * closed form every oracle recomputes.
+  /** Render-once discipline for the scratch media fixtures (m5–m10):
+    * every render is a pure function of the corpus (WAV/PNG bytes of
+    * doc_id; m5's payload of text), so re-rendering thousands of
+    * small files on every bench pass only re-measured the HOST's
+    * small-file writeback, not the codec path the queries exist to
+    * measure — the r8 "m10 +30% with no code change" drift was
+    * exactly that (r9 diagnosis: the r7 binary reads the same
+    * elevated number on today's host; the decode stage's task time is
+    * >90% non-CPU file-I/O wait). A fingerprint marker makes the
+    * fixture per-(JVM, corpus) idempotent — the d-family's
+    * dup-membership / g-family's link-graph artifact discipline, and
+    * Bench declares these queries `artifact_warm`. A corpus switch
+    * re-fingerprints, clears the dir and re-renders; a failed render
+    * leaves no marker, so the next call re-renders.
     */
-  private def renderPngs(s: SparkSession, d: String, out: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    graft.sources.Tables.documents(s, d)
-      .select(col("doc_id"))
+  private def renderedOnce(out: String, fingerprint: String)
+                          (render: => Unit): Unit = {
+    val dir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_RENDER_DONE") // "_" prefix: hidden to
+    // Spark's file index, so the binaryFile re-ingest never sees it
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == fingerprint) return
+    java.nio.file.Files.deleteIfExists(marker)
+    // clear stale data files (a different corpus's ids would be
+    // join-dropped downstream, but decoding them would still cost)
+    val stale = java.nio.file.Files.list(dir)
+    try stale.forEach { p =>
+      if (!p.getFileName.toString.startsWith("_"))
+        java.nio.file.Files.delete(p)
+    } finally stale.close()
+    render
+    java.nio.file.Files.writeString(marker, fingerprint)
+    ()
+  }
+
+  /** Corpus fingerprint for id-driven renders (WAV/PNG bytes are pure
+    * functions of doc_id): row count + id sum, one columnar agg.
+    */
+  private def idFingerprint(s: SparkSession, d: String): String = {
+    val r = graft.sources.Tables.documents(s, d)
+      .agg(count(lit(1)), sum(col("doc_id"))).head()
+    s"ids:${r.get(0)}:${r.get(1)}"
+  }
+
+  /** The render source, spread across executors: at small SFs the
+    * documents parquet is ONE split, so the unrepartitioned
+    * foreachPartition wrote every fixture file from a single task —
+    * serial file creation is the asset-export anti-pattern (and at
+    * sf0.1 it was 2.4 s of the m10 profile). At scale the source is
+    * already many splits and the round-robin shuffle of bare ids is
+    * bytes-trivial.
+    */
+  private def spreadIds(s: SparkSession, d: String) = {
+    val ids = graft.sources.Tables.documents(s, d).select(col("doc_id"))
+    val p = s.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions < p) ids.repartition(p) else ids
+  }
+
+  /** Executor-side PNG render shared by m6/m8/m9: one real PNG per
+    * doc, pixels a pure function of doc_id (w = 8+id%25,
+    * h = 8+(id/7)%25, channel c at (x,y) = (id·31 + 7x + 13y + 101c)
+    * mod 256) — the closed form every oracle recomputes.
+    */
+  private def renderPngs(s: SparkSession, d: String, out: String): Unit =
+    renderedOnce(out, idFingerprint(s, d)) {
+    spreadIds(s, d)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
         it.foreach { r =>
@@ -432,10 +499,9 @@ object Multimodal {
     * sample(i) = (id·37 + i·17) mod 4096 − 2048) — the closed form
     * the oracles recompute.
     */
-  private def renderWavs(s: SparkSession, d: String, out: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    graft.sources.Tables.documents(s, d)
-      .select(col("doc_id"))
+  private def renderWavs(s: SparkSession, d: String, out: String): Unit =
+    renderedOnce(out, idFingerprint(s, d)) {
+    spreadIds(s, d)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         import javax.sound.sampled._
         val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit LE mono PCM
