@@ -111,8 +111,9 @@ object Cli {
         // CAPSTONE: the advertised Kafka→curated-shards flow as ONE
         // command — produce-shaped records of the corpus are dumped in
         // the reference's catalog layout (K1 naming), reloaded through
-        // a transformer, decoded back into a corpus, and the curation
-        // (t14) + epoch-shard (t26) reports run on the result. Every
+        // a transformer, decoded back into a corpus, and the near-dup
+        // curation (d10) + curation (t14) + epoch-shard (t26) reports
+        // run on the result. Every
         // step is a distributed job; the driver only renames files and
         // prints the K-row reports. PipelineE2ESpec pins the whole
         // chain against direct query runs on the source corpus.
@@ -144,6 +145,15 @@ object Cli {
         // table memo may already have listed (a re-run with the same
         // --corpus-out) — invalidate before the queries re-read it
         graft.sources.Tables.invalidate(corpusOut)
+        // near-dup curation FIRST (the stage a real curation run
+        // inserts between decode and packing): LSH-band clusters →
+        // canonical member per cluster survives → per-(lang, tier)
+        // curated counts. The cluster-membership table materializes
+        // once per corpus (Dedup.dupMembership) — the d-report here
+        // and any later dedup consumer share that artifact.
+        val d10 = graft.SparkEntry.queries("d10_curate_canonical")(spark, corpusOut)
+        d10.orderBy("lang", "tier").collect()
+          .foreach(r => println(s"  d10 $r"))
         val t14 = graft.SparkEntry.queries("t14_corpus_pipeline")(spark, corpusOut)
         t14.orderBy("source").collect()
           .foreach(r => println(s"  t14 $r"))

@@ -10,7 +10,7 @@ import graft.pipeline._
   *
   *   documents → producer records → dump (K1 %015d catalog naming)
   *   → reload (transformer + state) → decode → corpus parquet
-  *   → t14 corpus curation → t26 epoch shards
+  *   → d10 near-dup curation → t14 corpus curation → t26 epoch shards
   *
   * The assertions are the user-visible contract: catalog file naming,
   * per-stage row conservation, BIT-EXACT corpus fidelity through the
@@ -63,11 +63,14 @@ class PipelineE2ESpec extends AnyFunSuite {
            roundTripped.exceptAll(orig).isEmpty,
            "decoded corpus must be bit-identical to the source")
 
-    // the curated-shard contract: t14 curation report and t26 epoch
+    // the curated-shard contract: the d10 near-dup curation report
+    // (run 9 — the dedup stage a real curation flow inserts between
+    // decode and packing), the t14 curation report and the t26 epoch
     // shards computed on the ROUND-TRIPPED corpus equal the direct
     // runs on the source dir — including t26's order_checksum, which
     // pins the exact per-shard training order
-    for (q <- Seq("t14_corpus_pipeline", "t26_epoch_shuffle")) {
+    for (q <- Seq("d10_curate_canonical", "t14_corpus_pipeline",
+                  "t26_epoch_shuffle")) {
       val direct = SparkEntry.queries(q)(spark, sf)
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
       val piped = SparkEntry.queries(q)(spark, corpus)
