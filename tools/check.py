@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [artifact.json]
 
 Reads each <outDir>/<name>/ parquet written by graft.Verify, runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
 tables, and compares (columns sorted by name, rows sorted, exact value
 equality; small report of diffs). Mirrors the driver contract in
 SURVEY.md §5 so mismatches are caught before the round gate runs.
+
+The optional third arg writes a CORRECTNESS-style JSON artifact
+({query: {pass, rows, detail}}) — used to commit committable evidence
+for off-driver gates (e.g. the sf10 heavy-slice gate).
 """
 import sys, os, json, glob
 import duckdb
@@ -31,7 +35,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, artifact=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -107,8 +111,22 @@ def main(sf_dir, out_dir):
     for k, v in sorted(results.items()):
         print(f"{'OK ' if v.startswith('PASS') else '** '}{k}: {v}")
     print(f"\n{npass}/{len(results)} pass ({nora} rows-only)")
+    if artifact:
+        doc = {
+            "sf_dir": sf_dir,
+            "n_pass": npass, "n_rows_only": nora, "n_total": len(results),
+            "queries": {
+                k: {"pass": v.startswith("PASS"),
+                    "rows": int(v.split("rows=")[1]) if "rows=" in v else None,
+                    "detail": v}
+                for k, v in sorted(results.items())},
+        }
+        with open(artifact, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"artifact written: {artifact}")
     return 0 if npass + nora == len(results) else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
