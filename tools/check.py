@@ -35,8 +35,29 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir, out_dir, artifact=None):
+def connect(sf_dir):
     con = duckdb.connect()
+    # Big-corpus discipline (the sf10 gate OOM'd without it): an
+    # in-memory DuckDB has NO temp directory, so blocking operators
+    # cannot spill and a corpus-sized join dies at the memory limit —
+    # and once one oracle OOMs, the wedged allocator spuriously fails
+    # even byte-sized allocations for every later query on the same
+    # connection (observed: 1487-byte "bad allocation" on queries that
+    # pass standalone). Give it a spill dir and a cap below the host's
+    # RAM so Spark-side leftovers don't push the process into the OOM
+    # killer.
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='80GB'")
+    # fewer threads = fewer concurrent per-thread operator states in
+    # blocking operators — materially lowers peak memory on the
+    # corpus-sized oracles, and the gate is correctness-, not
+    # latency-bound
+    con.execute("SET threads=16")
+    # the compare sorts rows itself, so insertion order is meaningless
+    # here — relaxing it lets DuckDB stream large joins/aggregations
+    # instead of buffering them for order (its documented big-ETL OOM
+    # lever)
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table: directory of part files
@@ -58,6 +79,11 @@ def main(sf_dir, out_dir, artifact=None):
             if str(pq.read_schema(part).field("ts").type) == "int64":
                 sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
+    return con
+
+
+def main(sf_dir, out_dir, artifact=None, only=None):
+    con = connect(sf_dir)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
@@ -65,6 +91,9 @@ def main(sf_dir, out_dir, artifact=None):
         if not os.path.isdir(qdir):
             continue
         name = os.path.basename(qdir)
+        if only is not None and name not in only:
+            continue
+        print(f"... {name}", flush=True)
         try:
             got = pq.read_table(qdir).to_pandas()
         except Exception as e:
@@ -77,6 +106,14 @@ def main(sf_dir, out_dir, artifact=None):
             exp = con.execute(oracles[name]).df()
         except Exception as e:
             results[name] = f"ORACLE-FAIL {type(e).__name__}: {e}"
+            # an OOM'd connection stays memory-wedged — rebuild it so
+            # one over-limit oracle cannot cascade failures onto the
+            # rest of the slice
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
             continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
@@ -128,5 +165,11 @@ def main(sf_dir, out_dir, artifact=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+    argv = sys.argv[1:]
+    only = None
+    for a in list(argv):
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+            argv.remove(a)
+    sys.exit(main(argv[0], argv[1],
+                  argv[2] if len(argv) > 2 else None, only))

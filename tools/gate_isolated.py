@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Oracle gate with per-query PROCESS isolation, for big corpora.
+
+At sf10 (500k docs) the heaviest oracles can exceed DuckDB's memory
+limit, and an OOM'd DuckDB wedges its process allocator — even a
+fresh connection in the same process then fails byte-sized
+allocations, cascading spurious failures across the rest of the slice
+(observed: 1487-byte "bad allocation" on queries that pass alone).
+Running tools/check.py once per query in a fresh process makes every
+verdict independent: a genuinely over-limit oracle records ORACLE-OOM
+for itself and nothing else.
+
+Usage: tools/gate_isolated.py <sfDir> <outDir> <artifact.json>
+                              [timeout_s per query, default 1800]
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+def main(sf, out, art, timeout):
+    names = [os.path.basename(d)
+             for d in sorted(glob.glob(os.path.join(out, "*")))
+             if os.path.isdir(d)]
+    here = os.path.dirname(os.path.abspath(__file__))
+    queries = {}
+    for q in names:
+        pf = f"{art}.part.{q}.json"
+        if os.path.exists(pf):
+            os.remove(pf)
+        detail = None
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "check.py"),
+                 sf, out, pf, f"--only={q}"],
+                timeout=timeout, capture_output=True, text=True)
+            if not os.path.exists(pf):
+                detail = (f"ORACLE-CRASH exit={r.returncode} "
+                          f"{(r.stderr or '').strip().splitlines()[-1:]}")
+        except subprocess.TimeoutExpired:
+            detail = f"ORACLE-TIMEOUT >{timeout}s"
+        if detail is None:
+            with open(pf) as f:
+                queries[q] = json.load(f)["queries"][q]
+            os.remove(pf)
+        else:
+            queries[q] = {"pass": False, "rows": None, "detail": detail}
+        print(f"{q}: {queries[q]['detail']}", flush=True)
+    npass = sum(1 for v in queries.values() if v["pass"])
+    doc = {"sf_dir": sf, "mode": "per-query process isolation",
+           "timeout_s": timeout,
+           "n_pass": npass, "n_total": len(queries),
+           "n_rows_only": sum(1 for v in queries.values()
+                              if v["detail"].startswith("NO-ORACLE")),
+           "queries": queries}
+    with open(art, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"\n{npass}/{len(queries)} pass; artifact written: {art}")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3],
+         int(sys.argv[4]) if len(sys.argv) > 4 else 1800)

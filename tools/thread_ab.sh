@@ -34,9 +34,13 @@
 # run concurrently with foreground sbt work — flags mirror build.sbt.
 #
 # Usage: tools/thread_ab.sh <outdir> <reps> <query> [query...]
+#   SPARK_GRAFT_AB_DIR   corpus dir (default target/scalecurve/sf30)
+#   SPARK_GRAFT_AB_CPUS  thread counts (default "32 16 8 4") — e.g.
+#                        "32 16" for the sf100 exponent-vs-threads run
 set -u
 OUT=$1; REPS=$2; shift 2
 DIR=${SPARK_GRAFT_AB_DIR:-/root/repo/target/scalecurve/sf30}
+CPUS=${SPARK_GRAFT_AB_CPUS:-"32 16 8 4"}
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for P in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -50,7 +54,7 @@ PIN="spark.sql.shuffle.partitions=32,spark.default.parallelism=32"
 PIN="$PIN,spark.sql.adaptive.coalescePartitions.parallelismFirst=false"
 mkdir -p "$OUT"
 for Q in "$@"; do
-  for C in 32 16 8 4; do
+  for C in $CPUS; do
     for R in $(seq 1 "$REPS"); do
       LOG="$OUT/${Q}_c${C}_r${R}.log"
       SPARK_GRAFT_CPUS=$C SPARK_GRAFT_CONF="$PIN" \
