@@ -1307,30 +1307,41 @@ object Dedup {
     // is a guaranteed superset of every >=0.7 pair, so the threshold
     // filter makes both engines' qualifying sets identical even though
     // Spark additionally applies the length/positional prunes).
+    // Slim-row oracle shape (r9): the original form carried both
+    // docs' FULL token lists through the candidate DISTINCT and
+    // list_intersect'd per pair — DuckDB OOM'd (and once segfaulted)
+    // on the list-heavy DISTINCT at 150k docs even with a spill dir,
+    // while this engine's own rank-then-filter build (r8) avoids
+    // exactly that. The oracle now mirrors it: rare-first prefix via
+    // row_number (no ordered-list build), candidates as bare id
+    // pairs, and the intersection size via an explode-join-count —
+    // every wide intermediate is narrow fixed-size rows. Result
+    // identical (same prefix order, same filters, same tie-breaks);
+    // gated wherever the old form was.
     "d22_best_match" ->
       s"""WITH t AS ($sqlDocs),
          |ts AS (SELECT doc_id,
          |         list_sort(list_distinct(
          |           list_transform($sqlShingles, $sqlHash60))) AS ts
          |       FROM t),
-         |f AS (SELECT tok, count(1) AS freq
-         |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) GROUP BY tok),
-         |o AS (SELECT doc_id, list(tok ORDER BY freq, tok) AS otoks
-         |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) e
-         |      JOIN f USING (tok)
-         |      GROUP BY doc_id),
-         |p0 AS (SELECT doc_id, otoks, length(otoks) AS n,
-         |         length(otoks) - (length(otoks) * 7 + 9) // 10 + 1 AS plen
-         |       FROM o),
-         |pr AS (SELECT doc_id, otoks,
-         |         unnest(list_slice(otoks, 1, plen)) AS tok FROM p0),
-         |c AS (SELECT DISTINCT a.doc_id AS a_id, a.otoks AS a_t,
-         |        b.doc_id AS b_id, b.otoks AS b_t
+         |e AS (SELECT doc_id, unnest(ts) AS tok FROM ts),
+         |f AS (SELECT tok, count(1) AS freq FROM e GROUP BY tok),
+         |n AS (SELECT doc_id, length(ts) AS n FROM ts),
+         |rk AS (SELECT e.doc_id, e.tok, row_number() OVER (
+         |         PARTITION BY e.doc_id ORDER BY f.freq, e.tok) AS rnk
+         |       FROM e JOIN f USING (tok)),
+         |pr AS (SELECT rk.doc_id, rk.tok
+         |       FROM rk JOIN n USING (doc_id)
+         |       WHERE rnk <= n.n - (n.n * 7 + 9) // 10 + 1),
+         |c AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |      FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id),
-         |j AS (SELECT a_id, b_id,
-         |        length(list_intersect(a_t, b_t)) AS inter,
-         |        length(a_t) + length(b_t) - length(list_intersect(a_t, b_t)) AS uni
-         |      FROM c),
+         |j AS (SELECT c.a_id, c.b_id,
+         |        length(list_intersect(ta.ts, tb.ts)) AS inter,
+         |        length(ta.ts) + length(tb.ts)
+         |          - length(list_intersect(ta.ts, tb.ts)) AS uni
+         |      FROM c
+         |      JOIN ts ta ON ta.doc_id = c.a_id
+         |      JOIN ts tb ON tb.doc_id = c.b_id),
          |q AS (SELECT a_id, b_id,
          |        CAST(inter AS BIGINT) * 1000000 // uni AS jac_ppm
          |      FROM j WHERE 10 * inter >= 7 * uni),
