@@ -1,6 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Round-over-round regression watch, host-shift-aware (r9 verdict:
+    * the raw >20% rule flagged 31 queries on a uniformly ~12%-slower
+    * host pass — a watch that cries wolf 31 times on a host mode will
+    * be ignored the one time a real regression fires). Each query's
+    * ratio now/prev is NORMALIZED by the run-median ratio (the host
+    * shift — every query moving together is the machine, one query
+    * moving alone is the code) before the >20% rule applies. The
+    * jitter floor applies to max(prev, now), not prev alone, so a
+    * sub-floor query that blows up (0.10 s → 5 s) still fires.
+    *
+    * Returns (hostShift, flagged) where flagged = (name, prev, now,
+    * normalizedRatio) sorted worst-first. Pure so BenchWatchSpec can
+    * pin both the uniform-shift-silent and planted-spike-fires cases
+    * without booting Spark.
+    */
+  def regressionWatch(prev: Map[String, Double], now: Map[String, Double])
+      : (Double, Seq[(String, Double, Double, Double)]) = {
+    val ratios = now.toSeq.flatMap { case (name, t) =>
+      prev.get(name).collect {
+        case was if math.max(was, t) >= 0.15 =>
+          (name, was, t, t / math.max(was, 1e-9))
+      }
+    }
+    val hostShift =
+      if (ratios.isEmpty) 1.0
+      else {
+        val sorted = ratios.map(_._4).sorted
+        val n = sorted.length
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      }
+    val flagged = ratios
+      .map { case (name, was, t, r) => (name, was, t, r / hostShift) }
+      .filter(_._4 > 1.2)
+      .sortBy(-_._4)
+    (hostShift, flagged)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -122,22 +160,24 @@ object Bench {
                            "g3_neighbor_agg", "g4_bfs", "g5_label_prop",
                            "m5_binary_ingest", "m6_image_decode",
                            "m7_audio_decode", "m8_perceptual_dedup",
-                           "m9_image_augment", "m10_audio_augment")
+                           "m9_image_augment", "m10_audio_augment",
+                           "m11_media_shards")
       .filter(results.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Round-over-round regression watch (r8 verdict #6: the m10 +30%
     // drift sat invisible for a round because nothing diffs the
     // per-query map automatically). Compare each query's min against
-    // the PREVIOUS committed map — read BEFORE this run overwrites it
-    // — and declare every >20% mover above a 0.15 s floor (below the
-    // floor, scheduling jitter on this host routinely exceeds 20%).
-    // Loud but not fatal: the bench's job is to measure, the
-    // builder's/judge's job is to react; a regressions array in the
-    // artifact is un-ignorable either way.
+    // the PREVIOUS committed map — read BEFORE this run overwrites it.
+    // Host-shift-aware since r10 (see regressionWatch): a uniformly
+    // slower host pass produces an EMPTY regressions array plus a
+    // host_shift field carrying the global move; only queries that
+    // moved >20% relative to the rest of the run are flagged. Loud
+    // but not fatal: the bench's job is to measure, the
+    // builder's/judge's job is to react.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val mapFile = if (sfName == "sf0.1") "BENCH_PER_QUERY.json"
                   else s"BENCH_PER_QUERY_$sfName.json"
-    val regressions: String = {
+    val (hostShift, flagged) = {
       val prev: Map[String, Double] = try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(mapFile)), "UTF-8")
@@ -147,17 +187,15 @@ object Bench {
           .findAllMatchIn(txt.substring(qStart))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-      results.toSeq.flatMap { case (name, now) =>
-        prev.get(name).collect {
-          case was if was >= 0.15 && now > was * 1.2 =>
-            (name, was, now, now / was)
-        }
-      }.sortBy(-_._4).map { case (name, was, now, _) =>
-        s"""{"q":"$name","prev":${f"$was%.2f"},"now":${f"$now%.2f"}}"""
-      }.mkString("[", ",", "]")
+      regressionWatch(prev, results)
     }
+    val regressions: String = flagged.map { case (name, was, now, norm) =>
+      s"""{"q":"$name","prev":${f"$was%.2f"},"now":${f"$now%.2f"},""" +
+        s""""norm_ratio":${f"$norm%.2f"}}"""
+    }.mkString("[", ",", "]")
     val meta = s""""runs":$runs,"spread_pct":${f"$spreadPct%.1f"},""" +
       s""""run_totals":[${perRun.map(t => f"$t%.1f").mkString(",")}],""" +
+      s""""host_shift":${f"$hostShift%.3f"},""" +
       s""""regressions":$regressions,""" +
       s""""artifact_warm":$artifactWarm"""
     // The driver tail-captures only the LAST 2000 chars of stdout, so

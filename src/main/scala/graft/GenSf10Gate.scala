@@ -35,8 +35,12 @@ object GenSf10Gate {
     ScaleCurve.genScaled(spark, s"$base/sf0.1", out, 100,
       Set("documents", "events"))
     // embeddings: the deep corpus skipped them (documents/events-only);
-    // genScaled's _GEN_DONE marker predates them, so generate directly
-    if (!new java.io.File(s"$out/embeddings.parquet").exists())
+    // genScaled's _GEN_DONE marker predates them, so generate directly.
+    // Gate on the _SUCCESS marker INSIDE the table, not bare directory
+    // existence — a run that crashed mid-overwrite leaves a partial
+    // directory that would otherwise pass the check and silently feed
+    // the gate an incomplete corpus.
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
       ScaleCurve.genEmbeddings(spark, s"$base/sf0.1", out, 100)
     println(s"sf10 gate corpus ready at $out")
     spark.stop()

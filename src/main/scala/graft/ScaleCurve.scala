@@ -53,16 +53,28 @@ object ScaleCurve {
       // and the repartition right after the explode spreads the
       // suffixing regexp and the write across the cluster instead of
       // leaving the ×nCopies fan-out inside the source's few scan
-      // tasks. Output rows are IDENTICAL to the old per-copy union
-      // (same ids, same suffixes); only file order differs.
+      // tasks.
+      //
+      // Copy 0 keeps the ORIGINAL text byte-identical (r9 verdict #3:
+      // suffixing every copy — including copy 0 — broke fixed-search-
+      // term and planted-structure queries at the replicated scales,
+      // so t19's BM25 terms and n16's bitext pairs matched nothing and
+      // their sf10 gate rows were exact-but-vacuous empties). The
+      // disjointness invariant is unchanged: unsuffixed words never
+      // collide with "<word>c<N>" suffixed ones, so shingle
+      // vocabularies stay copy-local and per-copy candidate structure
+      // is identical (each copy is still a per-word bijective
+      // relabeling of the source).
       val docs = graft.sources.Tables.table(spark, srcDir, "documents")
       docs
         .withColumn("c", explode(sequence(lit(0), lit(nCopies - 1))))
         .repartition(col("doc_id"), col("c"))
         .select(
           (col("doc_id") + col("c").cast("long") * 10000000L).as("doc_id"),
-          regexp_replace(col("text"), lit("(\\S+)"),
-                         concat(lit("$1c"), col("c").cast("string")))
+          when(col("c") === 0, col("text"))
+            .otherwise(
+              regexp_replace(col("text"), lit("(\\S+)"),
+                             concat(lit("$1c"), col("c").cast("string"))))
             .as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -100,11 +112,23 @@ object ScaleCurve {
     ()
   }
 
-  /** embeddings replication: id shift only (vectors unchanged — copy
-    * density growth is exactly what an ANN index sees). Explode-based
-    * like documents, not an nCopies-way union (plan stays O(1) in
-    * nCopies). Public so GenSf10Gate can complete a deep corpus that
-    * was generated documents/events-only.
+  /** embeddings replication: id shift + a per-copy ISOMETRIC sign
+    * relabeling of the vector space (copy 0 byte-identical). Copy
+    * c > 0 multiplies dimension i by the deterministic sign
+    * 1 − 2·(murmur3(c, i) mod 2) — a diagonal ±1 matrix is
+    * orthogonal, so every WITHIN-copy cosine/dot/distance is exactly
+    * preserved (float sign flips are exact) while CROSS-copy
+    * similarities decorrelate: neighborhoods stay copy-local, the
+    * embedding analog of the documents table's disjoint word
+    * suffixes. The r9 scheme copied vectors UNCHANGED, and 100 exact
+    * duplicates of every point saturated each top-k neighborhood
+    * with equal sims — n16's CSLS margin then collapsed to exactly
+    * 1.0 corpus-wide and its sf10 gate row passed vacuously empty
+    * (the margin criterion doing its job on a degenerate corpus, but
+    * a gate row that proved nothing). Explode-based like documents,
+    * not an nCopies-way union (plan stays O(1) in nCopies). Public so
+    * GenSf10Gate can complete a deep corpus that was generated
+    * documents/events-only.
     */
   def genEmbeddings(spark: SparkSession, srcDir: String, outDir: String,
                     nCopies: Int): Unit = {
@@ -113,7 +137,12 @@ object ScaleCurve {
       .withColumn("c", explode(sequence(lit(0), lit(nCopies - 1))))
       .repartition(col("vec_id"), col("c"))
       .select((col("vec_id") + col("c").cast("long") * 10000000L).as("vec_id"),
-              col("embedding"), col("label"))
+              when(col("c") === 0, col("embedding"))
+                .otherwise(expr(
+                  "transform(embedding, (x, i) -> " +
+                    "x * cast(1 - 2 * pmod(hash(c, i), 2) as float))"))
+                .as("embedding"),
+              col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
@@ -277,8 +306,20 @@ object ScaleCurve {
       var depth = 0
       var j = json.indexOf('{', i)
       var end = -1
+      // brace counting must skip string literals: a methodology/note
+      // field containing '{' or '}' would otherwise unbalance the scan
+      var inStr = false
+      var esc = false
       while (end < 0) {
-        json.charAt(j) match {
+        require(j < json.length,
+          s"""unbalanced braces extracting "$key" — truncated artifact?""")
+        val ch = json.charAt(j)
+        if (inStr) {
+          if (esc) esc = false
+          else if (ch == '\\') esc = true
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' => inStr = true
           case '{' => depth += 1
           case '}' => depth -= 1; if (depth == 0) end = j
           case _ =>
@@ -547,7 +588,13 @@ object ScaleCurve {
       s""""exp_top2":${fmt(e)},"wall_ratio_top2":${fmt(ratio)}}"""
     } ++ deepOps.collect { case (op, _) if deepestOps(op) =>
       oldArtifact
-        .flatMap(o => extractEntry(o, op, o.indexOf("\"deep_ops\"")))
+        .flatMap { o =>
+          // a missing deep_ops section means "no committed deep entry"
+          // — indexOf's -1 would restart the search at 0 and silently
+          // splice the SHALLOW ops entry for the same op instead
+          val at = o.indexOf("\"deep_ops\"")
+          if (at < 0) None else extractEntry(o, op, at)
+        }
         .getOrElse(sys.error(s"no committed deep entry for $op in $out — " +
           "its points come from tools/deep_profile.sh + " +
           "tools/patch_deepcurve.py (fresh-JVM-per-point); run those " +

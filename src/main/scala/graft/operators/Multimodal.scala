@@ -215,11 +215,19 @@ object Multimodal {
         java.nio.file.Files.readString(marker) == fingerprint) return
     java.nio.file.Files.deleteIfExists(marker)
     // clear stale data files (a different corpus's ids would be
-    // join-dropped downstream, but decoding them would still cost)
+    // join-dropped downstream, but decoding them would still cost);
+    // recursive because m11's fixture contains a directory
+    // (index.parquet) alongside its shard files
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val kids = java.nio.file.Files.list(p)
+        try kids.forEach(rmTree) finally kids.close()
+      }
+      java.nio.file.Files.delete(p)
+    }
     val stale = java.nio.file.Files.list(dir)
     try stale.forEach { p =>
-      if (!p.getFileName.toString.startsWith("_"))
-        java.nio.file.Files.delete(p)
+      if (!p.getFileName.toString.startsWith("_")) rmTree(p)
     } finally stale.close()
     render
     java.nio.file.Files.writeString(marker, fingerprint)
@@ -503,25 +511,63 @@ object Multimodal {
     renderedOnce(out, idFingerprint(s, d)) {
     spreadIds(s, d)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        import javax.sound.sampled._
-        val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit LE mono PCM
         it.foreach { r =>
           val id = r.getLong(0)
-          val n = (64 + id % 128).toInt
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val v = ((id * 37 + i * 17) % 4096 - 2048).toInt
-            pcm(2 * i) = (v & 0xff).toByte
-            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
-            i += 1
-          }
-          val ais = new AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
-            new java.io.File(out, f"$id%012d.wav"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"$id%012d.wav"), wavBytes(id))
         }
       }
+  }
+
+  /** The encoded RIFF/WAVE bytes of one clip — the shared render body
+    * behind both media layouts: renderWavs writes one LOOSE file per
+    * asset (m7/m10's small-file baseline), m11 packs the same bytes
+    * into per-partition container shards. One source of truth keeps
+    * the two layouts bit-identical, so m11's oracle can be m7's.
+    */
+  private[operators] def wavBytes(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit LE mono PCM
+    val n = (64 + id % 128).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((id * 37 + i * 17) % 4096 - 2048).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real-codec WAV decode + amplitude stats — shared by m7 (loose
+    * files) and m11 (packed shards) so the two layouts cannot drift.
+    */
+  private[operators] def decodeWav(id: Long, bytes: Array[Byte]): AudioDecoded = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getSampleRate == 8000f && f.getSampleSizeInBits == 16 &&
+            f.getChannels == 1 && !f.isBigEndian,
+      s"codec misparse for clip $id: $f")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    var (sum, sabs) = (0L, 0L)
+    var (mx, mn) = (Int.MinValue, Int.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      sum += v; sabs += math.abs(v)
+      if (v > mx) mx = v
+      if (v < mn) mn = v
+      i += 1
+    }
+    AudioDecoded(id, n, sum, sabs, mx, mn)
   }
 
   val m7AudioDecode: Q = (s, d) => {
@@ -535,32 +581,52 @@ object Multimodal {
         col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        import javax.sound.sampled._
-        it.map { case (id, bytes) =>
-          val ais = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val f = ais.getFormat
-          require(f.getSampleRate == 8000f && f.getSampleSizeInBits == 16 &&
-                  f.getChannels == 1 && !f.isBigEndian,
-            s"codec misparse for clip $id: $f")
-          val pcm = ais.readAllBytes()
-          val n = pcm.length / 2
-          var (sum, sabs) = (0L, 0L)
-          var (mx, mn) = (Int.MinValue, Int.MaxValue)
-          var i = 0
-          while (i < n) {
-            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
-            sum += v; sabs += math.abs(v)
-            if (v > mx) mx = v
-            if (v < mn) mn = v
-            i += 1
-          }
-          AudioDecoded(id, n, sum, sabs, mx, mn)
-        }
+        // per-partition codec init
+        it.map { case (id, bytes) => decodeWav(id, bytes) }
       }
     val meta = graft.sources.Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
     decoded.join(meta, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+           sum(col("n_samples").cast("long")).as("n_samples"),
+           sum(col("sum_amp")).as("sum_amp"),
+           sum(col("sum_abs")).as("sum_abs"),
+           max(col("max_amp")).cast("long").as("max_amp"),
+           min(col("min_amp")).cast("long").as("min_amp"))
+  }
+
+  /** PACKED-media layout twin of m7 — the 100 TB answer to the
+    * m-family's one remaining anti-pattern (r9 verdict: media as
+    * thousands of loose per-asset files measurably owned m10's
+    * residual cost — the decode stage was >90% per-open I/O wait; at
+    * cluster scale a loose layout is billions of object-store
+    * requests). The SAME clips (wavBytes — bit-identical to m7's
+    * loose files) pack into ONE container shard per executor
+    * partition with a parquet offset index (sources.MediaShards:
+    * WebDataset-tar / sequence-file discipline, and the media-bytes
+    * analog of the reference's K1 row chunking,
+    * kafka_topic_dumper/kafka_client.py:239-243). The read path is
+    * one index shuffle (K-byte rows) + one open and one forward
+    * sequential scan per shard, then the identical real-codec decode
+    * (decodeWav) and per-source rollup — so the m7 vs m11 bench
+    * delta isolates exactly the layout cost, and the oracle is
+    * LITERALLY m7's closed-form SQL: a lossless pack must reproduce
+    * the loose layout's stats hash-exactly.
+    */
+  val m11MediaShards: Q = (s, d) => {
+    import s.implicits._
+    val out = Coverage.scratchDir("m11_shards")
+    renderedOnce(out, idFingerprint(s, d)) {
+      graft.sources.MediaShards.pack(s, spreadIds(s, d), out)(wavBytes)
+    }
+    graft.sources.MediaShards.readMembers(s, out)
+      .mapPartitions { it =>
+        // per-partition codec init
+        it.map { case (id, bytes) => decodeWav(id, bytes) }
+      }
+      .join(graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_clips"),
            sum(col("n_samples").cast("long")).as("n_samples"),
@@ -672,11 +738,33 @@ object Multimodal {
     "m9_image_augment" -> m9ImageAugment,
     "m10_audio_augment" -> m10AudioAugment,
     "m7_audio_decode" -> m7AudioDecode,
+    "m11_media_shards" -> m11MediaShards,
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan,
     "m4_feature_extract" -> m4FeatureExtract,
   )
+
+  /** Closed-form replay of the WAV amplitude stats — shared verbatim
+    * by m7 (loose files) and m11 (packed shards): both layouts carry
+    * bit-identical clips, so one oracle pins both.
+    */
+  private val wavStatsOracle: String =
+    """WITH clips AS (
+      |  SELECT doc_id, source, 64 + doc_id % 128 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, n,
+      |    list_transform(range(0, n),
+      |                   i -> (doc_id*37 + i*17) % 4096 - 2048) AS xs
+      |  FROM clips)
+      |SELECT source, count(1) AS n_clips,
+      |  CAST(sum(n) AS BIGINT) AS n_samples,
+      |  CAST(sum(list_sum(xs)) AS BIGINT) AS sum_amp,
+      |  CAST(sum(list_sum(list_transform(xs, x -> abs(x)))) AS BIGINT) AS sum_abs,
+      |  CAST(max(list_max(xs)) AS BIGINT) AS max_amp,
+      |  CAST(min(list_min(xs)) AS BIGINT) AS min_amp
+      |FROM s GROUP BY source""".stripMargin
 
   // The fake decode is pure byte arithmetic, so the oracle can replay
   // it in SQL: width = 16 + octet_len%64, height = 16 + first_byte%64.
@@ -707,22 +795,11 @@ object Multimodal {
         |FROM cl GROUP BY cluster_size""".stripMargin,
     // the clip is a pure function of doc_id and PCM WAV is lossless,
     // so the oracle rebuilds every decoded amplitude stat closed-form
-    "m7_audio_decode" ->
-      """WITH clips AS (
-        |  SELECT doc_id, source, 64 + doc_id % 128 AS n
-        |  FROM documents),
-        |s AS (
-        |  SELECT source, n,
-        |    list_transform(range(0, n),
-        |                   i -> (doc_id*37 + i*17) % 4096 - 2048) AS xs
-        |  FROM clips)
-        |SELECT source, count(1) AS n_clips,
-        |  CAST(sum(n) AS BIGINT) AS n_samples,
-        |  CAST(sum(list_sum(xs)) AS BIGINT) AS sum_amp,
-        |  CAST(sum(list_sum(list_transform(xs, x -> abs(x)))) AS BIGINT) AS sum_abs,
-        |  CAST(max(list_max(xs)) AS BIGINT) AS max_amp,
-        |  CAST(min(list_min(xs)) AS BIGINT) AS min_amp
-        |FROM s GROUP BY source""".stripMargin,
+    "m7_audio_decode" -> wavStatsOracle,
+    // m11 reads the SAME clips from the packed-shard layout, so its
+    // oracle is literally m7's: a lossless pack + index round trip
+    // must reproduce the loose layout's stats hash-exactly
+    "m11_media_shards" -> wavStatsOracle,
     // the image is a pure function of doc_id and PNG is lossless, so
     // the oracle rebuilds every decoded stat without touching a codec:
     // per-pixel channel values replayed via list_transform over w*h

