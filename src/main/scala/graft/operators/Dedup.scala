@@ -1657,30 +1657,55 @@ object Dedup {
          |SELECT lang, CAST(floor(inter * 10.0 / uni) AS BIGINT) AS j_band, count(1) AS n_pairs
          |FROM p WHERE floor(inter * 10.0 / uni) >= 5
          |GROUP BY lang, j_band""".stripMargin,
+    // The oracle mirrors the ENGINE's candidate machinery exactly —
+    // r10 rewrite after the sf10 gate OOM'd/segfaulted DuckDB twice:
+    // (a) the exploded prefix rows are SLIM (doc_id, n, tok, pos) and
+    // the DISTINCT runs on bare id pairs with the token lists joined
+    // back once per surviving pair (the d22 discipline; the old shape
+    // carried both ~300-element lists through the candidate DISTINCT);
+    // (b) the PPJoin LENGTH (10·|A| ≥ 7·|B| both ways) and POSITIONAL
+    // (17·min(na−pa, nb−pb) ≥ 7·(na+nb)) filters ride the join, so
+    // DuckDB's candidate set is the engine's 3.33M pairs at sf10, not
+    // the 20.2M raw prefix matches (result-identical: the filters
+    // never drop a qualifying pair's first-common-token row);
+    // (c) the multi-consumer CTEs are MATERIALIZED and the VERIFY
+    // stage intersects the value-sorted `ts` sets (the same sets —
+    // `otoks` is just a freq-ordered permutation), so the expensive
+    // rank pipeline `o` has exactly ONE consumer: DuckDB 1.0 re-
+    // inlines CTEs per consumer even under the MATERIALIZED hint, and
+    // duplicating the rank subtree into the verify joins is what
+    // exhausted memory (this shape: 185 s at sf10 inside 70 GB).
     "d8_prefix_join" ->
       s"""WITH t AS ($sqlDocs),
-         |ts AS (SELECT doc_id, lang,
+         |ts AS MATERIALIZED (SELECT doc_id, lang,
          |         list_sort(list_distinct(
          |           list_transform($sqlShingles, $sqlHash60))) AS ts
          |       FROM t),
          |f AS (SELECT tok, count(1) AS freq
          |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) GROUP BY tok),
-         |o AS (SELECT doc_id, lang, list(tok ORDER BY freq, tok) AS otoks
+         |o AS MATERIALIZED (
+         |      SELECT doc_id, lang, list(tok ORDER BY freq, tok) AS otoks
          |      FROM (SELECT doc_id, lang, unnest(ts) AS tok FROM ts) e
          |      JOIN f USING (tok)
          |      GROUP BY doc_id, lang),
          |p0 AS (SELECT doc_id, lang, otoks, length(otoks) AS n,
          |         length(otoks) - (length(otoks) * 7 + 9) // 10 + 1 AS plen
          |       FROM o),
-         |pr AS (SELECT doc_id, lang, otoks,
-         |         unnest(list_slice(otoks, 1, plen)) AS tok FROM p0),
-         |c AS (SELECT DISTINCT a.doc_id AS a_id, a.lang, a.otoks AS a_t,
-         |        b.doc_id AS b_id, b.otoks AS b_t
-         |      FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id),
-         |j AS (SELECT a_id, lang,
-         |        length(list_intersect(a_t, b_t)) AS inter,
-         |        length(a_t) + length(b_t) - length(list_intersect(a_t, b_t)) AS uni
-         |      FROM c)
+         |pr AS MATERIALIZED (SELECT doc_id, n,
+         |         unnest(list_slice(otoks, 1, plen)) AS tok,
+         |         unnest(range(0, plen)) AS pos FROM p0),
+         |c AS MATERIALIZED (
+         |      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |      FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |        AND 10 * a.n >= 7 * b.n AND 10 * b.n >= 7 * a.n
+         |        AND 17 * least(a.n - a.pos, b.n - b.pos)
+         |              >= 7 * (a.n + b.n)),
+         |j AS (SELECT c.a_id, ta.lang,
+         |        length(list_intersect(ta.ts, tb.ts)) AS inter,
+         |        length(ta.ts) + length(tb.ts)
+         |          - length(list_intersect(ta.ts, tb.ts)) AS uni
+         |      FROM c JOIN ts ta ON ta.doc_id = c.a_id
+         |             JOIN ts tb ON tb.doc_id = c.b_id)
          |SELECT lang, count(1) AS n_pairs, min(a_id) AS min_a
          |FROM j WHERE 10 * inter >= 7 * uni GROUP BY lang""".stripMargin,
     // transitive closure via a recursive CTE (components are tiny

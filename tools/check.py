@@ -47,12 +47,14 @@ def connect(sf_dir):
     # RAM so Spark-side leftovers don't push the process into the OOM
     # killer.
     con.execute("SET temp_directory='/tmp/duck_spill'")
-    con.execute("SET memory_limit='80GB'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_DUCK_MEM", "80GB"))
     # fewer threads = fewer concurrent per-thread operator states in
     # blocking operators — materially lowers peak memory on the
     # corpus-sized oracles, and the gate is correctness-, not
     # latency-bound
-    con.execute("SET threads=16")
+    con.execute("SET threads=%d"
+                % int(os.environ.get("GRAFT_DUCK_THREADS", "16")))
     # the compare sorts rows itself, so insertion order is meaningless
     # here — relaxing it lets DuckDB stream large joins/aggregations
     # instead of buffering them for order (its documented big-ETL OOM

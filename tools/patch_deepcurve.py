@@ -38,7 +38,15 @@ def main(outdir, queries):
                         if j["wall_s"] < cur["wall_s"]:
                             pts[sf] = j
         assert pts, f"no PROFILE_JSON for {q} under {outdir}"
-        old = {p["sf"]: p["n"] for p in deep[q]["series"]}
+        if q in deep:
+            ref = deep[q]
+        else:
+            # first deep entry for this op: inherit row counts from the
+            # committed d8 entry — every documents-table deep op reads
+            # the same corpora, so the n per scale is shared
+            ref = {"table": "documents", "series":
+                   deep["d8_prefix_join"]["series"]}
+        old = {p["sf"]: p["n"] for p in ref["series"]}
         series = []
         for sf in ORDER:
             if sf not in pts:
@@ -53,7 +61,7 @@ def main(outdir, queries):
         (n1, s1, e1), (n2, s2, e2) = [
             (p["n"], p["sec"], p["exec_s"]) for p in series[-2:]]
         deep[q] = {
-            "table": deep[q]["table"],
+            "table": ref["table"],
             "methodology": "fresh-jvm-per-point min-of-reps (QueryProfile)",
             "series": series,
             "exp_top2": round(math.log(s2 / s1) / math.log(n2 / n1), 4),
