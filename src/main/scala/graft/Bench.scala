@@ -7,9 +7,13 @@ object Bench {
     * be ignored the one time a real regression fires). Each query's
     * ratio now/prev is NORMALIZED by the run-median ratio (the host
     * shift — every query moving together is the machine, one query
-    * moving alone is the code) before the >20% rule applies. The
-    * jitter floor applies to max(prev, now), not prev alone, so a
-    * sub-floor query that blows up (0.10 s → 5 s) still fires.
+    * moving alone is the code) before the >20% rule applies, AND the
+    * shift-net absolute delta must reach 0.3 s: two clean back-to-back
+    * r10 passes flagged 13 and 10 DISJOINT queries, all sub-second
+    * with deltas <= 0.24 s — that is this host's per-query min jitter,
+    * not code. The r9 drift the watch exists for (m10, 3.05 -> 4.0 s)
+    * clears both terms, as does any sub-floor query that blows up
+    * (0.10 s -> 5 s).
     *
     * Returns (hostShift, flagged) where flagged = (name, prev, now,
     * normalizedRatio) sorted worst-first. Pure so BenchWatchSpec can
@@ -34,7 +38,8 @@ object Bench {
       }
     val flagged = ratios
       .map { case (name, was, t, r) => (name, was, t, r / hostShift) }
-      .filter(_._4 > 1.2)
+      .filter { case (_, was, t, norm) =>
+        norm > 1.2 && t / hostShift - was >= 0.3 }
       .sortBy(-_._4)
     (hostShift, flagged)
   }

@@ -37,6 +37,25 @@ class BenchWatchSpec extends AnyFunSuite {
       s"normalized ratio should be the 2x net of host shift, got $norm")
   }
 
+  test("sub-second jitter above 20% but below the 0.3s net delta is silent") {
+    // the r10 observation: two clean back-to-back passes flagged 13
+    // and 10 DISJOINT queries, every one a sub-second min moving
+    // <= 0.24 s — per-query jitter, not code. The absolute-delta term
+    // silences exactly this class.
+    val now = prev.map { case (k, v) =>
+      k -> (if (k == "q2") v * 1.35 else v) // q2: 0.30 -> 0.405, +0.105
+    }
+    val (_, flagged) = Bench.regressionWatch(prev, now)
+    assert(flagged.isEmpty, s"jitter-sized move flagged: $flagged")
+  }
+
+  test("the r9 m10 drift (3.05 -> 4.0 s) fires both terms") {
+    val p = prev + ("m10" -> 3.05)
+    val now = p.map { case (k, v) => k -> (if (k == "m10") 4.0 else v) }
+    val (_, flagged) = Bench.regressionWatch(p, now)
+    assert(flagged.map(_._1) == Seq("m10"))
+  }
+
   test("a sub-floor query that blows up is still flagged (floor on max)") {
     // prev 0.10 s is below the 0.15 s jitter floor; the old rule
     // (floor applied to prev only) never flagged it at ANY size of jump
