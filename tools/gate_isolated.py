@@ -63,15 +63,25 @@ def main(sf, out, art, timeout, merge=False):
     # a 0-row pass is exact but VACUOUS (both engines agree on empty);
     # list those explicitly so the artifact says what the gate proved
     # instead of leaving it to prose (r9 verdict: n16 passed empty at
-    # sf10 undisclosed)
+    # sf10 undisclosed) — and REQUIRE an individual justification from
+    # tools/vacuous_notes.json, embedded in the artifact, for each one
     vacuous = sorted(q for q, v in queries.items()
                      if v["pass"] and v.get("rows") == 0)
+    notes_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "vacuous_notes.json")
+    notes = json.load(open(notes_path)) if os.path.exists(notes_path) else {}
+    missing = [q for q in vacuous if q not in notes]
+    assert not missing, (
+        f"vacuous gate rows without a justification in {notes_path}: "
+        f"{missing} — explain each empty-but-exact row or fix the corpus")
+    vacuous_notes = {q: notes[q] for q in vacuous}
     doc = {"sf_dir": sf, "mode": "per-query process isolation",
            "timeout_s": timeout,
            "n_pass": npass, "n_total": len(queries),
            "n_rows_only": sum(1 for v in queries.values()
                               if v["detail"].startswith("NO-ORACLE")),
            "vacuous": vacuous,
+           "vacuous_notes": vacuous_notes,
            "queries": queries}
     with open(art, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
