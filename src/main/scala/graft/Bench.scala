@@ -166,7 +166,7 @@ object Bench {
                            "m5_binary_ingest", "m6_image_decode",
                            "m7_audio_decode", "m8_perceptual_dedup",
                            "m9_image_augment", "m10_audio_augment",
-                           "m11_media_shards")
+                           "m11_media_shards", "m12_shard_pruned")
       .filter(results.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Round-over-round regression watch (r8 verdict #6: the m10 +30%

@@ -614,13 +614,14 @@ object Multimodal {
     * LITERALLY m7's closed-form SQL: a lossless pack must reproduce
     * the loose layout's stats hash-exactly.
     */
-  val m11MediaShards: Q = (s, d) => {
+  private def shardDecodeRollup(s: SparkSession, d: String,
+      where: Seq[org.apache.spark.sql.Column]): DataFrame = {
     import s.implicits._
     val out = Coverage.scratchDir("m11_shards")
     renderedOnce(out, idFingerprint(s, d)) {
       graft.sources.MediaShards.pack(s, spreadIds(s, d), out)(wavBytes)
     }
-    graft.sources.MediaShards.readMembers(s, out)
+    graft.sources.MediaShards.readMembers(s, out, where)
       .mapPartitions { it =>
         // per-partition codec init
         it.map { case (id, bytes) => decodeWav(id, bytes) }
@@ -635,6 +636,21 @@ object Multimodal {
            max(col("max_amp")).cast("long").as("max_amp"),
            min(col("min_amp")).cast("long").as("min_amp"))
   }
+
+  val m11MediaShards: Q = (s, d) => shardDecodeRollup(s, d, Nil)
+
+  /** PRUNED read over the packed layout — the selection half of the
+    * 100 TB story (m11 is the sequential-scan half): the doc_id
+    * predicate applies to the parquet OFFSET INDEX (reaching its scan
+    * as a pushed filter — MediaShardsSpec pins the plan), and the
+    * member reader seeks only to selected offsets, so "decode 5% of
+    * the corpus" touches ~5% of the shard bytes instead of opening
+    * every asset (the loose layout's only pruning is filename
+    * gymnastics AFTER listing all N files). Shares m11's fixture and
+    * decode; the oracle is the same closed form under the same WHERE.
+    */
+  val m12ShardPruned: Q = (s, d) =>
+    shardDecodeRollup(s, d, Seq(col("doc_id") < 250))
 
   case class PHashed(doc_id: Long, phash: Long)
 
@@ -739,20 +755,22 @@ object Multimodal {
     "m10_audio_augment" -> m10AudioAugment,
     "m7_audio_decode" -> m7AudioDecode,
     "m11_media_shards" -> m11MediaShards,
+    "m12_shard_pruned" -> m12ShardPruned,
     "m1_decode_meta" -> m1DecodeMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan,
     "m4_feature_extract" -> m4FeatureExtract,
   )
 
-  /** Closed-form replay of the WAV amplitude stats — shared verbatim
-    * by m7 (loose files) and m11 (packed shards): both layouts carry
-    * bit-identical clips, so one oracle pins both.
+  /** Closed-form replay of the WAV amplitude stats — shared by m7
+    * (loose files), m11 (packed shards) and m12 (pruned shard read):
+    * all three read bit-identical clips, so one closed form pins all,
+    * parameterized only by the member predicate.
     */
-  private val wavStatsOracle: String =
-    """WITH clips AS (
+  private def wavStatsOracle(whereClause: String = ""): String =
+    s"""WITH clips AS (
       |  SELECT doc_id, source, 64 + doc_id % 128 AS n
-      |  FROM documents),
+      |  FROM documents$whereClause),
       |s AS (
       |  SELECT source, n,
       |    list_transform(range(0, n),
@@ -795,11 +813,14 @@ object Multimodal {
         |FROM cl GROUP BY cluster_size""".stripMargin,
     // the clip is a pure function of doc_id and PCM WAV is lossless,
     // so the oracle rebuilds every decoded amplitude stat closed-form
-    "m7_audio_decode" -> wavStatsOracle,
+    "m7_audio_decode" -> wavStatsOracle(),
     // m11 reads the SAME clips from the packed-shard layout, so its
     // oracle is literally m7's: a lossless pack + index round trip
     // must reproduce the loose layout's stats hash-exactly
-    "m11_media_shards" -> wavStatsOracle,
+    "m11_media_shards" -> wavStatsOracle(),
+    // m12 is the same closed form under the member predicate: an
+    // index-pruned read must equal decoding the filtered subset
+    "m12_shard_pruned" -> wavStatsOracle(" WHERE doc_id < 250"),
     // the image is a pure function of doc_id and PNG is lossless, so
     // the oracle rebuilds every decoded stat without touching a codec:
     // per-pixel channel values replayed via list_transform over w*h

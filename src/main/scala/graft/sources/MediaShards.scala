@@ -112,16 +112,28 @@ object MediaShards {
     index.write.mode("overwrite").parquet(s"$dir/index.parquet")
   }
 
-  /** Read every member back as (doc_id, bytes). One shuffle of the
-    * K-byte index rows clusters each shard's members into one task;
-    * the in-task sort by offset makes every shard ONE open + ONE
-    * forward scan. Shard handles close via the task-completion
-    * listener, so a downstream limit/failure cannot leak descriptors.
+  /** Read members back as (doc_id, bytes). One shuffle of the K-byte
+    * index rows clusters each shard's members into one task; the
+    * in-task sort by offset makes every shard ONE open + ONE forward
+    * scan. Shard handles close via the task-completion listener, so a
+    * downstream limit/failure cannot leak descriptors.
+    *
+    * `where` predicates apply to the INDEX, before any media byte is
+    * touched — this is the layout's selection surface: a comparison
+    * predicate reaches the index parquet scan as a pushed filter
+    * (MediaShardsSpec pins `PushedFilters: [... LessThan(doc_id,...)]`
+    * in the plan), and the member reader then seeks past unselected
+    * members, so a 5% selection costs ~5% of the shard bytes plus a
+    * row-group-pruned index scan — not a decode-and-discard pass over
+    * the corpus (at 100 TB, "read 1% of the media" must not mean
+    * "open 100% of the assets").
     */
-  def readMembers(spark: SparkSession, dir: String)
+  def readMembers(spark: SparkSession, dir: String,
+                  where: Seq[org.apache.spark.sql.Column] = Nil)
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/index.parquet").as[Member]
+    where.foldLeft(spark.read.parquet(s"$dir/index.parquet"))(_ filter _)
+      .as[Member]
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("offset"))
       .mapPartitions { it =>

@@ -130,6 +130,44 @@ class MediaShardsSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("GSHARD1")))
   }
 
+  test("the member predicate reaches the index scan as a pushed filter") {
+    // m12's selection surface: pruning must happen at the parquet
+    // index (row-group stats), not as a post-scan filter over all
+    // members — at 100 TB "read 5% of the media" must not list/scan
+    // 100% of the index rows, let alone the assets
+    val plan = SparkEntry.queries("m12_shard_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(doc_id,250)"),
+      s"doc_id predicate not pushed to the index scan:\n$plan")
+  }
+
+  test("m12 (pruned) equals m7's rollup over the filtered subset") {
+    val m12 = SparkEntry.queries("m12_shard_pruned")(spark, sf)
+      .orderBy("source").collect().map(_.toSeq)
+    // the closed-form replay under the same predicate (m7's query has
+    // no filter hook, so the comparison re-derives from the corpus)
+    val expDf = {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"))
+        .withColumn("n", lit(64L) + col("doc_id") % 128)
+        .withColumn("xs", expr(
+          "transform(sequence(0L, n - 1), i -> (doc_id*37 + i*17) % 4096 - 2048)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clips"),
+             sum(col("n")).as("n_samples"),
+             sum(expr("aggregate(xs, 0L, (a, x) -> a + x)")).as("sum_amp"),
+             sum(expr("aggregate(xs, 0L, (a, x) -> a + abs(x))")).as("sum_abs"),
+             max(expr("array_max(xs)")).as("max_amp"),
+             min(expr("array_min(xs)")).as("min_amp"))
+        .orderBy("source").collect().map(_.toSeq)
+    }
+    assert(m12.nonEmpty && m12.toSeq == expDf.toSeq,
+      s"pruned-read drift:\n got=${m12.toSeq}\n exp=${expDf.toSeq}")
+  }
+
   test("m11 (packed) equals m7 (loose files): one corpus, one answer") {
     val m7 = SparkEntry.queries("m7_audio_decode")(spark, sf)
       .orderBy("source").collect().map(_.toSeq)
