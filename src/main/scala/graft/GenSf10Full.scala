@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Completes the sf10 gate corpus with FK-consistent TPC-H replicas
   * (100 disjoint copies of sf0.1 — lineitem ~60M rows), so the
@@ -15,14 +14,7 @@ object GenSf10Full {
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
       "/root/repo/target/scalecurve/sf10")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = GenSession.local()
     ScaleCurve.genTpchScaled(spark, s"$base/sf0.1", out, 100)
     println(s"sf10 TPC-H replica ready at $out")
     spark.stop()

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Completes the deep-curve sf10 corpus (100× sf0.1 — 500k docs,
   * generated documents/events-only for the perf series) with the
@@ -23,24 +22,17 @@ object GenSf10Gate {
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
       "/root/repo/target/scalecurve/sf10")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = GenSession.local()
     // documents + events (no-op when the deep curve already built them)
     ScaleCurve.genScaled(spark, s"$base/sf0.1", out, 100,
       Set("documents", "events"))
     // embeddings: the deep corpus skipped them (documents/events-only);
     // genScaled's _GEN_DONE marker predates them, so generate directly.
-    // Gate on the _SUCCESS marker INSIDE the table, not bare directory
-    // existence — a run that crashed mid-overwrite leaves a partial
-    // directory that would otherwise pass the check and silently feed
-    // the gate an incomplete corpus.
-    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
+    // The skip check wants BOTH the committer _SUCCESS inside the table
+    // (a crashed overwrite leaves a partial dir) AND the scheme-version
+    // marker (a pre-r10 corpus has bit-identical copy vectors — exactly
+    // the degenerate data the current scheme exists to avoid).
+    if (!ScaleCurve.embeddingsCurrent(out))
       ScaleCurve.genEmbeddings(spark, s"$base/sf0.1", out, 100)
     println(s"sf10 gate corpus ready at $out")
     spark.stop()

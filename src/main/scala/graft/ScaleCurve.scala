@@ -38,12 +38,32 @@ object ScaleCurve {
     * target scale needs — the deep sf3/sf10 corpora only serve the
     * documents/events ops, so they skip embeddings.
     */
+  /** Replication-scheme version, written INTO the skip markers: a
+    * marker that only says "done" cannot tell a pre-r10 corpus (all
+    * copies word-suffixed, embedding copies bit-identical) from the
+    * current scheme, so a generator change would silently reuse stale
+    * data with exactly the degenerate properties the change removed
+    * (the r9 vacuous-gate failure). A version mismatch regenerates.
+    */
+  private[graft] val schemeVersion =
+    "v2: copy-0 byte-identical; embedding copies isometric sign-relabeled"
+
+  private def versionedMarkerCurrent(f: java.io.File): Boolean =
+    f.exists() && {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      txt == schemeVersion || {
+        println(s"${f.getPath}: scheme '${txt.take(60)}' != current — regenerating")
+        false
+      }
+    }
+
   def genScaled(spark: SparkSession, srcDir: String, outDir: String,
                 nCopies: Int,
                 tables: Set[String] = Set("documents", "embeddings", "events"))
       : Unit = {
     val done = new java.io.File(s"$outDir/_GEN_DONE")
-    if (done.exists()) return
+    if (versionedMarkerCurrent(done)) return
+    java.nio.file.Files.deleteIfExists(done.toPath)
     new java.io.File(outDir).mkdirs()
     if (tables("documents")) {
       // documents: per-copy word suffix → disjoint shingle vocabularies.
@@ -108,7 +128,7 @@ object ScaleCurve {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
-    done.createNewFile()
+    java.nio.file.Files.write(done.toPath, schemeVersion.getBytes("UTF-8"))
     ()
   }
 
@@ -144,7 +164,21 @@ object ScaleCurve {
                 .as("embedding"),
               col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // scheme-versioned completion marker (see schemeVersion scaladoc);
+    // callers check this, not bare directory existence
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/_EMB_DONE"),
+      schemeVersion.getBytes("UTF-8"))
+    ()
   }
+
+  /** True iff `outDir` holds a COMPLETE embeddings table generated
+    * under the CURRENT replication scheme (committer _SUCCESS AND the
+    * version-carrying _EMB_DONE marker agree).
+    */
+  private[graft] def embeddingsCurrent(outDir: String): Boolean =
+    new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists() &&
+      versionedMarkerCurrent(new java.io.File(s"$outDir/_EMB_DONE"))
 
   def genSf1(spark: SparkSession, srcDir: String, outDir: String): Unit =
     genScaled(spark, srcDir, outDir, copies)

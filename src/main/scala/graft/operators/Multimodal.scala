@@ -216,18 +216,12 @@ object Multimodal {
     java.nio.file.Files.deleteIfExists(marker)
     // clear stale data files (a different corpus's ids would be
     // join-dropped downstream, but decoding them would still cost);
-    // recursive because m11's fixture contains a directory
+    // recursive because m11/m12's fixture contains a directory
     // (index.parquet) alongside its shard files
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val kids = java.nio.file.Files.list(p)
-        try kids.forEach(rmTree) finally kids.close()
-      }
-      java.nio.file.Files.delete(p)
-    }
     val stale = java.nio.file.Files.list(dir)
     try stale.forEach { p =>
-      if (!p.getFileName.toString.startsWith("_")) rmTree(p)
+      if (!p.getFileName.toString.startsWith("_"))
+        graft.sources.MediaShards.rmTree(p)
     } finally stale.close()
     render
     java.nio.file.Files.writeString(marker, fingerprint)
@@ -581,7 +575,9 @@ object Multimodal {
         col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec init
+        // iterator-in/iterator-out is where a production decoder would
+        // init its codec pool once per partition; the JDK codec needs
+        // no pool, so decodeWav constructs per clip
         it.map { case (id, bytes) => decodeWav(id, bytes) }
       }
     val meta = graft.sources.Tables.documents(s, d)
@@ -623,7 +619,7 @@ object Multimodal {
     }
     graft.sources.MediaShards.readMembers(s, out, where)
       .mapPartitions { it =>
-        // per-partition codec init
+        // same batch shape as m7's decode (codec-pool init point)
         it.map { case (id, bytes) => decodeWav(id, bytes) }
       }
       .join(graft.sources.Tables.documents(s, d)

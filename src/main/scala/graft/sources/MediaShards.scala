@@ -61,6 +61,18 @@ object MediaShards {
     * is one task's worth of decode work). `ids` carries one bigint
     * column of asset ids.
     */
+  /** Recursive delete — shared by pack's orphan-shard cleanup and
+    * Multimodal.renderedOnce's stale-fixture sweep (one copy, not two
+    * drifting ones).
+    */
+  private[graft] def rmTree(q: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(q)) {
+      val kids = java.nio.file.Files.list(q)
+      try kids.forEach(rmTree) finally kids.close()
+    }
+    java.nio.file.Files.delete(q)
+  }
+
   def pack(spark: SparkSession, ids: DataFrame, dir: String)
           (render: Long => Array[Byte]): Unit = {
     import spark.implicits._
@@ -72,13 +84,6 @@ object MediaShards {
     // Spark's committer below)
     val old = java.nio.file.Files.list(root)
     try old.forEach { p =>
-      def rmTree(q: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(q)) {
-          val kids = java.nio.file.Files.list(q)
-          try kids.forEach(rmTree) finally kids.close()
-        }
-        java.nio.file.Files.delete(q)
-      }
       val n = p.getFileName.toString
       if (n.startsWith("shard-") || n == "index.parquet") rmTree(p)
     } finally old.close()
@@ -88,21 +93,25 @@ object MediaShards {
       var name: String = null
       var pos = 0L
       val members = scala.collection.mutable.ArrayBuffer.empty[Member]
-      it.foreach { row =>
-        val id = row.getLong(0)
-        if (out == null) {
-          name = f"shard-${TaskContext.getPartitionId()}%05d.bin"
-          out = new java.io.BufferedOutputStream(
-            java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(dir, name)))
-          out.write(Magic); pos = Magic.length.toLong
+      // close on ANY exit: a render/write failure mid-partition must
+      // not leak the descriptor across task retries (the index commit
+      // already hides the partial shard from readers)
+      try {
+        it.foreach { row =>
+          val id = row.getLong(0)
+          if (out == null) {
+            name = f"shard-${TaskContext.getPartitionId()}%05d.bin"
+            out = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(
+                java.nio.file.Paths.get(dir, name)))
+            out.write(Magic); pos = Magic.length.toLong
+          }
+          val bytes = render(id)
+          out.write(bytes)
+          members += Member(name, id, pos, bytes.length)
+          pos += bytes.length
         }
-        val bytes = render(id)
-        out.write(bytes)
-        members += Member(name, id, pos, bytes.length)
-        pos += bytes.length
-      }
-      if (out != null) out.close()
+      } finally if (out != null) out.close()
       members.iterator
     }
     // the index is the only thing written through Spark's committer:

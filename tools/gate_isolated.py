@@ -53,7 +53,10 @@ def main(sf, out, art, timeout, merge=False):
         else:
             queries[q] = {"pass": False, "rows": None, "detail": detail}
         print(f"{q}: {queries[q]['detail']}", flush=True)
-    if merge and os.path.exists(art):
+    if merge:
+        # a typo'd artifact path must not silently degrade the merge
+        # into a replace (the fresh file would impersonate the full gate)
+        assert os.path.exists(art), f"--merge: no existing artifact at {art}"
         with open(art) as f:
             old = json.load(f)
         assert os.path.realpath(old["sf_dir"]) == os.path.realpath(sf), \

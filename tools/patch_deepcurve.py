@@ -41,11 +41,20 @@ def main(outdir, queries):
         if q in deep:
             ref = deep[q]
         else:
-            # first deep entry for this op: inherit row counts from the
-            # committed d8 entry — every documents-table deep op reads
-            # the same corpora, so the n per scale is shared
-            ref = {"table": "documents", "series":
-                   deep["d8_prefix_join"]["series"]}
+            # first deep entry for this op: inherit row counts from a
+            # committed entry OVER THE SAME TABLE (corpora are shared
+            # per table, so n per scale transfers). The table must be
+            # declared here — silently defaulting to documents would
+            # publish a wrong exponent for an events/embeddings op.
+            table_of = {"d16_minhash_calibration": "documents"}
+            assert q in table_of, (
+                f"{q} has no committed deep entry and no table declared "
+                f"in patch_deepcurve.table_of — add it (the row counts "
+                f"per scale are inherited from that table's entries)")
+            donors = [e for e in deep.values()
+                      if e["table"] == table_of[q]]
+            assert donors, f"no committed deep entry over {table_of[q]}"
+            ref = {"table": table_of[q], "series": donors[0]["series"]}
         old = {p["sf"]: p["n"] for p in ref["series"]}
         series = []
         for sf in ORDER:
