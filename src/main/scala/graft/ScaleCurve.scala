@@ -15,16 +15,25 @@ import org.apache.spark.sql.functions._
   * The ~sf1 corpus is REPLICATION WITH DISJOINT STRUCTURE, modelling
   * how a real corpus grows (new content, longer history) rather than
   * bit-identical duplication (which would quadratically inflate every
-  * dedup op by construction and measure the generator, not the plan):
-  *  - documents: each copy suffixes every word with the copy id, so
-  *    shingle vocabularies are disjoint across copies — near-dup pairs
-  *    exist only within a copy and candidate structure is copy-local;
+  * dedup op by construction and measure the generator, not the plan).
+  * Scheme v2 (schemeVersion below; r10 de-vacuolation — the v1 scheme
+  * left fixed-search-term and planted-structure queries 0-row at the
+  * replicated scales):
+  *  - documents: copy 0 is BYTE-IDENTICAL to the source (planted
+  *    markers and fixed search terms survive), copies c>0 suffix every
+  *    word with the copy id — shingle vocabularies stay disjoint
+  *    across copies, so near-dup pairs exist only within a copy and
+  *    candidate structure is copy-local;
   *  - events: each copy shifts into its own disjoint time range (+1 h
   *    gap) with shifted user/event ids — constant event density and
   *    per-user stream shape, so interval windows and as-of chains
   *    never span copies;
-  *  - embeddings: shifted vec ids, vectors unchanged (10× points per
-  *    k-means cell — density growth is exactly what an ANN index sees).
+  *  - embeddings: copy 0 byte-identical; copies c>0 get an ISOMETRIC
+  *    per-copy sign relabeling of the vector dimensions — within-copy
+  *    cosines (and so each copy's neighborhood structure) are exactly
+  *    preserved while cross-copy neighborhoods decorrelate, the
+  *    density growth an ANN index sees without bit-identical planted
+  *    ties.
   *
   * Writes SCALECURVE.json (committed to the repo); ScaleCurveSpec
   * asserts the fitted exponents from that artifact.
@@ -48,10 +57,20 @@ object ScaleCurve {
   private[graft] val schemeVersion =
     "v2: copy-0 byte-identical; embedding copies isometric sign-relabeled"
 
-  private def versionedMarkerCurrent(f: java.io.File): Boolean =
+  /** TPC-H replication scheme version (r10 advice: genTpchScaled's
+    * bare-existence marker had the exact stale-reuse failure mode the
+    * versioned markers fixed for documents/embeddings — a change to
+    * the key strides or nCopies semantics would silently reuse stale
+    * replicas in the sf1/sf10 gate dirs).
+    */
+  private[graft] val tpchSchemeVersion =
+    "tpch-v1: per-copy disjoint key strides OK=1e9 CK=PK=1e7 SK=1e6; region/nation unreplicated"
+
+  private def versionedMarkerCurrent(f: java.io.File,
+      version: String = schemeVersion): Boolean =
     f.exists() && {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      txt == schemeVersion || {
+      txt == version || {
         println(s"${f.getPath}: scheme '${txt.take(60)}' != current — regenerating")
         false
       }
@@ -197,7 +216,8 @@ object ScaleCurve {
   def genTpchScaled(spark: SparkSession, srcDir: String, outDir: String,
                     nCopies: Int): Unit = {
     val done = new java.io.File(s"$outDir/_GEN_TPCH_DONE")
-    if (done.exists()) return
+    if (versionedMarkerCurrent(done, tpchSchemeVersion)) return
+    java.nio.file.Files.deleteIfExists(done.toPath)
     new java.io.File(outDir).mkdirs()
     val OK = 1000000000L // order keys
     val CK = 10000000L   // customer keys
@@ -224,7 +244,8 @@ object ScaleCurve {
     rep(t("lineitem"), "l_orderkey" -> OK, "l_partkey" -> PK,
         "l_suppkey" -> SK)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    done.createNewFile()
+    java.nio.file.Files.write(done.toPath,
+      tpchSchemeVersion.getBytes("UTF-8"))
     ()
   }
 
@@ -362,6 +383,44 @@ object ScaleCurve {
       }
       Some(json.substring(i, end + 1))
     }
+  }
+
+  /** Keys of the immediate members of a `{...}` object literal —
+    * brace-depth walk, string-aware (same discipline as extractEntry).
+    * Used to enumerate the committed deep_ops entries so a full regen
+    * carries over EVERY fresh-JVM entry it does not re-measure, not
+    * just a hardcoded list (r10 added d16/x22 entries via the patch
+    * tool; a full regen that only carried deepestOps would silently
+    * drop them).
+    */
+  private[graft] def topLevelKeys(objJson: String): Seq[String] = {
+    val keys = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0
+    var i = objJson.indexOf('{')
+    var inStr = false
+    var esc = false
+    var strStart = -1
+    while (i >= 0 && i < objJson.length) {
+      val ch = objJson.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') {
+          inStr = false
+          // a depth-1 string followed by ':' is a member key
+          if (depth == 1 && i + 1 < objJson.length &&
+              objJson.charAt(i + 1) == ':')
+            keys += objJson.substring(strStart + 1, i)
+        }
+      } else ch match {
+        case '"' => inStr = true; strStart = i
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    keys.toList
   }
 
   /** Re-measure ONLY the named deep-series ops and splice their
@@ -620,19 +679,33 @@ object ScaleCurve {
         s"""{"sf":"$sf","n":$n,"sec":${fmt(sec)}}""" }.mkString("[", ",", "]")
       s""""$op":{"table":"$table","series":$ser,""" +
       s""""exp_top2":${fmt(e)},"wall_ratio_top2":${fmt(ratio)}}"""
-    } ++ deepOps.collect { case (op, _) if deepestOps(op) =>
-      oldArtifact
-        .flatMap { o =>
-          // a missing deep_ops section means "no committed deep entry"
-          // — indexOf's -1 would restart the search at 0 and silently
-          // splice the SHALLOW ops entry for the same op instead
-          val at = o.indexOf("\"deep_ops\"")
-          if (at < 0) None else extractEntry(o, op, at)
+    } ++ {
+      // carry over EVERY committed deep entry this run did not
+      // re-measure (the fresh-JVM-per-point entries: deepestOps plus
+      // any op the patch tool added — d16/x22 in r10). deepestOps are
+      // REQUIRED to exist; extra entries are preserved as found.
+      val measured = deepSeries.map(_._1).toSet
+      val committed: Map[String, String] = oldArtifact.toSeq.flatMap { o =>
+        // a missing deep_ops section means "no committed deep entry"
+        // — indexOf's -1 would restart the search at 0 and silently
+        // splice the SHALLOW ops entry for the same op instead
+        val at = o.indexOf("\"deep_ops\"")
+        if (at < 0) Nil
+        else extractEntry(o, "deep_ops", at).toSeq.flatMap { section =>
+          topLevelKeys(section).flatMap(k =>
+            extractEntry(section, k).map(k -> _))
         }
-        .getOrElse(sys.error(s"no committed deep entry for $op in $out — " +
-          "its points come from tools/deep_profile.sh + " +
-          "tools/patch_deepcurve.py (fresh-JVM-per-point); run those " +
-          "against the generated deep corpora"))
+      }.toMap
+      deepestOps.foreach { op =>
+        require(committed.contains(op),
+          s"no committed deep entry for $op in $out — its points come " +
+          "from tools/deep_profile.sh + tools/patch_deepcurve.py " +
+          "(fresh-JVM-per-point); run those against the generated deep " +
+          "corpora")
+      }
+      committed.keys.toSeq.sorted
+        .filterNot(measured)
+        .map(committed)
     }).mkString(",")
     val json =
       s"""{"copies":$copies,"ops":{$opJson},""" +

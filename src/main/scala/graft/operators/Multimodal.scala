@@ -340,17 +340,19 @@ object Multimodal {
     * proves the augmented clip survives a full encode→decode round
     * trip bit-exactly. Same per-partition codec-init mapPartitions
     * shape as m7; the only exchange is the K-row per-source rollup.
+    *
+    * Reads the PACKED shard layout (packedWavMembers — the production
+    * path m11 established; the r11 same-host r9-vs-r10 binary A/B
+    * showed m10's apparent creep was host epoch, not code, and the
+    * remaining ~1 s of its residency was the loose layout's per-open
+    * cost, which m11 already measured at 2.2–3.2×). m7 deliberately
+    * KEEPS the loose binaryFile read as the layout A/B baseline; the
+    * clips are bit-identical either way (wavBytes is the single source
+    * of truth), so the closed-form oracle is unchanged.
     */
   val m10AudioAugment: Q = (s, d) => {
     import s.implicits._
-    val out = Coverage.scratchDir("m10_wavs")
-    renderWavs(s, d, out)
-    s.read.format("binaryFile").load(out)
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
+    packedWavMembers(s, d)
       .mapPartitions { it =>
         import javax.sound.sampled._
         it.map { case (id, bytes) =>
@@ -610,14 +612,24 @@ object Multimodal {
     * LITERALLY m7's closed-form SQL: a lossless pack must reproduce
     * the loose layout's stats hash-exactly.
     */
-  private def shardDecodeRollup(s: SparkSession, d: String,
-      where: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    import s.implicits._
+  /** The shared PACKED audio fixture (one pack per corpus, reused by
+    * m10/m11/m12): the same wavBytes clips as m7's loose files, packed
+    * into per-partition container shards with a parquet offset index.
+    */
+  private def packedWavMembers(s: SparkSession, d: String,
+      where: Seq[org.apache.spark.sql.Column] = Nil)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val out = Coverage.scratchDir("m11_shards")
     renderedOnce(out, idFingerprint(s, d)) {
       graft.sources.MediaShards.pack(s, spreadIds(s, d), out)(wavBytes)
     }
     graft.sources.MediaShards.readMembers(s, out, where)
+  }
+
+  private def shardDecodeRollup(s: SparkSession, d: String,
+      where: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import s.implicits._
+    packedWavMembers(s, d, where)
       .mapPartitions { it =>
         // same batch shape as m7's decode (codec-pool init point)
         it.map { case (id, bytes) => decodeWav(id, bytes) }

@@ -76,4 +76,51 @@ class BenchWatchSpec extends AnyFunSuite {
     val (shift, flagged) = Bench.regressionWatch(Map.empty, prev)
     assert(shift == 1.0 && flagged.isEmpty)
   }
+
+  test("a three-round 14% staircase is invisible round-over-round " +
+       "but fires against the best-ever anchor") {
+    // the r10 finding: m10 stepped 3.10 -> 3.59 (norm 1.14, under the
+    // 1.2 flag), BECAME the new prev, and the committed pass then read
+    // regressions: [] while sitting 16% over its r9 level. Three such
+    // steps compound to 1.48x with every individual step silent; the
+    // anchor (baseline = best-ever min, i.e. the round-0 value) is
+    // what catches it.
+    val base = prev + ("m" -> 3.0)
+    val steps = (1 to 3).map { k =>
+      base.map { case (q, v) =>
+        q -> (if (q == "m") v * math.pow(1.14, k) else v)
+      }
+    }
+    // prev-only watch: every consecutive pair is silent
+    (base +: steps).sliding(2).foreach { case Seq(a, b) =>
+      val (_, flagged) = Bench.regressionWatch(a, b)
+      assert(flagged.isEmpty, s"a single 14% step must not flag: $flagged")
+    }
+    // anchor watch: best = round-0 committed mins; fires by step 2
+    val (_, silent)  = Bench.regressionWatch(base, steps(0))
+    val (_, caught2) = Bench.regressionWatch(base, steps(1))
+    val (_, caught3) = Bench.regressionWatch(base, steps(2))
+    assert(silent.isEmpty)
+    assert(caught2.map(_._1) == Seq("m"),
+      s"cumulative 1.30x with +0.9 s must fire the anchor, got $caught2")
+    assert(caught3.map(_._1) == Seq("m"))
+  }
+
+  test("below 5 overlapping queries the host-shift estimate falls back " +
+       "to 1.0 (no laundering a 2x slowdown through a tiny median)") {
+    // one shared query, twice as slow: the old median would read
+    // hostShift = 2.0, norm = 1.0, silence
+    val p = Map("only" -> 1.0)
+    val now = Map("only" -> 2.0)
+    val (shift, flagged) = Bench.regressionWatch(p, now)
+    assert(shift == 1.0)
+    assert(flagged.map(_._1) == Seq("only"))
+  }
+
+  test("a surface-wide move beyond ±50% is marked suspect") {
+    assert(Bench.shiftSuspect(1.6))
+    assert(Bench.shiftSuspect(0.6))
+    assert(!Bench.shiftSuspect(1.16)) // the r10 judge-pass host mode
+    assert(!Bench.shiftSuspect(0.91)) // the r10 builder-pass host mode
+  }
 }

@@ -19,6 +19,32 @@ class ScaleCurveSpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
   }
 
+  test("topLevelKeys enumerates exactly the immediate members " +
+       "(regen carry-over must see every committed deep entry)") {
+    // nested objects, strings containing braces/colons, escapes —
+    // everything that would fool a regex
+    val obj = """{"a":{"x":1,"note":"has { and : inside"},""" +
+      """"b_2":{"series":[{"sf":"sf1","n":2}],"m":"esc \" quote"},""" +
+      """"c":{}}"""
+    assert(ScaleCurve.topLevelKeys(obj) == Seq("a", "b_2", "c"))
+    // the committed artifact's own deep_ops section must enumerate to
+    // its entries — d16/x22 were added by the patch tool and a full
+    // regen carries over whatever it does not re-measure
+    val art = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SCALECURVE.json")), "UTF-8")
+    val at = art.indexOf("\"deep_ops\"")
+    assert(at >= 0)
+    val section = {
+      // reuse the spec's own brace scan: take from the first '{' after
+      // the key to the artifact end — topLevelKeys stops at depth 0
+      art.substring(art.indexOf('{', at))
+    }
+    val keys = ScaleCurve.topLevelKeys(section)
+    for (required <- Seq("d8_prefix_join", "d22_best_match",
+                         "d16_minhash_calibration", "x22_tpch_q21"))
+      assert(keys.contains(required), s"$required missing: $keys")
+  }
+
   private def expFor(op: String): Double = {
     val i = json.indexOf("\"" + op + "\"")
     assert(i >= 0, s"$op missing from SCALECURVE.json")

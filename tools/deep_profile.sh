@@ -19,13 +19,28 @@
 set -u
 OUT=$1; REPS=$2; shift 2
 mkdir -p "$OUT"
+# direct-JVM launch (r11): one sbt boot per point added ~30 s x
+# points x reps of pure overhead AND left an sbt server competing
+# with the measured JVM; java -cp against the compiled classes is the
+# same classpath build.sbt runs with (compile first: sbt -batch compile)
+OPENS=""
+for P in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens=java.base/$P=ALL-UNNAMED"
+done
+for P in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens=java.base/$P=ALL-UNNAMED"
+done
+SCALES=${DEEP_SCALES:-"sf1 sf3 sf10 sf30 sf100"}
 for Q in "$@"; do
-  for SF in sf1 sf3 sf10 sf30 sf100; do
+  for SF in $SCALES; do
     DIR=/root/repo/target/scalecurve/$SF
     [ -d "$DIR" ] || continue
     for R in $(seq 1 "$REPS"); do
       LOG="$OUT/${Q}_${SF}_r${R}.log"
-      sbt -batch "runMain graft.QueryProfile $Q $DIR" > "$LOG" 2>&1
+      java $OPENS -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+        -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+        graft.QueryProfile "$Q" "$DIR" > "$LOG" 2>&1
       grep -a PROFILE_JSON "$LOG" | tail -1
     done
   done

@@ -24,6 +24,21 @@ import os
 import subprocess
 import sys
 
+def corpus_scheme(sf):
+    """Concatenated generation-marker contents for the corpus — the
+    scheme fingerprint recorded in the artifact and asserted on
+    --merge (r10 advice: same-path merges could silently mix verdicts
+    computed against pre- and post-v2 corpus bytes; the path check
+    alone can't see a regeneration)."""
+    parts = []
+    for m in ("_GEN_DONE", "_EMB_DONE", "_GEN_TPCH_DONE"):
+        p = os.path.join(sf, m)
+        if os.path.exists(p):
+            with open(p) as f:
+                parts.append(f"{m}={f.read().strip() or '(unversioned)'}")
+    return "; ".join(parts) or "(no generation markers: driver corpus)"
+
+
 def main(sf, out, art, timeout, merge=False):
     names = [os.path.basename(d)
              for d in sorted(glob.glob(os.path.join(out, "*")))
@@ -61,6 +76,13 @@ def main(sf, out, art, timeout, merge=False):
             old = json.load(f)
         assert os.path.realpath(old["sf_dir"]) == os.path.realpath(sf), \
             f"--merge across corpora: {old['sf_dir']} vs {sf}"
+        # same path is not enough: the corpus may have been REGENERATED
+        # under a different scheme since the old verdicts were computed
+        old_scheme = old.get("corpus_scheme")
+        assert old_scheme is None or old_scheme == corpus_scheme(sf), (
+            f"--merge across corpus generations: artifact was gated on\n"
+            f"  {old_scheme}\nbut {sf} now carries\n  {corpus_scheme(sf)}\n"
+            f"— re-run the original slice on the current corpus instead")
         queries = {**old["queries"], **queries}
     npass = sum(1 for v in queries.values() if v["pass"])
     # a 0-row pass is exact but VACUOUS (both engines agree on empty);
@@ -79,6 +101,7 @@ def main(sf, out, art, timeout, merge=False):
         f"{missing} — explain each empty-but-exact row or fix the corpus")
     vacuous_notes = {q: notes[q] for q in vacuous}
     doc = {"sf_dir": sf, "mode": "per-query process isolation",
+           "corpus_scheme": corpus_scheme(sf),
            "timeout_s": timeout,
            "n_pass": npass, "n_total": len(queries),
            "n_rows_only": sum(1 for v in queries.values()

@@ -56,13 +56,21 @@ def main(outdir, queries):
             assert donors, f"no committed deep entry over {table_of[q]}"
             ref = {"table": table_of[q], "series": donors[0]["series"]}
         old = {p["sf"]: p["n"] for p in ref["series"]}
+        # row-count fallback for scales this entry has never carried:
+        # corpora are shared per table, so any committed entry over the
+        # same table donates its n (lets an entry EXTEND its ladder —
+        # e.g. d16 sf3/sf30 -> the full sf1..sf100 ladder — without a
+        # separate counting pass)
+        donated = {p["sf"]: p["n"]
+                   for e in deep.values() if e["table"] == ref["table"]
+                   for p in e["series"]}
         series = []
         for sf in ORDER:
             if sf not in pts:
                 continue
             j = pts[sf]
-            n = old.get(sf)
-            if n is None:  # scale not in the old series: count unavailable
+            n = old.get(sf, donated.get(sf))
+            if n is None:  # scale not in any same-table series
                 raise SystemExit(f"{q} {sf}: no row count in old series")
             series.append({"sf": sf, "n": n, "sec": j["wall_s"],
                            "exec_s": j["exec_s"],
