@@ -344,7 +344,18 @@ object ScaleCurve {
   private def fmt(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
-  private val deepestOps = Set("d8_prefix_join", "d22_best_match")
+  /** Ops whose deep entries are OWNED by the fresh-JVM-per-point
+    * tooling (tools/deep_profile.sh + tools/patch_deepcurve.py): a
+    * full regen carries their committed entries over instead of
+    * re-measuring in-session, and patchDeep refuses them. d8/d22
+    * since r8 (top-decade exponents); t14 since r11 — its in-session
+    * sf30 point read 12.2 s (exp 1.22) in the r11 regen session while
+    * fresh JVMs read 16.0/8.4 at sf30/sf10 (exp 0.59): in-session
+    * warm-state asymmetry across scales distorts the fit for this op,
+    * so its ladder (now sf1..sf100) keeps the isolated methodology.
+    */
+  private val deepestOps =
+    Set("d8_prefix_join", "d22_best_match", "t14_corpus_pipeline")
 
   /** Brace-balanced extraction of the `"key":{...}` entry starting at
     * or after `from`. A regex cannot carry this: the entries nest
@@ -708,7 +719,8 @@ object ScaleCurve {
         .map(committed)
     }).mkString(",")
     val json =
-      s"""{"copies":$copies,"ops":{$opJson},""" +
+      s"""{"copies":$copies,"scheme":"$schemeVersion",""" +
+      s""""ops":{$opJson},""" +
       s""""d8_candidates":{"series":$candJson,"exp_top2":${fmt(candExp)},""" +
       s""""note":"$candNote"},""" +
       s""""deep_ops":{$deepJson}}"""
