@@ -770,11 +770,32 @@ object Dedup {
     * float handling follow n5 exactly (csim DESC, cell ASC; float
     * corpus side × double centroid side, round(…, 6) on pair sims).
     */
-  val d14SemDedup: Q = (s, d) => {
+  val d14SemDedup: Q = (s, d) => semDedup(s, d, k = 8)
+
+  /** d23 — SemDeDup with the ADAPTIVE cell count d14's scale note
+    * only documents: K = ceil(sqrt(N)), so cell size (N/K ≈ sqrt(N))
+    * and therefore within-cell pair work per cell stay bounded as the
+    * corpus grows. d14 keeps K=8 (its oracle pins those semantics and
+    * its gate history stands), which makes each cell O(N) wide and the
+    * pair search O(N²/K) — measured 20+ CPU-minutes per cell task at
+    * sf10 (200k vectors, 25k-wide cells). Same seeding, assignment
+    * tie order, threshold and min-id-keeper rule; the ONLY difference
+    * is K, exactly the knob the production recipe scales with N. Total
+    * pair work drops from N²/K (quadratic) to ~N·sqrt(N)
+    * (sub-quadratic with constant-bounded cells), and the cell id
+    * remains the shuffle key — no all-pairs stage at any scale.
+    */
+  val d23SemDedupAdaptive: Q = (s, d) => {
+    val n = graft.sources.Tables.embeddings(s, d).count()
+    semDedup(s, d, k = math.ceil(math.sqrt(n.toDouble)).toLong)
+  }
+
+  private def semDedup(s: SparkSession, d: String, k: Long): DataFrame = {
     import s.implicits._
     val e = graft.sources.Tables.embeddings(s, d)
-    // driver-held K-row seed centroids (independent of corpus size)
-    val cents = e.filter(col("vec_id") < 8)
+    // driver-held K-row seed centroids (K fixed for d14; K=ceil(sqrt N)
+    // for d23 — still a codebook-sized collect, never corpus-sized)
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
       .sortBy(_._1).toSeq
@@ -1236,6 +1257,7 @@ object Dedup {
     "d17_substring_dedup" -> d17SubstringDedup,
     "d16_minhash_calibration" -> d16MinhashCalibration,
     "d14_semdedup" -> d14SemDedup,
+    "d23_semdedup_adaptive" -> d23SemDedupAdaptive,
     "d15_url_dedup" -> d15UrlDedup,
     "d11_decontaminate" -> d11Decontaminate,
     "d12_chunk_dedup" -> d12ChunkDedup,
@@ -1515,6 +1537,42 @@ object Dedup {
         |             c.cell) AS rn
         |       FROM e CROSS JOIN c0 c),
         |asg AS (SELECT vec_id, label, emb, cell FROM a0 WHERE rn = 1),
+        |pr AS (SELECT b.label, b.vec_id AS b_id
+        |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |       WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])) /
+        |                   (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |                    sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) > 0.30
+        |       GROUP BY b.label, b.vec_id),
+        |rc AS (SELECT label, count(1) AS nr, min(b_id) AS min_removed FROM pr GROUP BY label),
+        |lc AS (SELECT label, count(1) AS n_vecs FROM e GROUP BY label)
+        |SELECT lc.label, lc.n_vecs,
+        |  CAST(coalesce(rc.nr, 0) AS BIGINT) AS n_removed,
+        |  CAST(lc.n_vecs - coalesce(rc.nr, 0) AS BIGINT) AS n_kept,
+        |  rc.min_removed
+        |FROM lc LEFT JOIN rc USING (label)""".stripMargin,
+    // d14's oracle with the one parameter that defines d23 — the seed
+    // cutoff is ceil(sqrt(N)) instead of the literal 8 — PLUS the d22
+    // slim-CTE discipline: at sf10 the assignment cross join is 90M
+    // rows (200k vectors × 448 cells), and d14's oracle shape carries
+    // BOTH embedding arrays through the window sort (~1 KB/row → 90 GB
+    // of DuckDB spill; it filled /tmp and failed the first sf10 gate
+    // attempt). The window here ranks over (vec_id, cell, csim) only
+    // and the kept row re-joins its embedding afterwards.
+    "d23_semdedup_adaptive" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e
+        |       WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |a0 AS (SELECT e.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
+        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |            sqrt(list_sum(list_transform(c.ce, x -> x*x)))) AS csim
+        |       FROM e CROSS JOIN c0 c),
+        |r AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY csim DESC, cell) AS rn
+        |      FROM a0),
+        |asg AS (SELECT e.vec_id, e.label, e.emb, r.cell
+        |        FROM r JOIN e ON r.vec_id = e.vec_id WHERE r.rn = 1),
         |pr AS (SELECT b.label, b.vec_id AS b_id
         |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |       WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])) /

@@ -44,9 +44,26 @@ object Windows {
         col("next_key"))
   }
 
-  /** Running sum over a rowsBetween frame (exact decimal arithmetic). */
+  /** Running sum over a rowsBetween frame (exact decimal arithmetic).
+    *
+    * Ordering is (l_linenumber, l_quantity), not l_linenumber alone:
+    * the driver's TPC-H-ish corpus has duplicate (l_orderkey,
+    * l_linenumber) pairs (118k at sf0.1), so l_linenumber is NOT a
+    * total order within an order and a ROWS-frame running sum over it
+    * is engine-nondeterministic on tie rows — it passed at
+    * sf0.01/sf1 only because both engines happened to scan ties in
+    * the same arrival order, and the 100-copy sf10 replica broke that
+    * luck (0.53% of rows mismatched). Adding the summed value itself
+    * as the tiebreaker makes the OUTPUT multiset order-invariant:
+    * rows still tied after (l_linenumber, l_quantity) have equal
+    * quantity, so every ordering of them yields the same set of
+    * prefix sums. (The w-family's other frames are tie-safe already:
+    * unique-key tiebreakers or RANGE frames, which treat ties as
+    * peers.)
+    */
   val w3Running: Q = (s, d) => {
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
       .filter(col("l_orderkey") % 100 === 0)
@@ -363,7 +380,7 @@ object Windows {
     "w3_running_sum" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey
-        |   ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |   ORDER BY l_linenumber, l_quantity ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
     "w4_range_frame" ->
       """SELECT user_id, event_id,

@@ -179,6 +179,37 @@ class DedupSpec extends AnyFunSuite {
     assert(total == corpus, s"labels cover $total of $corpus vectors")
   }
 
+  test("d23's adaptive K bounds cell width where d14's fixed K cannot") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d23_semdedup_adaptive")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+               == r.getAs[Long]("n_vecs"),
+        s"label ${r.get(0)}: kept+removed != total")
+    }
+    // the point of d23: with K = ceil(sqrt(N)) the widest cell stays
+    // ~sqrt(N)-sized, so within-cell pair work per cell is bounded.
+    // Replay the assignment at this corpus' K and pin max cell width
+    // against the sqrt budget (generous constant: seeds are corpus
+    // vectors, not fitted centroids, so cells are uneven but must not
+    // approach the O(N)-wide cells fixed K=8 produces at scale).
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val widest = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+      .groupBy(col("cell")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(widest <= 8 * math.ceil(math.sqrt(n.toDouble)).toLong,
+      s"widest cell $widest vs sqrt budget for n=$n, k=$k")
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val (prefix, sets, parts) = Dedup.d8Build(spark, sf)
     val n = sets.count()

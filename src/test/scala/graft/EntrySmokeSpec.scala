@@ -111,8 +111,11 @@ class EntrySmokeSpec extends AnyFunSuite {
       // 16-row query set per truncation width (n1's shape, three times)
       // d20 broadcasts its one-row corpus-count aggregate onto the
       // positive-pair table (the in-plan n_docs scalar)
+      // d23 broadcasts d14's centroid codebook at K = ceil(sqrt N) —
+      // sqrt-bounded rows (448 at sf10), the IVF-codebook class, never
+      // corpus-sized
       "n12_rrf_fusion", "g5_label_prop", "n13_maxsim", "n15_mrl_eval",
-      "d20_contrastive_pairs")
+      "d20_contrastive_pairs", "d23_semdedup_adaptive")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
