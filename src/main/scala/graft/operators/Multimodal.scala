@@ -251,48 +251,56 @@ object Multimodal {
     if (ids.rdd.getNumPartitions < p) ids.repartition(p) else ids
   }
 
-  /** Executor-side PNG render shared by m6/m8/m9: one real PNG per
-    * doc, pixels a pure function of doc_id (w = 8+id%25,
-    * h = 8+(id/7)%25, channel c at (x,y) = (id·31 + 7x + 13y + 101c)
-    * mod 256) — the closed form every oracle recomputes.
+  /** Real PNG bytes for one asset, keyed on `key`: pixels are the
+    * closed form every image oracle recomputes (w = 8+key%25,
+    * h = 8+(key/7)%25, channel c at (x,y) = (key·31 + 7x + 13y + 101c)
+    * mod 256). m6/m9 key on doc_id (every asset distinct); m8 keys on
+    * doc_id % 64 (planted duplicate classes).
     */
-  private def renderPngs(s: SparkSession, d: String, out: String): Unit =
-    renderedOnce(out, idFingerprint(s, d)) {
-    spreadIds(s, d)
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
-        it.foreach { r =>
-          val id = r.getLong(0)
-          val w = (8 + id % 25).toInt
-          val h = (8 + (id / 7) % 25).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              def ch(c: Int): Int = ((id * 31 + 7L * x + 13L * y + 101L * c) % 256).toInt
-              img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
-              x += 1
-            }
-            y += 1
-          }
-          javax.imageio.ImageIO.write(
-            img, "png", new java.io.File(out, f"$id%012d.png"))
-        }
+  private def pngBytes(key: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = (8 + key % 25).toInt
+    val h = (8 + (key / 7) % 25).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Int = ((key * 31 + 7L * x + 13L * y + 101L * c) % 256).toInt
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
       }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The shared PACKED image fixture (one pack per corpus, reused by
+    * m6 and m9) — the m10 lesson applied to the image half of the
+    * family (r11): loose per-asset PNGs made m6/m8/m9's bench numbers
+    * measure the host's small-file path (0.5-1.5 s epoch swings at
+    * sf0.1), and at sf10 they would be 500k loose files, which is why
+    * the image queries had no sf10 gate row. The packed layout is the
+    * production shape AND removes that noise; m5 keeps the loose
+    * `binaryFile` round trip deliberately (that query IS the
+    * loose-ingest operator) and m7 keeps loose WAVs as the measured
+    * layout A/B baseline (MEDIA_SHARDS.json).
+    */
+  private def packedPngMembers(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val out = Coverage.scratchDir("m6_png_shards")
+    renderedOnce(out, idFingerprint(s, d)) {
+      graft.sources.MediaShards.pack(s, spreadIds(s, d), out)(pngBytes)
+    }
+    graft.sources.MediaShards.readMembers(s, out, Nil)
   }
 
   val m6ImageDecode: Q = (s, d) => {
     import s.implicits._
-    val out = Coverage.scratchDir("m6_pngs")
-    renderPngs(s, d, out)
-    val decoded = s.read.format("binaryFile").load(out)
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
+    val decoded = packedPngMembers(s, d)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         it.map { case (id, bytes) =>
@@ -416,14 +424,7 @@ object Multimodal {
     */
   val m9ImageAugment: Q = (s, d) => {
     import s.implicits._
-    val out = Coverage.scratchDir("m9_pngs")
-    renderPngs(s, d, out)
-    val augmented = s.read.format("binaryFile").load(out)
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
+    val augmented = packedPngMembers(s, d)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         it.map { case (id, bytes) =>
@@ -685,46 +686,18 @@ object Multimodal {
     */
   val m8PerceptualDedup: Q = (s, d) => {
     import s.implicits._
-    val out = Coverage.scratchDir("m8_pngs")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    graft.sources.Tables.documents(s, d)
-      .select(col("doc_id"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        javax.imageio.ImageIO.setUseCache(false)
-        val memo = scala.collection.mutable.Map.empty[Long, Array[Byte]]
-        it.foreach { r =>
-          val id = r.getLong(0)
-          val key = id % 64
-          val bytes = memo.getOrElseUpdate(key, {
-            val w = (8 + key % 25).toInt
-            val h = (8 + (key / 7) % 25).toInt
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                def ch(c: Int): Int =
-                  ((key * 31 + 7L * x + 13L * y + 101L * c) % 256).toInt
-                img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
-                x += 1
-              }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            bos.toByteArray
-          })
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(out, f"$id%012d.png"), bytes)
-        }
-      }
-    val hashed = s.read.format("binaryFile").load(out)
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
+    // packed like m6/m9 (r11 — see packedPngMembers scaladoc), with
+    // m8's own fixture: assets key on doc_id % 64 so planted duplicate
+    // classes exist. The render memoizes the 64 distinct encodes PER
+    // TASK (the closure deserializes per task, so `memo` is task-local
+    // — the encoder-pool init pattern the loose writer used).
+    val out = Coverage.scratchDir("m8_png_shards")
+    renderedOnce(out, idFingerprint(s, d)) {
+      val memo = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      graft.sources.MediaShards.pack(s, spreadIds(s, d), out)(
+        id => memo.getOrElseUpdate(id % 64, pngBytes(id % 64)))
+    }
+    val hashed = graft.sources.MediaShards.readMembers(s, out, Nil)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         it.map { case (id, bytes) =>

@@ -83,19 +83,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ais.getFormat.getSampleRate == 8000f)
   }
 
-  test("the on-disk assets are genuine PNGs (magic bytes + ImageIO decode)") {
-    SparkEntry.queries("m6_image_decode")(spark, sf).count() // materialize files
-    val dir = new java.io.File(
-      graft.operators.Coverage.scratchDir("m6_pngs"))
-    val pngs = dir.listFiles().filter(_.getName.endsWith(".png"))
-    assert(pngs.length > 0)
-    val f = pngs.minBy(_.getName)
-    val head = java.nio.file.Files.readAllBytes(f.toPath).take(8)
-    assert(head.sameElements(
+  test("the packed assets are genuine PNGs (magic bytes + ImageIO decode)") {
+    // m6/m9 read the PACKED image fixture since r11 (the m10 lesson
+    // applied to the image half); validate a member pulled back out of
+    // the shard container, which also proves the pack round trip
+    SparkEntry.queries("m6_image_decode")(spark, sf).count() // materialize pack
+    val dir = graft.operators.Coverage.scratchDir("m6_png_shards")
+    val (id, bytes) = graft.sources.MediaShards
+      .readMembers(spark, dir, Nil).orderBy("_1").head()
+    assert(bytes.take(8).sameElements(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
       "missing PNG signature")
-    val img = javax.imageio.ImageIO.read(f)
-    val id = f.getName.stripSuffix(".png").toLong
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
     assert(img.getWidth == (8 + id % 25).toInt)
     assert(img.getHeight == (8 + (id / 7) % 25).toInt)
   }
