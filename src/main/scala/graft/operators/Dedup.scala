@@ -790,24 +790,65 @@ object Dedup {
     semDedup(s, d, k = math.ceil(math.sqrt(n.toDouble)).toLong)
   }
 
-  private def semDedup(s: SparkSession, d: String, k: Long): DataFrame = {
+  /** Nearest-of-K-seeds cell assignment shared by d14/d23/d24:
+    * (vec_id, cell, emb, label) for every vector. Driver-held K-row
+    * seed centroids (K fixed at 8 for d14; K=ceil(sqrt N) for
+    * d23/d24 — still a codebook-sized collect, never corpus-sized);
+    * tie order (csim DESC, cell ASC) matches every oracle's
+    * row_number replay.
+    */
+  private def cellAssigned(s: SparkSession, d: String, k: Long): DataFrame = {
     import s.implicits._
     val e = graft.sources.Tables.embeddings(s, d)
-    // driver-held K-row seed centroids (K fixed for d14; K=ceil(sqrt N)
-    // for d23 — still a codebook-sized collect, never corpus-sized)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
       .sortBy(_._1).toSeq
       .toDF("cell", "ce")
-    val assigned = e
-      .crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("csim",
         graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
            first(col("embedding")).as("emb"),
            first(col("label")).as("label"))
+  }
+
+  /** d24 — d6's near-dup pair count with the quadratic block SPLIT by
+    * the d23 adaptive cells: candidate pairs must share (label, cell)
+    * instead of label alone, so block width drops from N/L (O(N),
+    * 21,800 at sf10 → 2.0 BILLION pairs, the reason d6 has no sf10
+    * gate row) to ~sqrt(N)-bounded. This is the standard
+    * blocked-approximation trade — cross-cell near-dup pairs are
+    * deliberately out of scope (DedupSpec pins blocked ⊆ exhaustive
+    * per label on the test corpus) — in exchange for a pair stage
+    * that scales like d23's, with (label, cell) as the shuffle key.
+    * Threshold 0.30 (d23's family threshold, NOT d6's 0.5): under the
+    * v2 embedding scheme the max within-label cosine at sf0.01 is
+    * 0.475, so a 0.5 cut is vacuous at the driver's gate scale — d6
+    * itself passes sf0.01 as an empty hash-match; this query must not
+    * inherit that.
+    */
+  val d24EmbeddingDupCells: Q = (s, d) => {
+    val n = graft.sources.Tables.embeddings(s, d).count()
+    val asg = cellAssigned(s, d, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val a = asg.select(col("vec_id").as("a_id"), col("label"), col("cell"),
+                       col("emb").as("a_e"))
+    val b = asg.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+                       col("cell").as("b_cell"), col("emb").as("b_e"))
+    a.join(b, col("label") === col("b_label") && col("cell") === col("b_cell")
+              && col("a_id") < col("b_id"))
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosineSim(col("a_e"), col("b_e")), 6))
+      .filter(col("sim") > 0.30)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_blocked_pairs"), min(col("a_id")).as("min_a"))
+  }
+
+  private def semDedup(s: SparkSession, d: String, k: Long): DataFrame = {
+    import s.implicits._
+    val e = graft.sources.Tables.embeddings(s, d)
+    val assigned = cellAssigned(s, d, k)
     val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
                             col("emb").as("a_e"))
     val b = assigned.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
@@ -1258,6 +1299,7 @@ object Dedup {
     "d16_minhash_calibration" -> d16MinhashCalibration,
     "d14_semdedup" -> d14SemDedup,
     "d23_semdedup_adaptive" -> d23SemDedupAdaptive,
+    "d24_embedding_dup_cells" -> d24EmbeddingDupCells,
     "d15_url_dedup" -> d15UrlDedup,
     "d11_decontaminate" -> d11Decontaminate,
     "d12_chunk_dedup" -> d12ChunkDedup,
@@ -1586,6 +1628,31 @@ object Dedup {
         |  CAST(lc.n_vecs - coalesce(rc.nr, 0) AS BIGINT) AS n_kept,
         |  rc.min_removed
         |FROM lc LEFT JOIN rc USING (label)""".stripMargin,
+    // d23's slim assignment CTEs + d6's pair predicate, re-blocked on
+    // (label, cell) — the blocked-approximation twin of d6's oracle
+    "d24_embedding_dup_cells" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e
+        |       WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |a0 AS (SELECT e.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
+        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |            sqrt(list_sum(list_transform(c.ce, x -> x*x)))) AS csim
+        |       FROM e CROSS JOIN c0 c),
+        |r AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY csim DESC, cell) AS rn
+        |      FROM a0),
+        |asg AS (SELECT e.vec_id, e.label, e.emb, r.cell
+        |        FROM r JOIN e ON r.vec_id = e.vec_id WHERE r.rn = 1),
+        |p AS (SELECT a.label, a.vec_id AS a_id,
+        |        round(list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1]*z[2])) /
+        |              (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |               sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS sim
+        |      FROM asg a JOIN asg b
+        |        ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT label, count(1) AS n_blocked_pairs, min(a_id) AS min_a
+        |FROM p WHERE sim > 0.30 GROUP BY label""".stripMargin,
     // the URL builder and every canonicalization rule replayed with
     // regexes (the same HOST/PATH/QUERY splits parse_url performs)
     "d15_url_dedup" ->

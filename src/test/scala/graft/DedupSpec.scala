@@ -210,6 +210,34 @@ class DedupSpec extends AnyFunSuite {
       s"widest cell $widest vs sqrt budget for n=$n, k=$k")
   }
 
+  test("d24's cell-blocked pairs are a subset of the exhaustive label-blocked pairs") {
+    // d24 trades cross-cell recall for a bounded pair stage; the
+    // trade's invariant is containment — per label it can never count
+    // MORE sim>0.30 pairs than the exhaustive label-only join (d6's
+    // shape at d24's threshold; d6's own 0.5 cut is empty on this
+    // corpus, so the reference is computed here rather than via d6)
+    val blocked = SparkEntry.queries("d24_embedding_dup_cells")(spark, sf)
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("n_blocked_pairs")).toMap
+    assert(blocked.nonEmpty, "blocked pair count should be non-vacuous")
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+                     col("embedding").as("a_e"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+                     col("embedding").as("b_e"))
+    val exhaustive = a
+      .join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosineSim(col("a_e"), col("b_e")), 6))
+      .filter(col("sim") > 0.30)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("n")).toMap
+    blocked.foreach { case (label, n) =>
+      assert(n <= exhaustive.getOrElse(label, 0L),
+        s"label $label: blocked $n > exhaustive ${exhaustive.get(label)}")
+    }
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val (prefix, sets, parts) = Dedup.d8Build(spark, sf)
     val n = sets.count()

@@ -20,11 +20,11 @@ class EntrySmokeSpec extends AnyFunSuite {
   test("the registered surface never shrinks") {
     // a refactor that drops a module's map from SparkEntry (or a
     // merge that shadows keys between modules) would silently shrink
-    // the driver-gated surface; pin the full round-11 surface (235 —
+    // the driver-gated surface; pin the full round-11 surface (236 —
     // the floor must track the surface or the newest queries sit
     // outside the ratchet)
-    assert(SparkEntry.queries.size >= 235,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 235)")
+    assert(SparkEntry.queries.size >= 236,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 236)")
   }
 
   test("every registered query has an oracle") {
@@ -115,7 +115,8 @@ class EntrySmokeSpec extends AnyFunSuite {
       // sqrt-bounded rows (448 at sf10), the IVF-codebook class, never
       // corpus-sized
       "n12_rrf_fusion", "g5_label_prop", "n13_maxsim", "n15_mrl_eval",
-      "d20_contrastive_pairs", "d23_semdedup_adaptive")
+      "d20_contrastive_pairs", "d23_semdedup_adaptive",
+      "d24_embedding_dup_cells")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }
