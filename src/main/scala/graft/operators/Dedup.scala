@@ -845,6 +845,80 @@ object Dedup {
       .agg(count(lit(1)).as("n_blocked_pairs"), min(col("a_id")).as("min_a"))
   }
 
+  /** d25 — SemDeDup with HIERARCHICAL cell assignment: the stage d23
+    * left super-linear. d23's flat assignment evaluates corpus ×
+    * ceil(√N) cosines (~N^{3/2} work) and collects √N centroid rows to
+    * the driver — fine to sf100, but both terms grow with the corpus.
+    * Here the assignment is two bounded levels:
+    *
+    *  - level 1: K₁ = ceil(∛N) coarse seeds (vectors 0..K₁-1, the
+    *    d14/d23 seeding rule), driver-collected — the ONLY collect,
+    *    and it is N^{1/3} rows, sub-linear in the corpus;
+    *  - level 2: within each coarse cell of ~N^{2/3} members, the
+    *    first ceil(√n_c) members by vec_id are that cell's sub-seeds
+    *    (~N^{1/3} each, ~N^{2/3} total). The sub-seed table NEVER
+    *    visits the driver: it derives from the level-1 assignment by
+    *    a window rank and joins corpus rows on the coarse-cell id —
+    *    executor-side state, broadcast or shuffled by Catalyst/AQE as
+    *    its size dictates.
+    *
+    * Work: level-1 N·K₁ = N^{4/3}, level-2 N·√(N^{2/3}) = N^{4/3},
+    * pair stage (cells ~∛N wide) ~N^{4/3} — every stage ~N·∛N versus
+    * d23's N·√N, and driver state shrinks from √N to ∛N rows. Same
+    * threshold (0.30), tie orders (csim DESC, seed-id ASC — level 2
+    * casts sub-seed embeddings to double so the oracle's all-double
+    * replay sees the same near-tie ordering as level 1's float×double
+    * convention), and min-id keeper rule; report schema identical to
+    * d23 so the two gate rows are directly comparable. Cross-(sub)cell
+    * near-dup pairs are out of scope exactly as d23's cross-cell pairs
+    * are — the hierarchy refines the blocking, it does not change the
+    * approximation contract.
+    */
+  val d25SemDedupHier: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.embeddings(s, d)
+    val n = e.count()
+    val k1 = math.ceil(math.cbrt(n.toDouble)).toLong
+    val coarse = cellAssigned(s, d, k1) // (vec_id, cell, emb, label)
+    val byCell = Window.partitionBy(col("cell"))
+    val subSeeds = coarse
+      .withColumn("srk", row_number().over(byCell.orderBy(col("vec_id"))))
+      .withColumn("nc", count(lit(1)).over(byCell))
+      .filter(col("srk") <= ceil(sqrt(col("nc"))))
+      .select(col("cell").as("s_cell"), col("vec_id").as("scell"),
+              col("emb").cast("array<double>").as("se"))
+    val asg = coarse.join(subSeeds, col("cell") === col("s_cell"))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosineSim(col("emb"), col("se")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+           max_by(col("scell"), struct(col("csim"), -col("scell")))
+             .as("scell"),
+           first(col("emb")).as("emb"),
+           first(col("label")).as("label"))
+    val a = asg.select(col("vec_id").as("a_id"), col("cell"), col("scell"),
+                       col("emb").as("a_e"))
+    val b = asg.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
+                       col("scell").as("b_scell"), col("emb").as("b_e"),
+                       col("label").as("b_label"))
+    val removed = a
+      .join(b, col("cell") === col("b_cell")
+               && col("scell") === col("b_scell")
+               && col("a_id") < col("b_id"))
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosineSim(col("a_e"), col("b_e")), 6))
+      .filter(col("sim") > 0.30)
+      .select(col("b_label").as("label"), col("b_id")).distinct()
+    val rc = removed.groupBy(col("label"))
+      .agg(count(lit(1)).as("nr"), min(col("b_id")).as("min_removed"))
+    val lc = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    lc.join(rc, Seq("label"), "left_outer")
+      .select(col("label"), col("n_vecs"),
+              coalesce(col("nr"), lit(0L)).as("n_removed"),
+              (col("n_vecs") - coalesce(col("nr"), lit(0L))).as("n_kept"),
+              col("min_removed"))
+  }
+
   private def semDedup(s: SparkSession, d: String, k: Long): DataFrame = {
     import s.implicits._
     val e = graft.sources.Tables.embeddings(s, d)
@@ -1300,6 +1374,7 @@ object Dedup {
     "d14_semdedup" -> d14SemDedup,
     "d23_semdedup_adaptive" -> d23SemDedupAdaptive,
     "d24_embedding_dup_cells" -> d24EmbeddingDupCells,
+    "d25_semdedup_hier" -> d25SemDedupHier,
     "d15_url_dedup" -> d15UrlDedup,
     "d11_decontaminate" -> d11Decontaminate,
     "d12_chunk_dedup" -> d12ChunkDedup,
@@ -1617,6 +1692,61 @@ object Dedup {
         |        FROM r JOIN e ON r.vec_id = e.vec_id WHERE r.rn = 1),
         |pr AS (SELECT b.label, b.vec_id AS b_id
         |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |       WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])) /
+        |                   (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |                    sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) > 0.30
+        |       GROUP BY b.label, b.vec_id),
+        |rc AS (SELECT label, count(1) AS nr, min(b_id) AS min_removed FROM pr GROUP BY label),
+        |lc AS (SELECT label, count(1) AS n_vecs FROM e GROUP BY label)
+        |SELECT lc.label, lc.n_vecs,
+        |  CAST(coalesce(rc.nr, 0) AS BIGINT) AS n_removed,
+        |  CAST(lc.n_vecs - coalesce(rc.nr, 0) AS BIGINT) AS n_kept,
+        |  rc.min_removed
+        |FROM lc LEFT JOIN rc USING (label)""".stripMargin,
+    // d23's slim CTEs extended one level down: coarse assignment
+    // (seed cutoff ceil(cbrt N)), sub-seeds = first ceil(sqrt n_c)
+    // members per coarse cell by vec_id, second ranked assignment
+    // within the coarse cell, then d23's pair search/keeper/report on
+    // the (cell, scell) block. Embeddings never enter a window sort —
+    // both ranked CTEs carry (vec_id, cell[, scell], csim) only and
+    // the kept rows re-join their arrays afterwards.
+    "d25_semdedup_hier" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e
+        |       WHERE vec_id < (SELECT CAST(ceil(cbrt(count(*))) AS BIGINT) FROM embeddings)),
+        |a0 AS (SELECT e.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
+        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |            sqrt(list_sum(list_transform(c.ce, x -> x*x)))) AS csim
+        |       FROM e CROSS JOIN c0 c),
+        |r AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY csim DESC, cell) AS rn
+        |      FROM a0),
+        |cg AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+        |sk AS (SELECT cell, vec_id AS scell,
+        |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS srk,
+        |         count(*) OVER (PARTITION BY cell) AS nc
+        |       FROM cg),
+        |ss AS (SELECT s.cell, s.scell, e.emb AS se
+        |       FROM sk s JOIN e ON e.vec_id = s.scell
+        |       WHERE s.srk <= CAST(ceil(sqrt(s.nc)) AS BIGINT)),
+        |a2 AS (SELECT g.vec_id, g.cell, s.scell,
+        |         list_sum(list_transform(list_zip(e.emb, s.se), p -> p[1]*p[2])) /
+        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |            sqrt(list_sum(list_transform(s.se, x -> x*x)))) AS csim
+        |       FROM cg g JOIN e ON e.vec_id = g.vec_id
+        |       JOIN ss s ON s.cell = g.cell),
+        |r2 AS (SELECT vec_id, cell, scell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY csim DESC, scell) AS rn
+        |       FROM a2),
+        |asg AS (SELECT e.vec_id, e.label, e.emb, r2.cell, r2.scell
+        |        FROM r2 JOIN e ON e.vec_id = r2.vec_id WHERE r2.rn = 1),
+        |pr AS (SELECT b.label, b.vec_id AS b_id
+        |       FROM asg a JOIN asg b
+        |         ON a.cell = b.cell AND a.scell = b.scell
+        |            AND a.vec_id < b.vec_id
         |       WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])) /
         |                   (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
         |                    sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) > 0.30

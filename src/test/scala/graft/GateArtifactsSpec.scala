@@ -27,6 +27,46 @@ class GateArtifactsSpec extends AnyFunSuite {
       "sf1 gate has rows-only entries — every query must be oracled")
   }
 
+  test("every 0-row pass in every committed gate artifact carries a vacuous note") {
+    // A 0-row hash-match proves only that both engines agree on
+    // emptiness — d6 passed three rounds of sf0.01 gates that way
+    // before the r11 sweep caught it. The runners (tools/check.py,
+    // tools/gate_isolated.py) now refuse to write an artifact whose
+    // vacuous rows lack a justification in tools/vacuous_notes.json;
+    // this pin closes the other half: artifacts ALREADY committed
+    // (including driver-written ones, whose rows field is
+    // `spark_rows`) can never hold an unexplained empty pass either.
+    val notes = read("tools/vacuous_notes.json")
+    val dir = java.nio.file.Paths.get(".")
+    val artifacts = java.nio.file.Files.list(dir).iterator()
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      artifacts.forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("CORRECTNESS") && name.endsWith(".json")) {
+          val doc = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // check.py shape: "q": {"pass": true, "rows": 0, ...}
+          // driver shape:  "q": {"rows_match": true, ..., "spark_rows": 0,
+          //                      "oracle_rows": 0, "err": null}
+          val q = """"([a-z0-9_]+)": \{([^}]*)\}""".r
+          q.findAllMatchIn(doc).foreach { m =>
+            val (qn, body) = (m.group(1), m.group(2))
+            val vacuousPass =
+              (body.contains("\"pass\": true") &&
+                body.contains("\"rows\": 0")) ||
+              (body.contains("\"hash_match\": true") &&
+                body.contains("\"spark_rows\": 0"))
+            if (vacuousPass && !notes.contains("\"" + qn + "\""))
+              offenders += s"$name: $qn"
+          }
+        }
+      }
+    } finally () // Files.list stream is short-lived; JVM exit reclaims it
+    assert(offenders.isEmpty,
+      s"0-row passes without a tools/vacuous_notes.json entry: " +
+        offenders.mkString(", "))
+  }
+
   test("MEDIA_SHARDS.json: the packed layout beats loose at both scales") {
     val doc = read("MEDIA_SHARDS.json")
     def num(key: String): Double = {

@@ -147,13 +147,38 @@ def main(sf_dir, out_dir, artifact=None, only=None):
                 results[name] = f"VALUE-MISMATCH {msg}"
     npass = sum(1 for v in results.values() if v.startswith("PASS"))
     nora = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
+    # A 0-row hash-match is a VACUOUS pass: both engines agreeing on
+    # emptiness proves nothing about the operator's value semantics
+    # (d6's 0.5 cosine cut passed three rounds of gates this way
+    # before the r11 sweep noticed). Every vacuous row must carry a
+    # human-written justification in tools/vacuous_notes.json — the
+    # same contract gate_isolated.py enforces for the sf10 rung — and
+    # the note rides in the artifact so a later reader never mistakes
+    # an empty result for exercised coverage.
+    vacuous = sorted(
+        q for q, v in results.items()
+        if (v.startswith("PASS") or v.startswith("NO-ORACLE"))
+        and "rows=0" in v)
+    notes_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "vacuous_notes.json")
+    with open(notes_path) as f:
+        notes = json.load(f)
+    missing = [q for q in vacuous if q not in notes]
     for k, v in sorted(results.items()):
-        print(f"{'OK ' if v.startswith('PASS') else '** '}{k}: {v}")
-    print(f"\n{npass}/{len(results)} pass ({nora} rows-only)")
+        tag = " (VACUOUS)" if k in vacuous else ""
+        print(f"{'OK ' if v.startswith('PASS') else '** '}{k}: {v}{tag}")
+    print(f"\n{npass}/{len(results)} pass ({nora} rows-only, "
+          f"{len(vacuous)} vacuous)")
+    if missing:
+        print(f"** vacuous passes without a justification in {notes_path}: "
+              f"{missing} — add notes or fix the queries")
+        return 1
     if artifact:
         doc = {
             "sf_dir": sf_dir,
             "n_pass": npass, "n_rows_only": nora, "n_total": len(results),
+            "vacuous": vacuous,
+            "vacuous_notes": {q: notes[q] for q in vacuous},
             "queries": {
                 k: {"pass": v.startswith("PASS"),
                     "rows": int(v.split("rows=")[1]) if "rows=" in v else None,
