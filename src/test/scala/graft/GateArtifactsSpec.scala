@@ -18,7 +18,7 @@ class GateArtifactsSpec extends AnyFunSuite {
     val doc = read("CORRECTNESS_SF1.json")
     val passes = """"pass": ?(true|false)""".r
       .findAllMatchIn(doc).map(_.group(1)).toSeq
-    assert(passes.size >= 236, s"only ${passes.size} sf1 gate rows recorded")
+    assert(passes.size >= 237, s"only ${passes.size} sf1 gate rows recorded")
     assert(passes.forall(_ == "true"),
       "an sf1 gate row is non-pass — re-run Verify+check at " +
         "target/scalecurve/sf1 and fix before re-committing")

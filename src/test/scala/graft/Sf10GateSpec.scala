@@ -23,11 +23,11 @@ class Sf10GateSpec extends AnyFunSuite {
   test("the sf10 heavy-slice artifact is complete and all-pass") {
     val passes = """"pass": ?(true|false)""".r
       .findAllMatchIn(doc).map(_.group(1)).toSeq
-    // r11 closed the gate at 232 rows (full surface minus the four
+    // r12 closed the gate at 233 rows (r11's 232 + d25; full surface minus the four
     // deliberate baselines m5/m7/d6/d14) — the floor tracks that, so
     // a regeneration that silently drops back to the old heavy slice
     // fails here
-    assert(passes.size >= 232, s"only ${passes.size} gated queries recorded")
+    assert(passes.size >= 233, s"only ${passes.size} gated queries recorded")
     assert(passes.forall(_ == "true"),
       "a recorded sf10 gate result is non-pass — re-run the gate and " +
         "fix or explain before re-committing the artifact")
