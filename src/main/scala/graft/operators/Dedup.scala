@@ -1913,44 +1913,44 @@ object Dedup {
          |FROM p WHERE floor(inter * 10.0 / uni) >= 5
          |GROUP BY lang, j_band""".stripMargin,
     // The oracle mirrors the ENGINE's candidate machinery exactly —
-    // r10 rewrite after the sf10 gate OOM'd/segfaulted DuckDB twice:
-    // (a) the exploded prefix rows are SLIM (doc_id, n, tok, pos) and
-    // the DISTINCT runs on bare id pairs with the token lists joined
-    // back once per surviving pair (the d22 discipline; the old shape
-    // carried both ~300-element lists through the candidate DISTINCT);
+    // r10 rewrite after the sf10 gate OOM'd/segfaulted DuckDB twice,
+    // r12 re-shaped for the sf30 rung (the r10 form fit sf10 inside
+    // 70 GB but OOM'd DuckDB's reservation accounting within minutes
+    // at sf30 on four configurations, RSS only ~24 GB — the early
+    // blow-up is the `o` ordered LIST AGGREGATION, a 225M-row sort
+    // into per-doc lists):
+    // (a) the rare-first prefix comes from a row_number WINDOW over
+    // the exploded (doc, tok) rows — d22's discipline, spillable,
+    // never building an ordered-list column: `otoks` was just the
+    // (freq, tok)-ordered permutation, so rank rnk ≤ plen selects
+    // exactly the old list_slice prefix and pos = rnk − 1;
     // (b) the PPJoin LENGTH (10·|A| ≥ 7·|B| both ways) and POSITIONAL
     // (17·min(na−pa, nb−pb) ≥ 7·(na+nb)) filters ride the join, so
     // DuckDB's candidate set is the engine's 3.33M pairs at sf10, not
     // the 20.2M raw prefix matches (result-identical: the filters
     // never drop a qualifying pair's first-common-token row);
-    // (c) the multi-consumer CTEs are MATERIALIZED and the VERIFY
-    // stage intersects the value-sorted `ts` sets (the same sets —
-    // `otoks` is just a freq-ordered permutation), so the expensive
-    // rank pipeline `o` has exactly ONE consumer: DuckDB 1.0 re-
-    // inlines CTEs per consumer even under the MATERIALIZED hint, and
-    // duplicating the rank subtree into the verify joins is what
-    // exhausted memory (this shape: 185 s at sf10 inside 70 GB).
+    // (c) multi-consumer CTEs (ts, pr) are MATERIALIZED (DuckDB 1.0
+    // re-inlines per consumer without the hint — duplicating the rank
+    // subtree into the verify joins is what exhausted memory in r10);
+    // the VERIFY stage intersects the value-sorted `ts` sets once per
+    // surviving bare-id pair.
     "d8_prefix_join" ->
       s"""WITH t AS ($sqlDocs),
          |ts AS MATERIALIZED (SELECT doc_id, lang,
          |         list_sort(list_distinct(
          |           list_transform($sqlShingles, $sqlHash60))) AS ts
          |       FROM t),
-         |f AS (SELECT tok, count(1) AS freq
-         |      FROM (SELECT doc_id, unnest(ts) AS tok FROM ts) GROUP BY tok),
-         |o AS MATERIALIZED (
-         |      SELECT doc_id, lang, list(tok ORDER BY freq, tok) AS otoks
-         |      FROM (SELECT doc_id, lang, unnest(ts) AS tok FROM ts) e
-         |      JOIN f USING (tok)
-         |      GROUP BY doc_id, lang),
-         |p0 AS (SELECT doc_id, lang, otoks, length(otoks) AS n,
-         |         length(otoks) - (length(otoks) * 7 + 9) // 10 + 1 AS plen
-         |       FROM o),
-         |pr AS MATERIALIZED (SELECT doc_id, n,
-         |         unnest(list_slice(otoks, 1, plen)) AS tok,
-         |         unnest(range(0, plen)) AS pos FROM p0),
-         |c AS MATERIALIZED (
-         |      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |e AS (SELECT doc_id, unnest(ts) AS tok FROM ts),
+         |f AS (SELECT tok, count(1) AS freq FROM e GROUP BY tok),
+         |n AS (SELECT doc_id, length(ts) AS n FROM ts),
+         |rk AS (SELECT e.doc_id, e.tok, row_number() OVER (
+         |         PARTITION BY e.doc_id ORDER BY f.freq, e.tok) AS rnk
+         |       FROM e JOIN f USING (tok)),
+         |pr AS MATERIALIZED (
+         |       SELECT rk.doc_id, n.n, rk.tok, rk.rnk - 1 AS pos
+         |       FROM rk JOIN n USING (doc_id)
+         |       WHERE rk.rnk <= n.n - (n.n * 7 + 9) // 10 + 1),
+         |c AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |      FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id
          |        AND 10 * a.n >= 7 * b.n AND 10 * b.n >= 7 * a.n
          |        AND 17 * least(a.n - a.pos, b.n - b.pos)

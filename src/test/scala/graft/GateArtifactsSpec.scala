@@ -27,6 +27,20 @@ class GateArtifactsSpec extends AnyFunSuite {
       "sf1 gate has rows-only entries — every query must be oracled")
   }
 
+  test("CORRECTNESS_SF30.json: the heavy-documents slice is gated exact at sf30") {
+    val doc = read("CORRECTNESS_SF30.json")
+    val passes = """"pass": ?(true|false)""".r
+      .findAllMatchIn(doc).map(_.group(1)).toSeq
+    assert(passes.size >= 3, s"only ${passes.size} sf30 gate rows recorded")
+    assert(passes.forall(_ == "true"),
+      "an sf30 gate row is non-pass — re-run the GenSf30Gate runbook " +
+        "(see its scaladoc) and fix before re-committing")
+    // the merge guard needs the corpus fingerprint to refuse
+    // cross-generation mixes; its absence means a hand-edited artifact
+    assert(doc.contains("corpus_scheme"),
+      "sf30 artifact lost its corpus_scheme stamp")
+  }
+
   test("every 0-row pass in every committed gate artifact carries a vacuous note") {
     // A 0-row hash-match proves only that both engines agree on
     // emptiness — d6 passed three rounds of sf0.01 gates that way
