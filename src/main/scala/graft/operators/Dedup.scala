@@ -796,6 +796,19 @@ object Dedup {
     * d23/d24 — still a codebook-sized collect, never corpus-sized);
     * tie order (csim DESC, cell ASC) matches every oracle's
     * row_number replay.
+    *
+    * Corpus assumption, measured at r12: `vec_id < k` seeding needs K
+    * DENSE low ids. The replicated deep corpora stride copy ids by
+    * 1e7, so past ~4M vectors (k > 2000 = the dense copy-0 range) the
+    * effective seed count SATURATES at 2000, cells re-widen to
+    * N/2000, and the within-cell pair stage re-grows quadratically —
+    * measured at 20M vectors: ~100G pair enumerations, and d23 hands
+    * the lead to d25 (whose level-2 sub-seeds are RANK-derived, id-
+    * density-independent). Every gate rung (≤ sf10, k ≤ 448) is deep
+    * inside the dense range, and the oracles replay the same cutoff,
+    * so correctness is unaffected at any scale — this is a scaling
+    * note: production seeding should pick the K lowest EXISTING ids
+    * (rank), not an id threshold.
     */
   private def cellAssigned(s: SparkSession, d: String, k: Long): DataFrame = {
     import s.implicits._
