@@ -13,13 +13,14 @@ so ScaleCurveSpec's regex keeps reading the committed artifact.
 Usage: tools/patch_deepcurve.py <profile_outdir> <query> [query...]
 """
 import glob
+import os
 import json
 import math
 import re
 import sys
 
 CURVE = "/root/repo/SCALECURVE.json"
-ORDER = ["sf1", "sf3", "sf10", "sf30", "sf100"]
+ORDER = ["sf1", "sf3", "sf10", "sf30", "sf100", "sf300", "sf1000"]
 
 
 def main(outdir, queries):
@@ -46,15 +47,36 @@ def main(outdir, queries):
             # per table, so n per scale transfers). The table must be
             # declared here — silently defaulting to documents would
             # publish a wrong exponent for an events/embeddings op.
-            table_of = {"d16_minhash_calibration": "documents"}
+            table_of = {"d16_minhash_calibration": "documents",
+                        "d23_semdedup_adaptive": "embeddings",
+                        "d25_semdedup_hier": "embeddings"}
             assert q in table_of, (
                 f"{q} has no committed deep entry and no table declared "
                 f"in patch_deepcurve.table_of — add it (the row counts "
                 f"per scale are inherited from that table's entries)")
             donors = [e for e in deep.values()
                       if e["table"] == table_of[q]]
-            assert donors, f"no committed deep entry over {table_of[q]}"
-            ref = {"table": table_of[q], "series": donors[0]["series"]}
+            if donors:
+                ref = {"table": table_of[q], "series": donors[0]["series"]}
+            else:
+                # first entry EVER over this table: read the row count
+                # straight from each corpus parquet footer (metadata
+                # only — no scan, no Spark), so an embeddings-table op
+                # can seed the ladder without a counting pass
+                import pyarrow.parquet as pq
+                import glob as _glob
+                series = []
+                for sf in ORDER:
+                    path = f"/root/repo/target/scalecurve/{sf}/{table_of[q]}.parquet"
+                    parts = _glob.glob(f"{path}/*.parquet")
+                    if not parts and os.path.exists(path):
+                        parts = [path]
+                    if not parts:
+                        continue
+                    n = sum(pq.ParquetFile(p).metadata.num_rows
+                            for p in parts)
+                    series.append({"sf": sf, "n": n})
+                ref = {"table": table_of[q], "series": series}
         old = {p["sf"]: p["n"] for p in ref["series"]}
         # row-count fallback for scales this entry has never carried:
         # corpora are shared per table, so any committed entry over the
