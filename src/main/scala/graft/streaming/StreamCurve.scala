@@ -113,6 +113,52 @@ object StreamCurve {
     } finally StreamScale.restore(spark, prev)
   }
 
+  /** CEP event stream: 500 users, event time +20 ms per global index
+    * (so the 10-min horizon holds a bounded window), symbol cycle
+    * planting signup→purchase funnels with filler steps between.
+    */
+  def cepEvAt(g: Long): TwsCep.Ev = {
+    val sym = (g / 500L) % 7L match {
+      case 0 => "s"
+      case 6 => "p"
+      case _ => "x"
+    }
+    TwsCep.Ev(g % 500L, g * 20L, g, sym)
+  }
+
+  def writeCepSlices(spark: SparkSession, dir: String, slices: Int,
+                     rowsPerSlice: Int): Unit = {
+    import spark.implicits._
+    (0 until slices).foreach { s =>
+      val base = s.toLong * rowsPerSlice
+      spark.range(rowsPerSlice)
+        .map(i => cepEvAt(base + i))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  def runCep(spark: SparkSession, dir: String, rows: Long, x: Int): Point = {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scurve-cepckpt").toString
+    val prev = StreamScale.enableRocksDb(spark)
+    try {
+      val evs = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[TwsCep.Ev]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir).as[TwsCep.Ev]
+      val t0 = System.nanoTime()
+      val q = TwsCep.detect(evs)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      collectStats(q, rows, t0, x)
+    } finally StreamScale.restore(spark, prev)
+  }
+
   def runAsOf(spark: SparkSession, dir: String, rows: Long,
               x: Int): Point = {
     import spark.implicits._
@@ -195,6 +241,21 @@ object StreamCurve {
       println(s"[streamcurve] neardup x$x: ${pointJson(p)}")
       p
     }
+    // CEP: base = 2 slices x 10k events; third operator class on the
+    // decade (ListState buffer + ValueState machine + per-batch timers)
+    val cepSliceRows = 10000
+    val cepBase = 2
+    val cepPts = xs.map { x =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scurve-cep$x").toString
+      writeCepSlices(spark, dir, slices = cepBase * x,
+        rowsPerSlice = cepSliceRows)
+      val rows = cepBase.toLong * x * cepSliceRows
+      if (x == 1) runCep(spark, dir, rows, x) // warmup
+      val p = runCep(spark, dir, rows, x)
+      println(s"[streamcurve] cep x$x: ${pointJson(p)}")
+      p
+    }
     def opJson(name: String, pts: Seq[Point]): String = {
       // growth is measured on state ROWS: numRowsTotal is the live
       // state the operator holds, the thing the O(horizon) contract
@@ -216,7 +277,8 @@ object StreamCurve {
       s"""{"comment":"streaming state-bound decade: 1x/10x/100x event count, same keys/rate/horizon, RocksDB state store; peak state ROWS flat across the decade = the O(horizon)/O(bands) claim, measured (bytes reported per point but carry RocksDB SST accumulation, not live state; see StreamCurve.scala; spec-pinned by StreamCurveSpec)",
          |"cpus":$cpus,
          |${opJson("streaming_asof", asofPts)},
-         |${opJson("streaming_near_dup", ndPts)}}
+         |${opJson("streaming_near_dup", ndPts)},
+         |${opJson("streaming_cep", cepPts)}}
          |""".stripMargin
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("STREAMCURVE.json"), doc.getBytes("UTF-8"))

@@ -38,7 +38,8 @@ class StreamCurveSpec extends AnyFunSuite {
     ("\"" + key + "\": ?(-?[0-9.]+)").r
       .findAllMatchIn(section).map(_.group(1).toDouble).toSeq
 
-  for (name <- Seq("streaming_asof", "streaming_near_dup")) {
+  for (name <- Seq("streaming_asof", "streaming_near_dup",
+                   "streaming_cep")) {
     test(s"$name: three points spanning a 100x event decade") {
       val s = op(name)
       val rows = nums(s, "rows")
