@@ -49,6 +49,31 @@ class MediaShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("readMembers keeps decode parallelism: one partition per core, balanced") {
+    // the r12 m9 regression: a count-less repartition of the few-KB
+    // offset index was REPARTITION_BY_COL, which AQE coalesced to ONE
+    // task — the downstream per-member decode (invisible to AQE) ran
+    // single-core. Pin the fixed behavior: the member stream must
+    // come back in exactly defaultParallelism partitions with no
+    // partition holding more than ~2x its fair share, whatever AQE
+    // thinks of the index shuffle's size.
+    import spark.implicits._
+    val dir = freshDir("gshard")
+    val ids = spark.range(0, 800).select(col("id").as("doc_id"))
+      .repartition(5)
+    MediaShards.pack(spark, ids, dir)(render)
+    val sizes = MediaShards.readMembers(spark, dir).rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> it.size))
+      .collect().map(_._2)
+    val p = spark.sparkContext.defaultParallelism
+    assert(sizes.length == p,
+      s"member read came back in ${sizes.length} partitions, wanted $p " +
+        "(AQE coalescing re-broke the decode parallelism?)")
+    val fair = 800.0 / p
+    assert(sizes.max <= 2 * fair + 16,
+      s"unbalanced member partitions: ${sizes.mkString(",")}")
+  }
+
   test("the layout is packed: one shard per partition, bytes fully indexed") {
     import spark.implicits._
     val dir = freshDir("gshard")

@@ -99,4 +99,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.getWidth == (8 + id % 25).toInt)
     assert(img.getHeight == (8 + (id / 7) % 25).toInt)
   }
+
+  test("WAV codec calls go through the held SPI providers, never AudioSystem") {
+    // the r12 finding: AudioSystem's entry points serialize every
+    // caller on a synchronized static provider registry — 5000 decodes
+    // measured 0.17 s on one thread but 0.45 s on four. WavCodec holds
+    // the SPI providers per JVM instead; this lint keeps a future edit
+    // from reintroducing the global lock into the decode hot loop. The
+    // only permitted AudioSystem CALLS in Multimodal.scala are
+    // WavCodec's own two fallback lines (exotic payloads).
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/operators/Multimodal.scala")), "UTF-8")
+    val calls = src.linesIterator.zipWithIndex.filter { case (l, _) =>
+      val code = l.takeWhile(_ != '/') // strip line comments; scaladoc
+      // lines start with spaces + '*' and never carry code
+      !l.trim.startsWith("*") && code.contains("AudioSystem.")
+    }.toSeq
+    assert(calls.size == 2,
+      s"expected exactly WavCodec's 2 AudioSystem fallback call sites, " +
+        s"found ${calls.size}: lines ${calls.map(_._2 + 1).mkString(",")}")
+    calls.foreach { case (l, i) =>
+      assert(l.contains("getAudioInputStream") || l.contains("write("),
+        s"unexpected AudioSystem usage at line ${i + 1}: $l")
+    }
+  }
 }
