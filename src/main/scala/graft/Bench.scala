@@ -146,6 +146,11 @@ object Bench {
     // the artifact instead of a judge-re-run discovery
     val runs = 3
     val perRun = Array.fill(runs)(0.0)
+    // wall spent inside runs that THREW, kept out of perRun so
+    // run_totals / spread_pct / the host-shift sanity read only
+    // measured work (r12 advice: a crash's failure latency is not a
+    // host signal); reported separately so the time is still visible
+    var failedRunSec = 0.0
     // A query that THROWS must never contribute a timed min: its
     // failure latency is not a measurement, and folding it into the
     // map (the pre-r12 behavior) would let a bench-scale crash
@@ -166,7 +171,7 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!keep.contains(id)) rdd.unpersist(blocking = false)
         }
-        perRun(i) += dt
+        if (ok) perRun(i) += dt else failedRunSec += dt
         if (ok) dt else Double.NaN
       }
       name -> (if (times.exists(!_.isNaN)) times.filterNot(_.isNaN).min
@@ -247,6 +252,7 @@ object Bench {
       }.mkString("[", ",", "]")
     val meta = s""""runs":$runs,"spread_pct":${f"$spreadPct%.1f"},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""failed_run_sec":${f"$failedRunSec%.1f"},""" +
       s""""run_totals":[${perRun.map(t => f"$t%.1f").mkString(",")}],""" +
       s""""host_shift":${f"$hostShift%.3f"},""" +
       s""""host_shift_suspect":${shiftSuspect(hostShift)},""" +
@@ -291,5 +297,17 @@ object Bench {
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$meta,"per_query_file":"BENCH_PER_QUERY.json","sf":"$sfDir"}""")
     spark.stop()
+    // A query that failed every run is filtered out of `results`, so
+    // it would vanish from BOTH regression comparators (they iterate
+    // the current map) — make the pass itself fail so automation
+    // cannot read a green total with a query missing (r12 advice).
+    // The artifact is still written above: the judge sees the map AND
+    // the nonzero exit.
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] exiting 1: ${failed.size} quer" +
+        s"${if (failed.size == 1) "y" else "ies"} failed all runs: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -18,11 +18,21 @@ object GenDeepEmb {
   def main(args: Array[String]): Unit = {
     val spark = GenSession.local()
     val src = "/root/testdata/sf0.1"
+    // loud usage errors instead of IndexOutOfBounds / NumberFormat on
+    // an odd arg count or swapped pair order (r12 advice)
+    require(args.length % 2 == 0,
+      s"usage: runMain graft.GenDeepEmb [nCopies outDir]... — got " +
+        s"${args.length} args (odd count)")
     val targets: Seq[(Int, String)] =
       if (args.isEmpty)
         Seq(300 -> "/root/repo/target/scalecurve/sf30",
             1000 -> "/root/repo/target/scalecurve/sf100")
-      else args.grouped(2).map(a => a(0).toInt -> a(1)).toSeq
+      else args.grouped(2).map { a =>
+        require(a(0).forall(_.isDigit),
+          s"usage: runMain graft.GenDeepEmb [nCopies outDir]... — " +
+            s"'${a(0)}' is not a copy count (swapped args?)")
+        a(0).toInt -> a(1)
+      }.toSeq
     targets.foreach { case (n, out) =>
       if (ScaleCurve.embeddingsCurrent(out))
         println(s"[gen-deep-emb] $out current, skipping")

@@ -122,31 +122,44 @@ object ScaleCurve {
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
     if (tables("embeddings")) genEmbeddings(spark, srcDir, outDir, nCopies)
-    if (tables("events")) {
-      // events: ts is written as an int64 nanos column (Tables.events
-      // div-1000s it on read; tools/check.py normalizes the DuckDB
-      // view); source corpora have shipped ts as TIMESTAMP(NANOS)
-      // (read as a long via the legacy conf) and as plain
-      // TIMESTAMP(MICROS) — normalize either to epoch-nanos first.
-      // Copies occupy disjoint time ranges so densities stay constant.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev0 = graft.sources.Tables.table(spark, srcDir, "events")
-      val ev = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => ev0
-        case _ => ev0.withColumn("ts",
-          expr("unix_micros(cast(ts as timestamp)) * 1000"))
-      }
-      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-      val span = mm.getLong(1) - mm.getLong(0) + 3600000000000L // +1 h gap
-      (0 until nCopies).map { c =>
-        ev.select(
-          (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
-          (col("ts") + lit(c.toLong * span)).as("ts"),
-          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (tables("events")) genEvents(spark, srcDir, outDir, nCopies)
+    java.nio.file.Files.write(done.toPath, schemeVersion.getBytes("UTF-8"))
+    ()
+  }
+
+  /** events replication, own marker so it can COMPLETE a corpus that
+    * was generated with a table subset (the genEmbeddings precedent:
+    * sf30 was documents-only and its _GEN_DONE guard would otherwise
+    * refuse the extension). ts is written as an int64 nanos column
+    * (Tables.events div-1000s it on read; tools/check.py normalizes
+    * the DuckDB view); source corpora have shipped ts as
+    * TIMESTAMP(NANOS) (read as a long via the legacy conf) and as
+    * plain TIMESTAMP(MICROS) — normalize either to epoch-nanos first.
+    * Copies occupy disjoint time ranges so densities stay constant.
+    */
+  def genEvents(spark: SparkSession, srcDir: String, outDir: String,
+                nCopies: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_EVENTS_DONE")
+    if (versionedMarkerCurrent(done)) return
+    java.nio.file.Files.deleteIfExists(done.toPath)
+    new java.io.File(outDir).mkdirs()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = graft.sources.Tables.table(spark, srcDir, "events")
+    val ev = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev0
+      case _ => ev0.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
     }
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val span = mm.getLong(1) - mm.getLong(0) + 3600000000000L // +1 h gap
+    (0 until nCopies).map { c =>
+      ev.select(
+        (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
+        (col("ts") + lit(c.toLong * span)).as("ts"),
+        (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     java.nio.file.Files.write(done.toPath, schemeVersion.getBytes("UTF-8"))
     ()
   }

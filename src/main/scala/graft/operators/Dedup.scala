@@ -797,24 +797,26 @@ object Dedup {
     * tie order (csim DESC, cell ASC) matches every oracle's
     * row_number replay.
     *
-    * Corpus assumption, measured at r12: `vec_id < k` seeding needs K
-    * DENSE low ids. The replicated deep corpora stride copy ids by
-    * 1e7, so past ~4M vectors (k > 2000 = the dense copy-0 range) the
-    * effective seed count SATURATES at 2000, cells re-widen to
-    * N/2000, and the within-cell pair stage re-grows quadratically —
-    * measured at 20M vectors: ~100G pair enumerations, and d23 hands
-    * the lead to d25 (whose level-2 sub-seeds are RANK-derived, id-
-    * density-independent). Every gate rung (≤ sf10, k ≤ 448) is deep
-    * inside the dense range, and the oracles replay the same cutoff,
-    * so correctness is unaffected at any scale — this is a scaling
-    * note: production seeding should pick the K lowest EXISTING ids
-    * (rank), not an id threshold.
+    * Seeding is by RANK since r13: the K lowest EXISTING vec_ids
+    * (TakeOrderedAndProject top-K — per-partition heads merged on the
+    * driver, still a K-row collect), not `vec_id < k`. The r12 sf1000
+    * investigation measured why the threshold form dies at scale: the
+    * replicated deep corpora stride copy ids by 1e7, so past ~4M
+    * vectors (k > 2000 = the dense copy-0 range) the effective seed
+    * count SATURATED at 2000, cells re-widened to N/2000, and the
+    * within-cell pair stage re-grew quadratically (~100G pair
+    * enumerations at 20M vectors). Rank seeding is id-density-
+    * independent: K seeds exist whenever K vectors do. On dense-id
+    * corpora (every gate rung: ids 0..N-1) rank ≡ threshold, so all
+    * committed gate rows are unchanged; the oracles replay the same
+    * rank rule (row_number over vec_id).
     */
   private def cellAssigned(s: SparkSession, d: String, k: Long): DataFrame = {
     import s.implicits._
     val e = graft.sources.Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding")).collect()
+    val cents = e.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(math.min(k, Int.MaxValue.toLong).toInt)
+      .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
       .sortBy(_._1).toSeq
       .toDF("cell", "ce")
@@ -864,9 +866,9 @@ object Dedup {
     * the driver — fine to sf100, but both terms grow with the corpus.
     * Here the assignment is two bounded levels:
     *
-    *  - level 1: K₁ = ceil(∛N) coarse seeds (vectors 0..K₁-1, the
-    *    d14/d23 seeding rule), driver-collected — the ONLY collect,
-    *    and it is N^{1/3} rows, sub-linear in the corpus;
+    *  - level 1: K₁ = ceil(∛N) coarse seeds (the K₁ lowest existing
+    *    vec_ids — the shared rank seeding rule), driver-collected —
+    *    the ONLY collect, and it is N^{1/3} rows, sub-linear;
     *  - level 2: within each coarse cell of ~N^{2/3} members, the
     *    first ceil(√n_c) members by vec_id are that cell's sub-seeds
     *    (~N^{1/3} each, ~N^{2/3} total). The sub-seed table NEVER
@@ -901,8 +903,14 @@ object Dedup {
       .select(col("cell").as("s_cell"), col("vec_id").as("scell"),
               col("emb").cast("array<double>").as("se"))
     val asg = coarse.join(subSeeds, col("cell") === col("s_cell"))
+      // both csim operands all-double (r12 advice): CosineSimilarity
+      // widens float inputs per element anyway — exact, so this cast
+      // is numerically a no-op — but the explicit form makes the
+      // assignment arithmetic match the oracle's all-double replay
+      // by construction rather than by a widening argument
       .withColumn("csim",
-        graft.functions.VectorFunctions.cosineSim(col("emb"), col("se")))
+        graft.functions.VectorFunctions.cosineSim(
+          col("emb").cast("array<double>"), col("se")))
       .groupBy(col("vec_id"))
       .agg(first(col("cell")).as("cell"),
            max_by(col("scell"), struct(col("csim"), -col("scell")))
@@ -1655,10 +1663,16 @@ object Dedup {
     },
     // seed-centroid assignment replayed like n5's oracle (same double
     // left-fold dot/norm, same csim DESC, cell ASC tie order), then the
-    // within-cell pair search and min-id-keeper rule in plain SQL
+    // within-cell pair search and min-id-keeper rule in plain SQL.
+    // Seeds are the K lowest EXISTING vec_ids (rank, r13 — matches
+    // cellAssigned's top-K; identical to the old id threshold on
+    // dense-id corpora), ranked over the slim vec_id projection so no
+    // embedding array rides the window sort
     "d14_semdedup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 8),
+        |sd AS (SELECT vec_id FROM (SELECT vec_id FROM embeddings)
+        |       QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+        |c0 AS (SELECT e.vec_id AS cell, e.emb AS ce FROM e JOIN sd USING (vec_id)),
         |a0 AS (SELECT e.vec_id, e.label, e.emb, c.cell,
         |         row_number() OVER (PARTITION BY e.vec_id
         |           ORDER BY list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
@@ -1690,8 +1704,10 @@ object Dedup {
     // and the kept row re-joins its embedding afterwards.
     "d23_semdedup_adaptive" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e
-        |       WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |sd AS (SELECT vec_id FROM (SELECT vec_id FROM embeddings)
+        |       QUALIFY row_number() OVER (ORDER BY vec_id)
+        |               <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |c0 AS (SELECT e.vec_id AS cell, e.emb AS ce FROM e JOIN sd USING (vec_id)),
         |a0 AS (SELECT e.vec_id, c.cell,
         |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
         |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
@@ -1725,8 +1741,10 @@ object Dedup {
     // the kept rows re-join their arrays afterwards.
     "d25_semdedup_hier" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e
-        |       WHERE vec_id < (SELECT CAST(ceil(cbrt(count(*))) AS BIGINT) FROM embeddings)),
+        |sd AS (SELECT vec_id FROM (SELECT vec_id FROM embeddings)
+        |       QUALIFY row_number() OVER (ORDER BY vec_id)
+        |               <= (SELECT CAST(ceil(cbrt(count(*))) AS BIGINT) FROM embeddings)),
+        |c0 AS (SELECT e.vec_id AS cell, e.emb AS ce FROM e JOIN sd USING (vec_id)),
         |a0 AS (SELECT e.vec_id, c.cell,
         |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
         |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
@@ -1775,8 +1793,10 @@ object Dedup {
     // (label, cell) — the blocked-approximation twin of d6's oracle
     "d24_embedding_dup_cells" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, emb AS ce FROM e
-        |       WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |sd AS (SELECT vec_id FROM (SELECT vec_id FROM embeddings)
+        |       QUALIFY row_number() OVER (ORDER BY vec_id)
+        |               <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |c0 AS (SELECT e.vec_id AS cell, e.emb AS ce FROM e JOIN sd USING (vec_id)),
         |a0 AS (SELECT e.vec_id, c.cell,
         |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
         |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *

@@ -159,6 +159,156 @@ object StreamCurve {
     } finally StreamScale.restore(spark, prev)
   }
 
+  /** Quota event stream: 500 users, event time +600 ms per global
+    * index, so the 1× stream (20k events) already spans ~3.3 one-hour
+    * quota windows and the 100× stream spans ~333 — live state (the
+    * per-key window MapState + its cleanup timers) must stay bounded
+    * by the windows inside the watermark horizon, not the windows the
+    * stream has EVER opened. ~12 events per (user, window) against
+    * maxPerWindow=3 keeps the reject path hot too.
+    */
+  def quotaEvAt(g: Long): TwsQuota.Event =
+    TwsQuota.Event(g % 500L, g * 600L, (g % 7).toDouble)
+
+  def writeQuotaSlices(spark: SparkSession, dir: String, slices: Int,
+                       rowsPerSlice: Int): Unit = {
+    import spark.implicits._
+    (0 until slices).foreach { s =>
+      val base = s.toLong * rowsPerSlice
+      spark.range(rowsPerSlice)
+        .map(i => quotaEvAt(base + i))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  def runQuota(spark: SparkSession, dir: String, rows: Long,
+               x: Int): Point = {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scurve-qckpt").toString
+    val prev = StreamScale.enableRocksDb(spark)
+    try {
+      val evs = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[
+          TwsQuota.Event]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir).as[TwsQuota.Event]
+      val t0 = System.nanoTime()
+      val q = TwsQuota.admit(evs)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      collectStats(q, rows, t0, x)
+    } finally StreamScale.restore(spark, prev)
+  }
+
+  /** Heavy-hitter item stream: distinct COLD items grow linearly with
+    * stream length (one new item per 3 events — ~667k distinct at
+    * 100×), while a 17-item HOT cycle recurs throughout; without the
+    * Space-Saving capacity bound the tracked set would track stream
+    * length. numRowsTotal counts one state row per shard (8, trivially
+    * flat), so the run ALSO surfaces the per-shard tracked-item count
+    * through a foreachBatch probe — `tracked_items_max` in the
+    * artifact is the decade's max over batches of the largest shard
+    * summary, the number the capacity (64) actually bounds.
+    */
+  def hhObsAt(g: Long): HeavyHitters.Obs = {
+    val item = if (g % 5L < 2L) s"hot-${g % 17L}" else s"cold-${g / 3L}"
+    HeavyHitters.Obs(HeavyHitters.shardOf(item), item)
+  }
+
+  def writeHhSlices(spark: SparkSession, dir: String, slices: Int,
+                    rowsPerSlice: Int): Unit = {
+    import spark.implicits._
+    (0 until slices).foreach { s =>
+      val base = s.toLong * rowsPerSlice
+      spark.range(rowsPerSlice)
+        .map(i => hhObsAt(base + i))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  def runHeavyHitters(spark: SparkSession, dir: String, rows: Long,
+                      x: Int): (Point, Long) = {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scurve-hhckpt").toString
+    val prev = StreamScale.enableRocksDb(spark)
+    // driver-held (local mode): foreachBatch bodies run on the driver,
+    // and each batch's summary is <= shards x capacity rows
+    val trackedMax = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      val obs = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[
+          HeavyHitters.Obs]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir).as[HeavyHitters.Obs]
+      val t0 = System.nanoTime()
+      val q = HeavyHitters.heavyHitters(obs)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: Dataset[HeavyHitters.Summary], _: Long) =>
+          val m = b.groupBy("shard").count()
+            .agg(org.apache.spark.sql.functions.max("count")).collect()
+          if (m.nonEmpty && !m.head.isNullAt(0))
+            trackedMax.accumulateAndGet(m.head.getLong(0), Math.max(_, _))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      (collectStats(q, rows, t0, x), trackedMax.get())
+    } finally StreamScale.restore(spark, prev)
+  }
+
+  /** CDC change stream: a FIXED 1000-key universe cycling upserts with
+    * periodic deletes (one in 11), seq = arrival order. Live state is
+    * one row per live key plus tombstones inside their grace window,
+    * so a 100× longer change log must hold the same ~1000 state rows —
+    * a snapshot store that grew with log length would be retaining
+    * history, not state.
+    */
+  def cdcChangeAt(g: Long): CdcApply.Change =
+    CdcApply.Change(if (g % 11L == 5L) "D" else "U",
+      g % 1000L, (g % 100L) / 10.0, g)
+
+  def writeCdcSlices(spark: SparkSession, dir: String, slices: Int,
+                     rowsPerSlice: Int): Unit = {
+    import spark.implicits._
+    (0 until slices).foreach { s =>
+      val base = s.toLong * rowsPerSlice
+      spark.range(rowsPerSlice)
+        .map(i => cdcChangeAt(base + i))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  def runCdc(spark: SparkSession, dir: String, rows: Long, x: Int): Point = {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scurve-cdcckpt").toString
+    val prev = StreamScale.enableRocksDb(spark)
+    try {
+      val ch = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[
+          CdcApply.Change]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir).as[CdcApply.Change]
+      val t0 = System.nanoTime()
+      val q = CdcApply.applyStream(ch)
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      collectStats(q, rows, t0, x)
+    } finally StreamScale.restore(spark, prev)
+  }
+
   def runAsOf(spark: SparkSession, dir: String, rows: Long,
               x: Int): Point = {
     import spark.implicits._
@@ -256,6 +406,53 @@ object StreamCurve {
       println(s"[streamcurve] cep x$x: ${pointJson(p)}")
       p
     }
+    // quota: base = 2 slices x 10k events; fourth operator class
+    // (MapState window counters + event-time cleanup timers)
+    val qSliceRows = 10000
+    val qBase = 2
+    val quotaPts = xs.map { x =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scurve-q$x").toString
+      writeQuotaSlices(spark, dir, slices = qBase * x,
+        rowsPerSlice = qSliceRows)
+      val rows = qBase.toLong * x * qSliceRows
+      if (x == 1) runQuota(spark, dir, rows, x) // warmup
+      val p = runQuota(spark, dir, rows, x)
+      println(s"[streamcurve] quota x$x: ${pointJson(p)}")
+      p
+    }
+    // heavy hitters: base = 2 slices x 10k items; Space-Saving
+    // capacity bound under a linearly-growing distinct-item set
+    val hhSliceRows = 10000
+    val hhBase = 2
+    val hhRuns = xs.map { x =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scurve-hh$x").toString
+      writeHhSlices(spark, dir, slices = hhBase * x,
+        rowsPerSlice = hhSliceRows)
+      val rows = hhBase.toLong * x * hhSliceRows
+      if (x == 1) runHeavyHitters(spark, dir, rows, x) // warmup
+      val (p, tm) = runHeavyHitters(spark, dir, rows, x)
+      println(s"[streamcurve] heavy x$x: ${pointJson(p)} tracked_max=$tm")
+      (p, tm)
+    }
+    val hhPts = hhRuns.map(_._1)
+    val hhTrackedMax = hhRuns.map(_._2).max
+    // CDC apply: base = 2 slices x 10k changes; fixed 1000-key
+    // universe, snapshot state must not retain log history
+    val cdcSliceRows = 10000
+    val cdcBase = 2
+    val cdcPts = xs.map { x =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scurve-cdc$x").toString
+      writeCdcSlices(spark, dir, slices = cdcBase * x,
+        rowsPerSlice = cdcSliceRows)
+      val rows = cdcBase.toLong * x * cdcSliceRows
+      if (x == 1) runCdc(spark, dir, rows, x) // warmup
+      val p = runCdc(spark, dir, rows, x)
+      println(s"[streamcurve] cdc x$x: ${pointJson(p)}")
+      p
+    }
     def opJson(name: String, pts: Seq[Point]): String = {
       // growth is measured on state ROWS: numRowsTotal is the live
       // state the operator holds, the thing the O(horizon) contract
@@ -278,7 +475,10 @@ object StreamCurve {
          |"cpus":$cpus,
          |${opJson("streaming_asof", asofPts)},
          |${opJson("streaming_near_dup", ndPts)},
-         |${opJson("streaming_cep", cepPts)}}
+         |${opJson("streaming_cep", cepPts)},
+         |${opJson("streaming_quota", quotaPts)},
+         |${opJson("streaming_heavy_hitters", hhPts).dropRight(1)},"tracked_items_max":$hhTrackedMax,"capacity":${HeavyHitters.capacity}},
+         |${opJson("streaming_cdc_apply", cdcPts)}}
          |""".stripMargin
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("STREAMCURVE.json"), doc.getBytes("UTF-8"))

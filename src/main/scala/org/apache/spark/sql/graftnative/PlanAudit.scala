@@ -124,6 +124,11 @@ object PlanAudit {
         // are construction-time setup shared across reruns, and charging
         // them here would make the volumes non-comparable with Bench's
         // cached-construction timings. The artifact comment records this.
+        // drain in-flight stage events from fn()'s eager construction
+        // work (d23/d24 collects, fixture renders) BEFORE snapshotting:
+        // a late-landing completion event would otherwise pollute the
+        // reset peak / inflate the before-after deltas (r12 advice)
+        spark.sparkContext.listenerBus.waitUntilEmpty()
         val before = acc.snapshot
         acc.resetPeak()
         val t0 = System.nanoTime()

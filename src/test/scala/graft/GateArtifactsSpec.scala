@@ -101,5 +101,34 @@ class GateArtifactsSpec extends AnyFunSuite {
     val packed1 = num("packed_m11_media_shards_s")
     assert(packed1 < loose1,
       s"packed ($packed1) no longer beats loose ($loose1)")
+    // The 500k-clip rung is the decade's CLAIM (1.4x -> 6.8x -> 38.6x)
+    // and it is exactly where the r12 single-task AQE collapse hid: a
+    // coalesced index shuffle decodes 500k clips on ONE core (~18 s)
+    // while the fixed read takes 1.22 s. A generous fixed wall bound
+    // (<= 5 s, 4x headroom over the measured 1.22) fails CI on any
+    // future parallelism collapse instead of waiting for a judge pass.
+    val sf10Block = doc.substring(doc.indexOf("sf10_500k_clips"))
+    val packed10 = ("\"packed_m11_media_shards_s\": ?([0-9.]+)").r
+      .findFirstMatchIn(sf10Block)
+    assert(packed10.isDefined, "sf10 rung missing packed wall")
+    assert(packed10.get.group(1).toDouble <= 5.0,
+      s"committed sf10 packed read wall ${packed10.get.group(1)} s > 5 s " +
+        "— re-check MediaShards.readMembers parallelism (explicit-count " +
+        "repartition; see ROUND12_NOTES m9 post-mortem) before committing")
+  }
+
+  test("BENCH_PER_QUERY.json: the committed canonical pass has no failed queries") {
+    // A query that throws on every bench run is dropped from the
+    // results map, so both regression comparators (which iterate the
+    // current map) go blind to it. Bench now exits nonzero on a
+    // non-empty failed set; this pin closes the committed-artifact
+    // half — a map recording failures can never be the round's "prev".
+    val doc = read("BENCH_PER_QUERY.json")
+    assert(doc.contains("\"failed\":[]"),
+      "committed BENCH_PER_QUERY.json records failed queries — " +
+        "adjudicate and re-run the canonical pass before committing")
+    val n = """"n_queries":(\d+)""".r.findFirstMatchIn(doc)
+    assert(n.isDefined && n.get.group(1).toInt >= 237,
+      s"committed per-query map lost surface: ${n.map(_.group(1))}")
   }
 }

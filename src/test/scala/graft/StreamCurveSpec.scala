@@ -39,7 +39,8 @@ class StreamCurveSpec extends AnyFunSuite {
       .findAllMatchIn(section).map(_.group(1).toDouble).toSeq
 
   for (name <- Seq("streaming_asof", "streaming_near_dup",
-                   "streaming_cep")) {
+                   "streaming_cep", "streaming_quota",
+                   "streaming_heavy_hitters", "streaming_cdc_apply")) {
     test(s"$name: three points spanning a 100x event decade") {
       val s = op(name)
       val rows = nums(s, "rows")
@@ -70,5 +71,22 @@ class StreamCurveSpec extends AnyFunSuite {
         s"peak live state still growing past 10x (x10 -> x100 = " +
           s"${steady}x) — state is tracking stream length, not horizon")
     }
+  }
+
+  test("streaming_heavy_hitters: tracked set capped at Space-Saving capacity") {
+    // numRowsTotal counts one state row per SHARD (8 — trivially
+    // flat), so the decade's real claim lives in the foreachBatch
+    // probe: across a stream whose distinct items grow linearly
+    // (~667k at 100x), the largest per-shard tracked set must never
+    // exceed the Space-Saving capacity. A tracked_items_max that
+    // scales with the decade is an eviction bug.
+    val tm = ("\"tracked_items_max\": ?([0-9]+)").r
+      .findFirstMatchIn(doc)
+    assert(tm.isDefined, "tracked_items_max missing for heavy hitters")
+    val v = tm.get.group(1).toLong
+    assert(v > 0, "heavy-hitter probe recorded nothing")
+    assert(v <= graft.streaming.HeavyHitters.capacity,
+      s"tracked set reached $v > capacity " +
+        s"${graft.streaming.HeavyHitters.capacity} — eviction broken")
   }
 }
