@@ -47,6 +47,39 @@ object StreamCurve {
   private def collectStats(q: StreamingQuery, rows: Long, t0: Long,
                            x: Int): Point = {
     q.awaitTermination()
+    finishStats(q, rows, t0, x)
+  }
+
+  /** collectStats for operators whose PROCESSING-TIME timeouts keep
+    * AvailableNow alive FOREVER after the data drains: with
+    * ProcessingTimeTimeout configured, `shouldRunAnotherBatch` is
+    * structurally true (new wall time can always fire a timeout Spark
+    * cannot prove absent), so the trigger spins empty microbatches
+    * indefinitely — measured on CdcApply: 20k rows consumed in
+    * seconds, then 10+ minutes of empty batches burning a core. The
+    * event-time operators terminate because their timers are
+    * watermark-driven and the final batch's watermark fires them all
+    * at once. Here the data drain is detected by polling: once the
+    * source reports no data available for `idlePolls` consecutive
+    * seconds (grace timers included — the tail also lets short
+    * tombstone graces fire), the query is stopped. maxMs is the
+    * backstop fence.
+    */
+  private def collectStatsBounded(q: StreamingQuery, rows: Long, t0: Long,
+                                  x: Int, maxMs: Long,
+                                  idlePolls: Int = 8): Point = {
+    var idle = 0
+    while (q.isActive && idle < idlePolls &&
+           (System.nanoTime() - t0) / 1e6 < maxMs) {
+      Thread.sleep(1000L)
+      if (q.status.isDataAvailable) idle = 0 else idle += 1
+    }
+    if (q.isActive) q.stop()
+    finishStats(q, rows, t0, x)
+  }
+
+  private def finishStats(q: StreamingQuery, rows: Long, t0: Long,
+                          x: Int): Point = {
     val wall = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress.toSeq
     val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
@@ -299,13 +332,18 @@ object StreamCurve {
         .option("maxFilesPerTrigger", "1")
         .parquet(dir).as[CdcApply.Change]
       val t0 = System.nanoTime()
-      val q = CdcApply.applyStream(ch)
+      // short tombstone grace (2 s, not the 60 s production default):
+      // the grace is PROCESSING-time, so AvailableNow keeps spinning
+      // empty microbatches until the last tombstone's timer fires —
+      // the decade measures state bounds, not the wall-clock wait.
+      // The await bound is the second fence (see collectStatsBounded).
+      val q = CdcApply.applyStream(ch, graceMs = 2000L)
         .writeStream.outputMode("update")
         .format("noop")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      collectStats(q, rows, t0, x)
+      collectStatsBounded(q, rows, t0, x, maxMs = 420000L)
     } finally StreamScale.restore(spark, prev)
   }
 

@@ -77,11 +77,21 @@ def main(sf, out, art, timeout, merge=False):
         assert os.path.realpath(old["sf_dir"]) == os.path.realpath(sf), \
             f"--merge across corpora: {old['sf_dir']} vs {sf}"
         # same path is not enough: the corpus may have been REGENERATED
-        # under a different scheme since the old verdicts were computed
+        # under a different scheme since the old verdicts were computed.
+        # Subset check, not equality (r13): COMPLETING a corpus with new
+        # tables (events/TPC-H markers appearing) leaves every old
+        # verdict's bytes untouched — only a marker the old artifact
+        # RECORDED changing value means regeneration.
         old_scheme = old.get("corpus_scheme")
-        assert old_scheme is None or old_scheme == corpus_scheme(sf), (
+        def scheme_map(s):
+            return dict(p.split("=", 1) for p in s.split("; ") if "=" in p)
+        new_scheme = corpus_scheme(sf)
+        changed = old_scheme is not None and any(
+            scheme_map(new_scheme).get(m) != v
+            for m, v in scheme_map(old_scheme).items())
+        assert not changed, (
             f"--merge across corpus generations: artifact was gated on\n"
-            f"  {old_scheme}\nbut {sf} now carries\n  {corpus_scheme(sf)}\n"
+            f"  {old_scheme}\nbut {sf} now carries\n  {new_scheme}\n"
             f"— re-run the original slice on the current corpus instead")
         queries = {**old["queries"], **queries}
     npass = sum(1 for v in queries.values() if v["pass"])
