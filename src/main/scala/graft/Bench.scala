@@ -161,7 +161,16 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (0 until runs).map { i =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        // toRdd.count(), NOT df.count() (r13, the PlanAudit rule
+        // applied to the bench): count() plans a NEW query over the
+        // df, and Catalyst's count-rewrite can ELIMINATE subtrees
+        // whose work the bench exists to measure — d14/d23/d25 end in
+        // a left-outer join against an aggregate GROUPED BY the join
+        // key (provably non-expanding), so count() pruned the entire
+        // pair-similarity pipeline and timed only the label rollup.
+        // toRdd executes the query's own physical plan, materializing
+        // its real output.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED run $i: $e")
             failed += name

@@ -73,7 +73,13 @@ object QueryProfile {
     spark.range(1000).selectExpr("sum(id)").collect() // warmup
     stages.clear()
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(query)(spark, sfDir).count()
+    // toRdd.count(), NOT count() (r13): the count-rewrite eliminated
+    // d14/d23/d25's entire pair pipeline (left-outer join against an
+    // aggregate grouped by the join key is provably non-expanding),
+    // so the r12 deep profiles for that family measured only the
+    // label rollup. toRdd executes the query's own physical plan.
+    val n = SparkEntry.queries(query)(spark, sfDir)
+      .queryExecution.toRdd.count()
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"\n$query @ $sfDir: $n rows, $wall%.1f s wall")
     println(f"${"stage"}%5s ${"tasks"}%5s ${"run_s"}%8s ${"cpu_s"}%8s " +

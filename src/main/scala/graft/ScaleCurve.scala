@@ -480,7 +480,9 @@ object ScaleCurve {
         else deepScales
       val pts = scalesFor.map { case (sfName, dir) =>
         val n = graft.sources.Tables.table(spark, dir, table).count()
-        val sec = time2(spark) { SparkEntry.queries(op)(spark, dir).count(); () }
+        val sec = time2(spark) {
+          // toRdd, not count(): see Bench.scala (count-rewrite join elimination)
+          SparkEntry.queries(op)(spark, dir).queryExecution.toRdd.count(); () }
         println(s"[deep] $op $sfName: ${fmt(sec)} s")
         (sfName, n, sec)
       }
@@ -579,7 +581,8 @@ object ScaleCurve {
     val series = ops.map { case (op, table) =>
       val fn = SparkEntry.queries(op)
       val pts = scales.map { case (sfName, dir) =>
-        val sec = time2(spark) { fn(spark, dir).count(); () }
+        val sec = time2(spark) {
+          fn(spark, dir).queryExecution.toRdd.count(); () } // toRdd: see Bench.scala
         (sfName, nRows((sfName, table)), sec)
       }
       (op, table, pts)
@@ -686,7 +689,8 @@ object ScaleCurve {
       .map { case (op, table) =>
         val fn = SparkEntry.queries(op)
         val pts = deepScales.map { case (sfName, dir) =>
-          val sec = time2(spark) { fn(spark, dir).count(); () }
+          val sec = time2(spark) {
+          fn(spark, dir).queryExecution.toRdd.count(); () } // toRdd: see Bench.scala
           println(s"[deep] $op $sfName: ${fmt(sec)} s")
           (sfName, deepN((sfName, table)), sec)
         }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, SortedIntersectSize}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, NearestSeed, SortedIntersectSize}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -21,6 +21,18 @@ object VectorFunctions {
     */
   def cdcChunkHashes(text: Column): Column =
     Bridge.column(CdcChunkHashes(Bridge.expression(text)))
+
+  /** Column API: argmax cell over a packed seed codebook by
+    * (cosine DESC, cell ASC) — the codegen'd scalar assignment that
+    * replaces the crossJoin + max_by aggregate (whose struct-ordering
+    * buffer forced ObjectHashAggregate's 128-key sort fallback over
+    * the N×K product; see [[org.apache.spark.sql.graftnative.NearestSeed]]).
+    * `cells` must be sorted ascending and positionally aligned with
+    * `seeds`.
+    */
+  def nearestSeed(emb: Column, cells: Column, seeds: Column): Column =
+    Bridge.column(NearestSeed(Bridge.expression(emb),
+      Bridge.expression(cells), Bridge.expression(seeds)))
 
   /** Column API: ColBERT-style MaxSim over packed multi-vectors —
     * Σ over `tokDim`-wide query tokens of the max dot product against

@@ -812,21 +812,27 @@ object Dedup {
     * rank rule (row_number over vec_id).
     */
   private def cellAssigned(s: SparkSession, d: String, k: Long): DataFrame = {
-    import s.implicits._
     val e = graft.sources.Tables.embeddings(s, d)
     val cents = e.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(math.min(k, Int.MaxValue.toLong).toInt)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
       .sortBy(_._1).toSeq
-      .toDF("cell", "ce")
-    e.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
-           first(col("embedding")).as("emb"),
-           first(col("label")).as("label"))
+    // assignment = ONE codegen'd map over the corpus (nearest_seed:
+    // K cosines per row against the driver-held codebook literal).
+    // The pre-r13 form — crossJoin(broadcast) + groupBy(vec_id) with
+    // max_by(cell, struct(csim, -cell)) — was a 100-TB killer found
+    // by CellStats at 6M vectors: the struct ordering forces
+    // ObjectHashAggregate, whose partial aggregation falls back to
+    // SORT-BASED after 128 distinct keys per partition, so the "map-
+    // side partial" sorted the whole N×K product (>70 GB spill, job
+    // death). Same csim arithmetic and (csim DESC, cell ASC) tie rule
+    // as the oracles' row_number replay — see NearestSeed's scaladoc.
+    e.select(col("vec_id"),
+      graft.functions.VectorFunctions.nearestSeed(col("embedding"),
+        typedLit(cents.map(_._1)), typedLit(cents.map(_._2))).as("cell"),
+      col("embedding").as("emb"),
+      col("label"))
   }
 
   /** d24 — d6's near-dup pair count with the quadratic block SPLIT by
@@ -895,28 +901,46 @@ object Dedup {
     val n = e.count()
     val k1 = math.ceil(math.cbrt(n.toDouble)).toLong
     val coarse = cellAssigned(s, d, k1) // (vec_id, cell, emb, label)
+    // sub-seed IDs from a SLIM window (2 longs per row through the
+    // sort — never the embedding; the d8@sf30 oracle lesson applied
+    // to the Spark side), then the embeddings fetched back by a
+    // broadcast of the N^{2/3}-row id set
     val byCell = Window.partitionBy(col("cell"))
-    val subSeeds = coarse
+    val subIds = coarse.select(col("cell"), col("vec_id"))
       .withColumn("srk", row_number().over(byCell.orderBy(col("vec_id"))))
       .withColumn("nc", count(lit(1)).over(byCell))
       .filter(col("srk") <= ceil(sqrt(col("nc"))))
-      .select(col("cell").as("s_cell"), col("vec_id").as("scell"),
+      .select(col("cell").as("s_cell"), col("vec_id").as("sid"))
+    // one packed codebook row per coarse cell: sub-seed ids ascending
+    // (sort_array on the struct orders by scell first — the tie rule)
+    // with their double-cast embeddings positionally aligned. Packed
+    // size is Σ√n_c ≈ N^{2/3} seeds × 520 B — 38 MB at 20M vectors,
+    // comfortably broadcastable; past that the join falls back to a
+    // shuffle on cell and the kernel is unchanged.
+    val packed = coarse
+      .select(col("vec_id").as("sid"),
               col("emb").cast("array<double>").as("se"))
-    val asg = coarse.join(subSeeds, col("cell") === col("s_cell"))
-      // both csim operands all-double (r12 advice): CosineSimilarity
-      // widens float inputs per element anyway — exact, so this cast
-      // is numerically a no-op — but the explicit form makes the
-      // assignment arithmetic match the oracle's all-double replay
-      // by construction rather than by a widening argument
-      .withColumn("csim",
-        graft.functions.VectorFunctions.cosineSim(
-          col("emb").cast("array<double>"), col("se")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("cell")).as("cell"),
-           max_by(col("scell"), struct(col("csim"), -col("scell")))
-             .as("scell"),
-           first(col("emb")).as("emb"),
-           first(col("label")).as("label"))
+      .join(broadcast(subIds), "sid")
+      .groupBy(col("s_cell"))
+      .agg(sort_array(collect_list(struct(col("sid").as("scell"),
+                                          col("se")))).as("p"))
+      .select(col("s_cell"),
+              expr("transform(p, x -> x.scell)").as("scells"),
+              expr("transform(p, x -> x.se)").as("ses"))
+    // level-2 assignment: the same nearest_seed codegen map as level 1,
+    // against the joined cell's packed codebook — no N×√n_c row
+    // product, no struct-ordering aggregate (the ObjectHashAggregate
+    // 128-key sort fallback that killed the level-1 form at 6M
+    // vectors applied here identically). Corpus emb cast all-double
+    // (r12 advice): numerically a no-op vs the kernel's own exact
+    // widening, but the arithmetic now matches the oracle's
+    // all-double replay by construction.
+    val asg = coarse.join(broadcast(packed), col("cell") === col("s_cell"))
+      .select(col("vec_id"), col("cell"),
+              graft.functions.VectorFunctions.nearestSeed(
+                col("emb").cast("array<double>"),
+                col("scells"), col("ses")).as("scell"),
+              col("emb"), col("label"))
     val a = asg.select(col("vec_id").as("a_id"), col("cell"), col("scell"),
                        col("emb").as("a_e"))
     val b = asg.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
