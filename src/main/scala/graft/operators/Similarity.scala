@@ -118,11 +118,23 @@ object Similarity {
       vecs.crossJoin(broadcast(cents))
         .withColumn("csim", graft.functions.VectorFunctions.cosineSim(col("embedding"), col("cent_e")))
         .withColumn("crn", row_number().over(wAssign))
-    // assignment over the corpus runs ONCE; the probe ranking is a
-    // separate 8-vector plan — a shared `ranked` consumed twice would
-    // recompute the N×16 assignment in both join branches
-    val assigned = rankedAgainstCentroids(e).filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // CORPUS assignment = the nearest_seed kernel against the 16-row
+    // driver-held codebook (r13): the window form shuffled and SORTED
+    // the N×16 product carrying the embedding column — the explicit-
+    // sort twin of the ObjectHashAggregate fallback that killed the
+    // d23 helper at 6M vectors. Float centroids widen to double in
+    // the literal exactly as cosine_sim widens them per element, so
+    // the kernel's csims — and the (csim DESC, cent_id ASC) argmax —
+    // are bit-identical to the oracle's window replay. The PROBE
+    // ranking below keeps the window: it needs top-2, and its input
+    // is 8×16 rows at any corpus size.
+    val centRows = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1).toSeq
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.nearestSeed(col("embedding"),
+        typedLit(centRows.map(_._1)), typedLit(centRows.map(_._2)))
+        .as("cell"))
     val q = rankedAgainstCentroids(e.filter(col("vec_id") < 8))
       .filter(col("crn") <= 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -169,30 +181,22 @@ object Similarity {
         r.getSeq[Float](1).map(_.toDouble).toSeq)
       .sortBy(_._1).toSeq
 
-    // K-row broadcast table (cell, centroid, norm) rebuilt from the
-    // driver-held centroids each pass; norms use the same
-    // left-fold-of-squares as the oracle's list_sum
-    def centsDf: DataFrame = {
-      import s.implicits._
-      cents.map { case (cid, ce) =>
-        (cid, ce, math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x)))
-      }.toDF("cell", "ce", "cnorm")
-    }
-    // corpus × K with the raw cosine; argmax by (csim, -cell) matches
-    // the oracle's ORDER BY cos DESC, cell — as a HASH AGG (map-side
-    // partials), not a per-vector window sort. The cosine is the
-    // NATIVE fused expression (float corpus side × double centroid
-    // side — no narrowing cast), which folds dot and both norms
-    // identically to the HOF form the oracle replays, with a fraction
-    // of the expression-tree/codegen weight
-    def scored: DataFrame = e
-      .crossJoin(broadcast(centsDf))
-      .withColumn("csim",
-        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
-    def assigned: DataFrame = scored
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
-           first(col("embedding")).as("embedding"))
+    // assignment = the nearest_seed codegen kernel against the
+    // driver-held centroid literals, rebuilt from `cents` each pass
+    // (def, so every reference sees the iteration's centroids): ONE
+    // map over the corpus, argmax by (csim DESC, cell ASC) — the same
+    // arithmetic and tie rule as the oracle's ORDER BY cos DESC, cell.
+    // The pre-r13 crossJoin + max_by(cell, struct(...)) form was the
+    // cellAssigned fallback bomb in miniature: a struct-ordering
+    // aggregate runs as ObjectHashAggregate, whose partials fall back
+    // to SORT-BASED past 128 distinct keys per partition — sorting
+    // the corpus×K product (see NearestSeed's scaladoc; measured at
+    // 6M vectors on the d23 helper before the rewrite).
+    def assigned: DataFrame = e.select(
+      col("vec_id"),
+      graft.functions.VectorFunctions.nearestSeed(col("embedding"),
+        typedLit(cents.map(_._1)), typedLit(cents.map(_._2))).as("cell"),
+      col("embedding"))
 
     for (_ <- 1 to 2) {
       // element-wise mean via exact decimal sums (order-independent).
