@@ -173,7 +173,6 @@ object Bench {
         val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED run $i: $e")
-            failed += name
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -183,6 +182,13 @@ object Bench {
         if (ok) perRun(i) += dt else failedRunSec += dt
         if (ok) dt else Double.NaN
       }
+      // `failed` records queries that failed ALL runs (matching the
+      // exit message and the GateArtifactsSpec pin) — a transient
+      // single-run crash still yields a valid min from the surviving
+      // runs and is visible via stderr + failed_run_sec, but must not
+      // abort the pass or poison the artifact's failed list
+      // (r13 advice).
+      if (times.forall(_.isNaN)) failed += name
       name -> (if (times.exists(!_.isNaN)) times.filterNot(_.isNaN).min
                else Double.NaN)
     }.filterNot(_._2.isNaN)

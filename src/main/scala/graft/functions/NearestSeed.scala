@@ -41,7 +41,12 @@ import org.apache.spark.sql.types.{
   * children: (embedding array<float|double>,
   *            cells array<long>  — seed ids, ascending,
   *            seeds array<array<double>> — codebook, same order).
-  * Returns the winning cell id (long); null on null/empty inputs.
+  * Returns the winning cell id (long); null on null inputs AND on an
+  * empty codebook (r13 advice: the pre-r13 crossJoin form produced
+  * empty output on a seedless corpus — e.g. n4's fixed id-range
+  * centroids over a corpus below that range — so throwing here would
+  * turn an empty-result case into a job failure; null preserves it,
+  * and every downstream use filters or joins the assignment away).
   */
 case class NearestSeed(first: Expression, second: Expression,
                        third: Expression)
@@ -55,6 +60,9 @@ case class NearestSeed(first: Expression, second: Expression,
     Seq(floatOrDoubleArray, ArrayType(LongType),
         ArrayType(ArrayType(DoubleType)))
   override def dataType: DataType = LongType
+  // nullable beyond the children's nullability: an empty codebook
+  // yields null even when all three inputs are non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "nearest_seed"
 
   private def embIsDouble: Boolean = first.dataType match {
@@ -67,7 +75,7 @@ case class NearestSeed(first: Expression, second: Expression,
     val cells = c.asInstanceOf[ArrayData]
     val seeds = s.asInstanceOf[ArrayData]
     val k = math.min(cells.numElements(), seeds.numElements())
-    require(k > 0, "nearest_seed: empty codebook")
+    if (k == 0) return null
     val ed = embIsDouble
     def embAt(i: Int): Double =
       if (ed) emb.getDouble(i) else emb.getFloat(i).toDouble
@@ -116,29 +124,30 @@ case class NearestSeed(first: Expression, second: Expression,
       s"""
          |int $k = java.lang.Math.min($c.numElements(), $s.numElements());
          |if ($k == 0) {
-         |  throw new IllegalArgumentException("nearest_seed: empty codebook");
-         |}
-         |double $ne = 0.0;
-         |for (int $i = 0; $i < $e.numElements(); $i++) {
-         |  double $v = $embAt; $ne += $v * $v;
-         |}
-         |double $best = java.lang.Double.NEGATIVE_INFINITY;
-         |long $bestCell = $c.getLong(0);
-         |for (int $j = 0; $j < $k; $j++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $se = $s.getArray($j);
-         |  int $n = java.lang.Math.min($e.numElements(), $se.numElements());
-         |  double $dot = 0.0, $ns = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $embAt * $se.getDouble($i);
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $ne = 0.0;
+         |  for (int $i = 0; $i < $e.numElements(); $i++) {
+         |    double $v = $embAt; $ne += $v * $v;
          |  }
-         |  for (int $i = 0; $i < $se.numElements(); $i++) {
-         |    double $v = $se.getDouble($i); $ns += $v * $v;
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  long $bestCell = $c.getLong(0);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $se = $s.getArray($j);
+         |    int $n = java.lang.Math.min($e.numElements(), $se.numElements());
+         |    double $dot = 0.0, $ns = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $embAt * $se.getDouble($i);
+         |    }
+         |    for (int $i = 0; $i < $se.numElements(); $i++) {
+         |      double $v = $se.getDouble($i); $ns += $v * $v;
+         |    }
+         |    double $csim = ($ne == 0.0 || $ns == 0.0) ? 0.0 :
+         |      $dot / (java.lang.Math.sqrt($ne) * java.lang.Math.sqrt($ns));
+         |    if ($csim > $best) { $best = $csim; $bestCell = $c.getLong($j); }
          |  }
-         |  double $csim = ($ne == 0.0 || $ns == 0.0) ? 0.0 :
-         |    $dot / (java.lang.Math.sqrt($ne) * java.lang.Math.sqrt($ns));
-         |  if ($csim > $best) { $best = $csim; $bestCell = $c.getLong($j); }
+         |  ${ev.value} = $bestCell;
          |}
-         |${ev.value} = $bestCell;
        """.stripMargin
     })
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, NearestSeed, SortedIntersectSize}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, NearestSeed, SimHash16, SortedIntersectSize}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -33,6 +33,13 @@ object VectorFunctions {
   def nearestSeed(emb: Column, cells: Column, seeds: Column): Column =
     Bridge.column(NearestSeed(Bridge.expression(emb),
       Bridge.expression(cells), Bridge.expression(seeds)))
+
+  /** Column API: 16-bit SimHash signature of a token array (one md5
+    * per token, bit votes in one generated pass; see
+    * [[org.apache.spark.sql.graftnative.SimHash16]]).
+    */
+  def simHash16(ws: Column): Column =
+    Bridge.column(SimHash16(Bridge.expression(ws)))
 
   /** Column API: ColBERT-style MaxSim over packed multi-vectors —
     * Σ over `tokDim`-wide query tokens of the max dot product against

@@ -309,15 +309,23 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
-  /** SimHash: 16-bit signature from per-token hash bit votes. */
-  val d4Simhash: Q = (s, d) => {
-    val simhash =
-      """aggregate(sequence(0, 15), cast(0 as bigint), (acc, b) -> acc +
-        |  if(aggregate(transform(ws, t -> (shiftright(cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint), b) & 1) * 2 - 1),
-        |              cast(0 as bigint), (a, x) -> a + x) > 0,
-        |     shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin
-    docs(s, d).select(col("doc_id"), col("lang"), expr(simhash).as("simhash"))
-  }
+  /** SimHash: 16-bit signature from per-token hash bit votes, via the
+    * NATIVE kernel (org.apache.spark.sql.graftnative.SimHash16 — one
+    * md5 per token, 16 bit-counts, one generated call per doc).
+    *
+    * r14 history of this query's cost: the composed HOF form re-hashed
+    * every token 16× (md5 inside the per-bit lambda) and, once the r13
+    * toRdd re-baselining stopped Catalyst's count-rewrite from pruning
+    * it, surfaced as the #1 bench resident (~3 s). Hoisting the hash
+    * (the d16 baseHashes pattern) recovered almost nothing — isolated
+    * fresh-JVM min 2.86 s vs 2.78 s — proving the cost was the nested
+    * interpreted-lambda machinery (17 passes + an allocation per bit
+    * per doc), not the hashing. SimHashSpec pins kernel ≡ the original
+    * HOF expression bit-for-bit; the DuckDB oracle is unchanged.
+    */
+  val d4Simhash: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), col("lang"),
+      graft.functions.VectorFunctions.simHash16(col("ws")).as("simhash"))
 
   /** Shingling through the NATIVE Generator (UDTF surface,
     * org.apache.spark.sql.graftnative.Shingles): same semantics as
@@ -914,9 +922,13 @@ object Dedup {
     // one packed codebook row per coarse cell: sub-seed ids ascending
     // (sort_array on the struct orders by scell first — the tie rule)
     // with their double-cast embeddings positionally aligned. Packed
-    // size is Σ√n_c ≈ N^{2/3} seeds × 520 B — 38 MB at 20M vectors,
-    // comfortably broadcastable; past that the join falls back to a
-    // shuffle on cell and the kernel is unchanged.
+    // size is Σ√n_c ≈ N^{2/3} seeds × 520 B — 38 MB at 20M vectors.
+    // No broadcast HINT on the assignment join below (r13 advice: a
+    // hint is honored regardless of size, so past broadcastable scale
+    // the failure mode would be executor OOM, not a fallback) — AQE
+    // sees the aggregated codebook's true size at runtime and converts
+    // to broadcast while it fits; past that the join genuinely falls
+    // back to a shuffle on cell and the kernel is unchanged.
     val packed = coarse
       .select(col("vec_id").as("sid"),
               col("emb").cast("array<double>").as("se"))
@@ -935,7 +947,7 @@ object Dedup {
     // (r12 advice): numerically a no-op vs the kernel's own exact
     // widening, but the arithmetic now matches the oracle's
     // all-double replay by construction.
-    val asg = coarse.join(broadcast(packed), col("cell") === col("s_cell"))
+    val asg = coarse.join(packed, col("cell") === col("s_cell"))
       .select(col("vec_id"), col("cell"),
               graft.functions.VectorFunctions.nearestSeed(
                 col("emb").cast("array<double>"),
@@ -1726,28 +1738,35 @@ object Dedup {
     // of DuckDB spill; it filled /tmp and failed the first sf10 gate
     // attempt). The window here ranks over (vec_id, cell, csim) only
     // and the kept row re-joins its embedding afterwards.
+    // Norms are HOISTED into `en` (r14, for the sf30 gate): the same
+    // sqrt(list_sum(...x*x)) double per vector, computed ONCE instead
+    // of K times in the N×K assignment and twice per pair — value-
+    // identical by construction (the dot's lambda arithmetic is
+    // untouched; only the reuse of an already-identical factor
+    // changes), and it cuts the 600k-vector oracle's lambda work ~3×.
     "d23_semdedup_adaptive" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |en AS (SELECT vec_id, label, emb,
+        |         sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
         |sd AS (SELECT vec_id FROM (SELECT vec_id FROM embeddings)
         |       QUALIFY row_number() OVER (ORDER BY vec_id)
         |               <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-        |c0 AS (SELECT e.vec_id AS cell, e.emb AS ce FROM e JOIN sd USING (vec_id)),
-        |a0 AS (SELECT e.vec_id, c.cell,
-        |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
-        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
-        |            sqrt(list_sum(list_transform(c.ce, x -> x*x)))) AS csim
-        |       FROM e CROSS JOIN c0 c),
+        |c0 AS (SELECT en.vec_id AS cell, en.emb AS ce, en.nrm AS cn
+        |       FROM en JOIN sd USING (vec_id)),
+        |a0 AS (SELECT en.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(en.emb, c.ce), p -> p[1]*p[2])) /
+        |           (en.nrm * c.cn) AS csim
+        |       FROM en CROSS JOIN c0 c),
         |r AS (SELECT vec_id, cell,
         |        row_number() OVER (PARTITION BY vec_id
         |          ORDER BY csim DESC, cell) AS rn
         |      FROM a0),
-        |asg AS (SELECT e.vec_id, e.label, e.emb, r.cell
-        |        FROM r JOIN e ON r.vec_id = e.vec_id WHERE r.rn = 1),
+        |asg AS (SELECT en.vec_id, en.label, en.emb, en.nrm, r.cell
+        |        FROM r JOIN en ON r.vec_id = en.vec_id WHERE r.rn = 1),
         |pr AS (SELECT b.label, b.vec_id AS b_id
         |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |       WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])) /
-        |                   (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
-        |                    sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) > 0.30
+        |                   (a.nrm * b.nrm), 6) > 0.30
         |       GROUP BY b.label, b.vec_id),
         |rc AS (SELECT label, count(1) AS nr, min(b_id) AS min_removed FROM pr GROUP BY label),
         |lc AS (SELECT label, count(1) AS n_vecs FROM e GROUP BY label)
@@ -1765,15 +1784,17 @@ object Dedup {
     // the kept rows re-join their arrays afterwards.
     "d25_semdedup_hier" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |en AS (SELECT vec_id, label, emb,
+        |         sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
         |sd AS (SELECT vec_id FROM (SELECT vec_id FROM embeddings)
         |       QUALIFY row_number() OVER (ORDER BY vec_id)
         |               <= (SELECT CAST(ceil(cbrt(count(*))) AS BIGINT) FROM embeddings)),
-        |c0 AS (SELECT e.vec_id AS cell, e.emb AS ce FROM e JOIN sd USING (vec_id)),
-        |a0 AS (SELECT e.vec_id, c.cell,
-        |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
-        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
-        |            sqrt(list_sum(list_transform(c.ce, x -> x*x)))) AS csim
-        |       FROM e CROSS JOIN c0 c),
+        |c0 AS (SELECT en.vec_id AS cell, en.emb AS ce, en.nrm AS cn
+        |       FROM en JOIN sd USING (vec_id)),
+        |a0 AS (SELECT en.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(en.emb, c.ce), p -> p[1]*p[2])) /
+        |           (en.nrm * c.cn) AS csim
+        |       FROM en CROSS JOIN c0 c),
         |r AS (SELECT vec_id, cell,
         |        row_number() OVER (PARTITION BY vec_id
         |          ORDER BY csim DESC, cell) AS rn
@@ -1783,28 +1804,26 @@ object Dedup {
         |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS srk,
         |         count(*) OVER (PARTITION BY cell) AS nc
         |       FROM cg),
-        |ss AS (SELECT s.cell, s.scell, e.emb AS se
-        |       FROM sk s JOIN e ON e.vec_id = s.scell
+        |ss AS (SELECT s.cell, s.scell, en.emb AS se, en.nrm AS sn
+        |       FROM sk s JOIN en ON en.vec_id = s.scell
         |       WHERE s.srk <= CAST(ceil(sqrt(s.nc)) AS BIGINT)),
         |a2 AS (SELECT g.vec_id, g.cell, s.scell,
-        |         list_sum(list_transform(list_zip(e.emb, s.se), p -> p[1]*p[2])) /
-        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
-        |            sqrt(list_sum(list_transform(s.se, x -> x*x)))) AS csim
-        |       FROM cg g JOIN e ON e.vec_id = g.vec_id
+        |         list_sum(list_transform(list_zip(en.emb, s.se), p -> p[1]*p[2])) /
+        |           (en.nrm * s.sn) AS csim
+        |       FROM cg g JOIN en ON en.vec_id = g.vec_id
         |       JOIN ss s ON s.cell = g.cell),
         |r2 AS (SELECT vec_id, cell, scell,
         |         row_number() OVER (PARTITION BY vec_id
         |           ORDER BY csim DESC, scell) AS rn
         |       FROM a2),
-        |asg AS (SELECT e.vec_id, e.label, e.emb, r2.cell, r2.scell
-        |        FROM r2 JOIN e ON e.vec_id = r2.vec_id WHERE r2.rn = 1),
+        |asg AS (SELECT en.vec_id, en.label, en.emb, en.nrm, r2.cell, r2.scell
+        |        FROM r2 JOIN en ON en.vec_id = r2.vec_id WHERE r2.rn = 1),
         |pr AS (SELECT b.label, b.vec_id AS b_id
         |       FROM asg a JOIN asg b
         |         ON a.cell = b.cell AND a.scell = b.scell
         |            AND a.vec_id < b.vec_id
         |       WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2])) /
-        |                   (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
-        |                    sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) > 0.30
+        |                   (a.nrm * b.nrm), 6) > 0.30
         |       GROUP BY b.label, b.vec_id),
         |rc AS (SELECT label, count(1) AS nr, min(b_id) AS min_removed FROM pr GROUP BY label),
         |lc AS (SELECT label, count(1) AS n_vecs FROM e GROUP BY label)
@@ -1817,25 +1836,26 @@ object Dedup {
     // (label, cell) — the blocked-approximation twin of d6's oracle
     "d24_embedding_dup_cells" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |en AS (SELECT vec_id, label, emb,
+        |         sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
         |sd AS (SELECT vec_id FROM (SELECT vec_id FROM embeddings)
         |       QUALIFY row_number() OVER (ORDER BY vec_id)
         |               <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-        |c0 AS (SELECT e.vec_id AS cell, e.emb AS ce FROM e JOIN sd USING (vec_id)),
-        |a0 AS (SELECT e.vec_id, c.cell,
-        |         list_sum(list_transform(list_zip(e.emb, c.ce), p -> p[1]*p[2])) /
-        |           (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
-        |            sqrt(list_sum(list_transform(c.ce, x -> x*x)))) AS csim
-        |       FROM e CROSS JOIN c0 c),
+        |c0 AS (SELECT en.vec_id AS cell, en.emb AS ce, en.nrm AS cn
+        |       FROM en JOIN sd USING (vec_id)),
+        |a0 AS (SELECT en.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(en.emb, c.ce), p -> p[1]*p[2])) /
+        |           (en.nrm * c.cn) AS csim
+        |       FROM en CROSS JOIN c0 c),
         |r AS (SELECT vec_id, cell,
         |        row_number() OVER (PARTITION BY vec_id
         |          ORDER BY csim DESC, cell) AS rn
         |      FROM a0),
-        |asg AS (SELECT e.vec_id, e.label, e.emb, r.cell
-        |        FROM r JOIN e ON r.vec_id = e.vec_id WHERE r.rn = 1),
+        |asg AS (SELECT en.vec_id, en.label, en.emb, en.nrm, r.cell
+        |        FROM r JOIN en ON r.vec_id = en.vec_id WHERE r.rn = 1),
         |p AS (SELECT a.label, a.vec_id AS a_id,
         |        round(list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1]*z[2])) /
-        |              (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
-        |               sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS sim
+        |              (a.nrm * b.nrm), 6) AS sim
         |      FROM asg a JOIN asg b
         |        ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT label, count(1) AS n_blocked_pairs, min(a_id) AS min_a

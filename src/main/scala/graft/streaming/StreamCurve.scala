@@ -69,12 +69,36 @@ object StreamCurve {
                                   x: Int, maxMs: Long,
                                   idlePolls: Int = 8): Point = {
     var idle = 0
+    var lastDataBatch = -1L
     while (q.isActive && idle < idlePolls &&
            (System.nanoTime() - t0) / 1e6 < maxMs) {
       Thread.sleep(1000L)
-      if (q.status.isDataAvailable) idle = 0 else idle += 1
+      // isDataAvailable alone is NOT a drain signal (r13 advice): it
+      // also reads false during slow startup (before the first batch)
+      // and while a long microbatch is still EXECUTING — an >8 s
+      // batch would truncate the run silently. Require progress
+      // quiescence too: the idle window resets whenever a batch that
+      // actually consumed rows completes, and never starts counting
+      // before the first progress event exists.
+      val lp = q.lastProgress
+      val newData = lp != null && lp.numInputRows > 0 &&
+        lp.batchId > lastDataBatch
+      if (newData) lastDataBatch = lp.batchId
+      if (lp == null || newData || q.status.isDataAvailable) idle = 0
+      else idle += 1
     }
     if (q.isActive) q.stop()
+    // truncation must be LOUD: when the (bounded, 100-entry) progress
+    // buffer has the full history, a processed-row total short of the
+    // corpus means the stop above fired early — warn instead of
+    // recording the intended `rows` as if they were observed
+    val progress = q.recentProgress.toSeq
+    if (progress.size < 100) {
+      val processed = progress.map(_.numInputRows).sum
+      if (processed < rows)
+        System.err.println(s"[streamcurve] WARNING x=$x: processed " +
+          s"$processed of $rows rows — idle-stop fired before drain")
+    }
     finishStats(q, rows, t0, x)
   }
 

@@ -31,7 +31,10 @@ def corpus_scheme(sf):
     computed against pre- and post-v2 corpus bytes; the path check
     alone can't see a regeneration)."""
     parts = []
-    for m in ("_GEN_DONE", "_EMB_DONE", "_GEN_TPCH_DONE"):
+    # _EVENTS_DONE included (r13 advice): the events table gates q24's
+    # sf30 rung, and a regeneration under a bumped scheme must change
+    # this fingerprint or old- and new-event verdicts could mix
+    for m in ("_GEN_DONE", "_EMB_DONE", "_GEN_TPCH_DONE", "_EVENTS_DONE"):
         p = os.path.join(sf, m)
         if os.path.exists(p):
             with open(p) as f:
