@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /** Fitted-decade evidence for the streaming operators' state bounds —
   * the deep-curve treatment (SCALECURVE.json) applied to streams.
@@ -43,6 +43,32 @@ object StreamCurve {
 
   case class Point(x: Int, rows: Long, sec: Double, rowsPerSec: Double,
                    peakStateRows: Long, peakStateBytes: Long, batches: Int)
+
+  /** Cumulative processed-row counter per query run. The first
+    * truncation detector summed `q.recentProgress` — but that is a
+    * bounded ring (~100 entries): at x100 a 200-data-batch run plus
+    * the ~33-batch empty tail the idle window necessarily observes
+    * evicts a third of the data batches, and the ring sum under-reads
+    * by exactly the evicted rows (observed: a false "processed 660000
+    * of 2000000" warning on a cdc x100 run whose wall time proved it
+    * complete). A listener sees EVERY progress event exactly once, so
+    * its per-runId total is eviction-proof.
+    */
+  private object ProcessedRows extends StreamingQueryListener {
+    private val byRun =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+      byRun.merge(e.progress.runId, Long.box(e.progress.numInputRows),
+        (a, b) => Long.box(a + b))
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    def register(spark: SparkSession): Unit = spark.streams.addListener(this)
+    def get(runId: java.util.UUID): Long =
+      Option(byRun.get(runId)).map(_.longValue).getOrElse(0L)
+  }
 
   private def collectStats(q: StreamingQuery, rows: Long, t0: Long,
                            x: Int): Point = {
@@ -88,17 +114,23 @@ object StreamCurve {
       else idle += 1
     }
     if (q.isActive) q.stop()
-    // truncation must be LOUD: when the (bounded, 100-entry) progress
-    // buffer has the full history, a processed-row total short of the
+    // truncation must be LOUD: a processed-row total short of the
     // corpus means the stop above fired early — warn instead of
-    // recording the intended `rows` as if they were observed
-    val progress = q.recentProgress.toSeq
-    if (progress.size < 100) {
-      val processed = progress.map(_.numInputRows).sum
-      if (processed < rows)
-        System.err.println(s"[streamcurve] WARNING x=$x: processed " +
-          s"$processed of $rows rows — idle-stop fired before drain")
+    // recording the intended `rows` as if they were observed. The
+    // count comes from the cumulative listener (see ProcessedRows —
+    // q.recentProgress is a bounded ring and under-reads at x100);
+    // listener delivery is async, so grace-poll before declaring
+    // truncation.
+    var processed = ProcessedRows.get(q.runId)
+    var graceLeft = 5
+    while (processed < rows && graceLeft > 0) {
+      Thread.sleep(1000L)
+      graceLeft -= 1
+      processed = ProcessedRows.get(q.runId)
     }
+    if (processed < rows)
+      System.err.println(s"[streamcurve] WARNING x=$x: processed " +
+        s"$processed of $rows rows — idle-stop fired before drain")
     finishStats(q, rows, t0, x)
   }
 
@@ -421,6 +453,9 @@ object StreamCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cumulative per-run row counts for the truncation check — must be
+    // registered before any query starts so no progress event is missed
+    ProcessedRows.register(spark)
 
     val xs = Seq(1, 10, 100)
     // as-of: StreamThroughputBench's generator (2000 users, 50 ms/step,

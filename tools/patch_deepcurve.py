@@ -49,7 +49,8 @@ def main(outdir, queries):
             # publish a wrong exponent for an events/embeddings op.
             table_of = {"d16_minhash_calibration": "documents",
                         "d23_semdedup_adaptive": "embeddings",
-                        "d25_semdedup_hier": "embeddings"}
+                        "d25_semdedup_hier": "embeddings",
+                        "n10_ivf_pq": "embeddings"}
             assert q in table_of, (
                 f"{q} has no committed deep entry and no table declared "
                 f"in patch_deepcurve.table_of — add it (the row counts "
@@ -92,8 +93,18 @@ def main(outdir, queries):
                 continue
             j = pts[sf]
             n = old.get(sf, donated.get(sf))
-            if n is None:  # scale not in any same-table series
-                raise SystemExit(f"{q} {sf}: no row count in old series")
+            if n is None:
+                # scale not in any same-table series (e.g. the first op
+                # to reach sf1000): parquet footer metadata, no scan
+                import pyarrow.parquet as pq
+                import glob as _glob
+                path = (f"/root/repo/target/scalecurve/{sf}/"
+                        f"{ref['table']}.parquet")
+                parts = _glob.glob(f"{path}/*.parquet") or (
+                    [path] if os.path.exists(path) else [])
+                if not parts:
+                    raise SystemExit(f"{q} {sf}: no row count and no corpus")
+                n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
             series.append({"sf": sf, "n": n, "sec": j["wall_s"],
                            "exec_s": j["exec_s"],
                            "spill_disk_mb": j["spill_disk_mb"]})
