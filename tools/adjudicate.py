@@ -19,9 +19,12 @@ This tool automates that protocol end to end:
 
 It parses the flag set out of the driver capture (the last
 {"metric":"total",...} line inside the `tail` blob), runs each
-distinct flagged query through isolated_bench.sh, and prints a
-markdown triage table ready for the round notes, with a verdict per
-query:
+distinct flagged query through isolated_bench.sh TOGETHER WITH the
+epoch-control queries (see CONTROLS — this host's wall clock moves in
+1.0-1.9x epochs that shift everything together, so a lone isolated
+min is uninterpretable), normalizes by the controls' median shift
+against the committed canonical map, and prints a markdown triage
+table ready for the round notes, with a verdict per query:
 
   - CONTENTION  isolated min reproduces the anchor (or the committed
                 canonical value) — the driver flag was host noise;
@@ -53,6 +56,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # anchor; the 1.4-1.9x band is the contention tail.
 REPRODUCES = 1.15   # isolated min within 15% of a value "reproduces" it
 UNREACHABLE = 1.50  # nothing honest within 1.5x => the anchor is suspect
+
+# Epoch controls: stable queries nobody is changing, measured in the
+# SAME JVM as each flagged query. This host's wall-clock runs in
+# multi-minute epochs that shift the whole surface 1.0-1.9x together
+# (r9-r14, measured repeatedly) — a flagged query's isolated min is
+# only interpretable against what the same epoch does to known-good
+# queries. The first version of this tool skipped the control and
+# convicted all four r13 flags as REGRESSION during a slow epoch whose
+# controls would have read ~1.5x. Five controls across plan classes
+# (agg, graph, bucketed join, UDF-free text, window) so one query's
+# own variance cannot masquerade as the epoch.
+CONTROLS = ["a6_corr", "g1_pagerank", "c16_bucketed_join",
+            "t23_classifier", "w5_ntile_dense"]
 
 
 def bench_total_line(capture_path):
@@ -92,37 +108,64 @@ def committed_canonical():
     return json.loads(p.stdout)["queries"]
 
 
-def isolated_min(query, sf, reps):
-    """Run tools/isolated_bench.sh for one query; return the min of
-    the per-rep values (each rep is itself a fresh-JVM min-of-3)."""
-    p = subprocess.run(["bash", "tools/isolated_bench.sh", sf, str(reps), query],
+def isolated_min(query, sf, reps, canon):
+    """Run tools/isolated_bench.sh for the query PLUS the epoch
+    controls in the same JVMs. Returns (raw_min, per_rep_raw,
+    epoch_shift, normalized_min) where epoch_shift is the median over
+    controls of isolated_control_min / committed_canonical_control —
+    the single-query analog of Bench's full-surface host_shift."""
+    controls = [c for c in CONTROLS if c != query and c in canon]
+    p = subprocess.run(["bash", "tools/isolated_bench.sh", sf, str(reps),
+                        query] + controls,
                        capture_output=True, text=True, cwd=REPO)
-    vals = []
+    per_rep, ctrl = [], {c: [] for c in controls}
     for line in p.stdout.splitlines():
         if '"queries"' not in line:
             continue
         j = json.loads(re.sub(r"^\[info\] ", "", line.strip()))
         v = j.get("queries", {}).get(query)
         if v is not None:
-            vals.append(v)
-    if not vals:
+            per_rep.append(v)
+        for c in controls:
+            cv = j.get("queries", {}).get(c)
+            if cv is not None:
+                ctrl[c].append(cv)
+    if not per_rep:
         sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
         sys.exit(f"isolated_bench.sh produced no value for {query}")
-    return min(vals), vals
+    shifts = sorted(min(v) / canon[c] for c, v in ctrl.items() if v)
+    shift = shifts[len(shifts) // 2] if shifts else 1.0
+    raw = min(per_rep)
+    return raw, per_rep, shift, raw / max(shift, 1e-9)
 
 
 def verdict(anchor, canonical, iso):
     if anchor is not None and iso <= anchor * REPRODUCES:
         return ("CONTENTION", "isolated min reproduces the anchor; "
                 "driver flag was host noise — anchor KEPT")
-    if canonical is not None and iso <= canonical * REPRODUCES:
-        return ("CONTENTION", "isolated min reproduces the committed "
-                "canonical; driver flag was host noise — anchor KEPT")
+    # anchor-staleness check BEFORE the canonical-reproduction check:
+    # when neither the isolated min nor the committed canonical can
+    # come near the anchor, "reproduces canonical" would be true but
+    # useless — the ratchet will re-fire every pass until the anchor
+    # is reset (the c25 r13 shape: count()-era anchor 0.116, honest
+    # floor ~0.3)
     if anchor is not None and iso > anchor * UNREACHABLE and \
        (canonical is None or canonical > anchor * UNREACHABLE):
         return ("ANCHOR SUSPECT", "neither isolated nor canonical comes "
                 f"within {UNREACHABLE}x of the anchor — likely stale; "
                 f"propose RESET to honest min {iso:.3f}")
+    if canonical is not None and iso <= canonical * REPRODUCES:
+        return ("CONTENTION", "isolated min reproduces the committed "
+                "canonical; driver flag was host noise — anchor KEPT")
+    # absolute-delta guard, mirroring Bench.regressionWatch: a flag
+    # needs BOTH a >1.2x normalized ratio AND >=0.3 s of absolute
+    # movement — sub-second queries wobble tens of milliseconds
+    # between honest epochs, which no plan change explains
+    ref = canonical if canonical is not None else anchor
+    if ref is not None and iso - ref < 0.3:
+        return ("CONTENTION", f"residual delta vs committed {iso - ref:+.3f}s "
+                "is under regressionWatch's 0.3 s absolute guard — "
+                "epoch noise, not a plan change; anchor KEPT")
     return ("REGRESSION", "isolated min confirms a slowdown against a "
             "reproducible anchor — investigate the plan before committing")
 
@@ -154,23 +197,27 @@ def main():
           f"host_shift={total.get('host_shift')} flags={qs}\n")
     if not args.run:
         for q in qs:
-            print(f"  would run: bash tools/isolated_bench.sh {args.sf} {args.reps} {q}")
+            ctl = " ".join(c for c in CONTROLS if c != q)
+            print(f"  would run: bash tools/isolated_bench.sh {args.sf} "
+                  f"{args.reps} {q} {ctl}")
         print("\nre-run with --run on a QUIET host (no concurrent sbt/Spark).")
         return
 
     rows = []
     for q in qs:
-        iso, vals = isolated_min(q, args.sf, args.reps)
-        v, why = verdict(best.get(q), canon.get(q), iso)
+        raw, vals, shift, norm = isolated_min(q, args.sf, args.reps, canon)
+        v, why = verdict(best.get(q), canon.get(q), norm)
         rows.append((q, best.get(q), canon.get(q), flags.get(q, {}).get("now"),
-                     iso, vals, v, why))
+                     raw, vals, shift, norm, v, why))
 
-    print("| query | anchor | canonical | driver flag | isolated min | verdict |")
-    print("|---|---|---|---|---|---|")
-    for q, a, c, fl, iso, vals, v, why in rows:
+    print("| query | anchor | canonical | driver flag | isolated raw "
+          "| epoch shift | isolated norm | verdict |")
+    print("|---|---|---|---|---|---|---|---|")
+    for q, a, c, fl, raw, vals, shift, norm, v, why in rows:
         fmt = lambda x: "—" if x is None else f"{x:.3f}"
-        print(f"| {q} | {fmt(a)} | {fmt(c)} | {fmt(fl)} | **{iso:.3f}** "
-              f"(reps: {', '.join(f'{x:.3f}' for x in vals)}) | {v}: {why} |")
+        print(f"| {q} | {fmt(a)} | {fmt(c)} | {fmt(fl)} | {raw:.3f} "
+              f"(reps: {', '.join(f'{x:.3f}' for x in vals)}) | "
+              f"{shift:.2f} | **{norm:.3f}** | {v}: {why} |")
 
 
 if __name__ == "__main__":
