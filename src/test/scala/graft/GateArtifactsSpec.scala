@@ -41,6 +41,24 @@ class GateArtifactsSpec extends AnyFunSuite {
       "sf30 artifact lost its corpus_scheme stamp")
   }
 
+  test("CORRECTNESS_SF100.json: the sf100 rung is gated exact") {
+    // r14's fifth ladder rung: q24 (100M-event interval join), t14
+    // (5M-doc corpus pipeline), x23 (TPC-H q2, 729k-row result) —
+    // value-exact at 3.3x the sf30 ceiling. x22 is deliberately
+    // absent: its q21 self-join shuffle over 600M lineitem rows
+    // exceeds this single box's disk headroom (a host-capacity
+    // verdict, not a plan defect — it stays gated at sf30).
+    val doc = read("CORRECTNESS_SF100.json")
+    val passes = """"pass": ?(true|false)""".r
+      .findAllMatchIn(doc).map(_.group(1)).toSeq
+    assert(passes.size >= 3, s"only ${passes.size} sf100 gate rows recorded")
+    assert(passes.forall(_ == "true"),
+      "an sf100 gate row is non-pass — re-run the GenSf100Full runbook " +
+        "(see its scaladoc) and fix before re-committing")
+    assert(doc.contains("corpus_scheme"),
+      "sf100 artifact lost its corpus_scheme stamp")
+  }
+
   test("every 0-row pass in every committed gate artifact carries a vacuous note") {
     // A 0-row hash-match proves only that both engines agree on
     // emptiness — d6 passed three rounds of sf0.01 gates that way
