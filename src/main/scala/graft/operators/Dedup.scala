@@ -570,10 +570,23 @@ object Dedup {
     * 0.1-wide Jaccard band (counts only → float-rounding-proof).
     */
   val d5Jaccard: Q = (s, d) => {
+    // r14 optimization (guide §1.2 step 2, the d8-verify discipline):
+    // token sets ride as VALUE-SORTED 60-bit md5-prefix longs (the
+    // d8/d11 representation, hashed+sorted ONCE per doc) so the
+    // per-PAIR intersection is the native two-pointer merge
+    // (SortedIntersectSize, zero allocation) instead of
+    // size(array_intersect)'s per-pair hash set + materialized
+    // intersection array over string tokens. Values identical: the
+    // word vocabulary is tiny next to the 2^60 hash space (d8's
+    // no-collision argument), so |A ∩ B| and the set sizes are
+    // unchanged. Per-doc hashing is amortized over every pair the doc
+    // appears in (pairs >> docs inside equi-blocks).
     val t = docs(s, d).select(
       col("doc_id"), col("lang"), col("source"),
       (col("n_chars") - col("n_chars") % 100).as("len_band"),
-      array_sort(array_distinct(col("ws"))).as("toks"))
+      expr("""array_sort(array_distinct(transform(ws,
+             |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10)
+             |       as bigint))))""".stripMargin).as("toks"))
     val a = t.select(col("doc_id").as("a_id"), col("lang"), col("source"),
                      col("len_band"), col("toks").as("a_toks"))
     val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -581,7 +594,8 @@ object Dedup {
                      col("toks").as("b_toks"))
     a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
               col("len_band") === col("b_band") && col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("inter", graft.functions.VectorFunctions
+        .sortedIntersectSize(col("a_toks"), col("b_toks")))
       .withColumn("uni", size(col("a_toks")) + size(col("b_toks")) - col("inter"))
       .withColumn("j_band", floor(col("inter") * 10.0 / col("uni")).cast("long"))
       .filter(col("j_band") >= 5)
@@ -1083,35 +1097,48 @@ object Dedup {
     val mhArr = (0 until 8)
       .map(j => s"array_min(transform(hs, h -> h ^ ${seedConsts(j)}L))")
       .mkString("array(", ", ", ")")
+    // r14 optimization (guide §2.3/§2.4 + the d8-verify discipline):
+    // the exact per-pair intersection used to be an (id, shingle)
+    // EXPLODE joined twice against the candidate pairs and re-counted
+    // per pair — two corpus-token-sized exchanges, a (a, b) count
+    // aggregate and a left-outer re-join, all to produce |A ∩ B|.
+    // Shingle sets now ride as VALUE-SORTED 60-bit md5-prefix longs
+    // (the d8/d11 token representation, sorted once per doc) and the
+    // pair intersection is the native zero-allocation two-pointer
+    // merge (SortedIntersectSize) evaluated directly on the joined
+    // pair row — the exploded exchanges, the pair-count aggregate and
+    // the left join all disappear (plan: 6 exchanges of token rows →
+    // the 2 candidate-side joins; see plans/r14/). Values are
+    // identical: |A ∩ B| over the 60-bit hashes equals the string
+    // intersection unless two distinct shingles collide in 2^60 — the
+    // shingle space is vocab³-bounded (~30k distinct at any corpus
+    // scale), the same no-collision argument d8 gates on at sf30.
     val base = docs(s, d)
       .withColumn("sh", expr(shinglesExpr))
       .withColumn("hs", expr(baseHashes))
       .select(col("doc_id"), expr(mhArr).as("mh"),
-              array_distinct(col("sh")).as("shd"))
-      // two consumers (sizes + the shingle explode) of the expensive
+              expr("""array_sort(array_distinct(transform(sh,
+                     |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10)
+                     |       as bigint))))""".stripMargin).as("st"))
+      // two consumers (both sides of the pair join) of the expensive
       // shingle/md5/minhash map pass — materialize it once (the
       // d8-build lesson; one row per doc, but array-heavy → serialized)
       .transform(matSer)
-    val sizes = base.select(col("doc_id"), col("mh"), size(col("shd")).as("nsh"))
     val bands = bandTable(s, d)
     val pairs = bands.toDF("a", "band").join(bands.toDF("b", "band_b"),
         col("band") === col("band_b") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val ex = base.select(col("doc_id"), explode(col("shd")).as("tk"))
-    val inter = pairs
-      .join(ex.select(col("doc_id").as("a"), col("tk")), "a")
-      .join(ex.select(col("doc_id").as("b2"), col("tk").as("tk_b")),
-            col("b2") === col("b") && col("tk_b") === col("tk"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
-    pairs.join(inter, Seq("a", "b"), "left")
-      .withColumn("ni", coalesce(col("ni"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("a"), col("mh").as("ma"),
-                         col("nsh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("mh").as("mb"),
-                         col("nsh").as("nb")), "b")
+    pairs
+      .join(base.select(col("doc_id").as("a"), col("mh").as("ma"),
+                        col("st").as("sa")), "a")
+      .join(base.select(col("doc_id").as("b"), col("mh").as("mb"),
+                        col("st").as("sb")), "b")
+      .withColumn("ni", graft.functions.VectorFunctions
+        .sortedIntersectSize(col("sa"), col("sb")).cast("long"))
       .withColumn("est_matches", expr(
         "aggregate(zip_with(ma, mb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
-      .withColumn("true_bp", expr("(ni * 10000) DIV (na + nb - ni)"))
+      .withColumn("true_bp",
+        expr("(ni * 10000) DIV (size(sa) + size(sb) - ni)"))
       .groupBy(col("est_matches"))
       .agg(count(lit(1)).as("n_pairs"),
            expr("CAST(sum(true_bp) DIV count(1) AS BIGINT)").as("avg_true_bp"),

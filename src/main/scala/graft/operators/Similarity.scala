@@ -675,23 +675,40 @@ object Similarity {
     val q = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    def top1(k: Int): DataFrame = {
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-      c.join(broadcast(q), col("qid") =!= col("cid"))
-        .withColumn("sim", round(graft.functions.VectorFunctions.cosineSim(
-          slice(col("qe"), 1, k), slice(col("ce"), 1, k)), 6))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("qid"), col("cid").as("topk"))
-    }
-    val full = top1(dims).withColumnRenamed("topk", "top_full")
-    Seq(4, 16, dims).map { k =>
-      top1(k).join(full, "qid")
-        .groupBy(lit(k).cast("int").as("trunc_dims"))
-        .agg(count(lit(1)).as("n_queries"),
-             sum(when(col("topk") === col("top_full"), 1L).otherwise(0L))
-               .cast("long").as("n_agree"))
-    }.reduce(_ unionAll _)
+    // r14 optimization (guide §1.2 step 1 — don't recompute passes):
+    // the old shape ran the brute top-1 as a WINDOW over the pair
+    // stream once per k AND re-derived the full-dim top-1 inside each
+    // of the three union branches — SIX broadcast-join passes over
+    // the corpus. One pass now computes the truncated cosine at every
+    // k off the same joined row (slice feeds from one row read), and
+    // the per-(qid, k) top-1 is an ARGMAX AGGREGATE
+    // (max(struct(sim, -cid)) ≡ the (sim DESC, cid ASC) window rank-1
+    // rule, |Q| groups — partial-aggregating, no pair-stream sort);
+    // agreement then reduces on the |Q|-row table. 6 corpus scans →
+    // 1, window sorts → one 16-group aggregate. Values identical:
+    // same rounded sims, same argmax tie rule, and the k = 64 branch
+    // compares the full-dim winner with itself exactly as before.
+    val ks = Seq(4, 16, dims)
+    def simK(k: Int) = round(graft.functions.VectorFunctions.cosineSim(
+      slice(col("qe"), 1, k), slice(col("ce"), 1, k)), 6)
+    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid") +: col("cid") +:
+        ks.map(k => simK(k).as(s"sim_$k")): _*)
+    val aggs = ks.map(k =>
+      max(struct(col(s"sim_$k").as("s"), (-col("cid")).as("nc"))).as(s"m_$k"))
+    val per = pairs.groupBy(col("qid")).agg(aggs.head, aggs.tail: _*)
+    val sums = ks.map(k =>
+      sum(when(col(s"m_$k").getField("nc") ===
+               col(s"m_$dims").getField("nc"), 1L).otherwise(0L))
+        .as(s"a_$k"))
+    val counts = per.agg(count(lit(1)).as("nq"), sums: _*)
+    counts.select(explode(array(ks.map(k =>
+        struct(lit(k).cast("int").as("trunc_dims"),
+               col("nq").as("n_queries"),
+               col(s"a_$k").cast("long").as("n_agree"))): _*)).as("r"))
+      .select(col("r.trunc_dims").as("trunc_dims"),
+              col("r.n_queries").as("n_queries"),
+              col("r.n_agree").as("n_agree"))
   }
 
   /** Margin-based bitext mining — the LASER/CCMatrix recipe for

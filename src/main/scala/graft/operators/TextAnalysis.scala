@@ -473,7 +473,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
               col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bgCnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val ctxCnt = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // r14 optimization (guide §2.3): the context count is a ROLLUP of
+    // the bigram counts — count(bg per w1) ≡ Σ_w2 c2 — so it derives
+    // from the vocab²-bounded bgCnt table instead of a second full
+    // explode + corpus-sized aggregation of the bigram stream (the
+    // old plan scanned and exploded the corpus twice before scoring;
+    // this removes one corpus pass and replaces its exchange with a
+    // vocab²-row one). Values identical: same integer counts.
+    val ctxCnt = bgCnt.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = bgCnt.join(ctxCnt, "w1")
       .select(col("w1"), col("w2"), expr("c2 * 1000000 DIV c1").as("cond_ppm"))
     bg.join(model, Seq("w1", "w2"))
@@ -599,22 +606,39 @@ object TextAnalysis {
     * job ~50k times; one round is the unit of distributed work.
     */
   val t20BpePairs: Q = (s, d) => {
-    val words = docs(s, d)
+    // r14 optimization (guide §2.3 "aggregate before you shuffle"):
+    // every downstream step — pair emission, the winning-pair scan,
+    // the merge map, the vocabulary and occurrence rollups — is a
+    // pure function of the DISTINCT word and its occurrence count, so
+    // the corpus-sized word stream collapses to the vocab-sized
+    // (w, cnt) table FIRST (one hash agg with map-side combine) and
+    // everything after runs on |V| rows instead of corpus tokens:
+    // pair counts become Σ cnt-weighted sums, vocab_before the row
+    // count, n_occ_merged a cnt-weighted sum — all arithmetic
+    // identical to the per-instance form. The old plan exploded the
+    // corpus TWICE (pair counting + the merge/rollup) and pushed
+    // every word instance through a 2-column countDistinct Expand;
+    // the new plan touches the corpus once.
+    val wc = docs(s, d)
       .select(explode(col("ws")).as("w"))
-    val pairs = words.filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // two consumers (pair emission + the merge rollup)
+      .localCheckpoint(eager = false)
+    val pairs = wc.filter(length(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("pc"))
+        .as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
     val top = pairs
       .orderBy(col("pc").desc, col("pair")).limit(1)
-    val merged = words.crossJoin(broadcast(top))
-      .select(col("pair"), col("pc"), col("w"),
+    val merged = wc.crossJoin(broadcast(top))
+      .select(col("pair"), col("pc"), col("w"), col("cnt"),
               expr("replace(w, pair, 'Ø')").as("mw"))
     merged.groupBy(col("pair"), col("pc"))
-      .agg(countDistinct(col("w")).as("vocab_before"),
+      .agg(count(lit(1)).as("vocab_before"),
            countDistinct(col("mw")).as("vocab_after"),
-           sum((col("w") =!= col("mw")).cast("long")).as("n_occ_merged"))
+           sum(when(col("w") =!= col("mw"), col("cnt")).otherwise(0L))
+             .as("n_occ_merged"))
       .select(col("pair").as("top_pair"), col("pc").as("pair_count"),
               col("vocab_before"), col("vocab_after"), col("n_occ_merged"))
   }
@@ -757,7 +781,12 @@ object TextAnalysis {
               col("b.w1").as("w1"), col("b.w2").as("w2"))
     val ref = bg.filter(col("source").isin("src0", "src1"))
     val bgCnt = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val ctxCnt = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // context counts roll up from the vocab²-bounded bigram counts
+    // (count per w1 ≡ Σ_w2 c2) instead of a second full explode +
+    // corpus-sized aggregation of the reference stream — same r14
+    // one-corpus-pass-fewer rewrite as t17 (guide §2.3), identical
+    // integer counts.
+    val ctxCnt = bgCnt.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = bgCnt.join(ctxCnt, "w1")
       .select(col("w1"), col("w2"), expr("c2 * 1000000 DIV c1").as("cond_ppm"))
     val scored = bg.join(model, Seq("w1", "w2"), "left")
