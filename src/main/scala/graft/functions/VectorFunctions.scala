@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, NearestSeed, SimHash16, SortedIntersectSize}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, Md5PrefixLong, MinHash8, NearestSeed, SimHash16, SortedIntersectSize}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -40,6 +40,22 @@ object VectorFunctions {
     */
   def simHash16(ws: Column): Column =
     Bridge.column(SimHash16(Bridge.expression(ws)))
+
+  /** Column API: 8-permutation MinHash of a shingle array — one
+    * digest per shingle, eight running minima, one generated pass
+    * (see [[org.apache.spark.sql.graftnative.MinHash8]]; replaces the
+    * baseHashes transform + 8 per-permutation transform/array_min
+    * HOF passes).
+    */
+  def minHash8(sh: Column, seeds: Seq[Long]): Column =
+    Bridge.column(MinHash8(Bridge.expression(sh), seeds))
+
+  /** Column API: the repo's deterministic md5-prefix token hash
+    * (`conv(substring(md5(x), 1, nibbles), 16, 10)`) in one digest
+    * call (see [[org.apache.spark.sql.graftnative.Md5PrefixLong]]).
+    */
+  def md5Prefix(s: Column, nibbles: Int): Column =
+    Bridge.column(Md5PrefixLong(Bridge.expression(s), nibbles))
 
   /** Column API: ColBERT-style MaxSim over packed multi-vectors —
     * Σ over `tokDim`-wide query tokens of the max dot product against

@@ -52,40 +52,52 @@ object Dedup {
   private val seedConsts: Seq[Long] =
     (0 until 8).map(j => graft.functions.DeterministicHash.h32Local(s"minhash-seed:$j"))
 
-  private val baseHashes =
-    "transform(sh, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
+  // The 32-bit base hash (`conv(substring(md5(x), 1, 8), 16, 10)`)
+  // now lives inside the MinHash8 kernel; the composed SQL form
+  // survives in the oracles and in MinHash8Spec's reference
+  // computation.
 
   /** MinHash signatures: 8 xor-permutations over 3-word shingle hashes;
     * min per permutation. Output one signature string per doc
     * (oracle-checked exactly).
+    *
+    * r14: the 8 minima come from the native MinHash8 kernel — one
+    * digest per shingle and eight running minima in one generated
+    * pass, replacing the baseHashes transform + 8 per-permutation
+    * transform/array_min interpreted HOF passes (the d4/SimHash16
+    * lesson applied to the whole minhash family; MinHash8Spec pins
+    * kernel ≡ the composed form, and the DuckDB oracle still replays
+    * the composed SQL).
     */
   val d2MinhashSig: Q = (s, d) => {
-    val sig = seedConsts.map { c =>
-      s"array_min(transform(hs, h -> h ^ ${c}L))"
-    }.mkString("concat_ws('-', ", ", ", ")")
     docs(s, d)
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("hs", expr(baseHashes))
-      .select(col("doc_id"), expr(sig).as("minhash_sig"))
+      .withColumn("mh",
+        graft.functions.VectorFunctions.minHash8(col("sh"), seedConsts))
+      .select(col("doc_id"),
+        concat_ws("-", (1 to 8).map(j =>
+          element_at(col("mh"), j).cast("string")): _*).as("minhash_sig"))
   }
 
-  /** LSH band-array expression shared by d3 (bucket histogram) and d9
+  /** LSH band array shared by d3 (bucket histogram) and d9
     * (dup-cluster components) — the two must band identically or d9's
-    * edges diverge from d3's published candidate counts.
+    * edges diverge from d3's published candidate counts. Bands build
+    * on the MinHash8 kernel output (r14): band b pairs permutations
+    * 2b and 2b+1, rendered exactly as the composed concat form.
     */
-  private val bandArrayExpr: String = {
-    val mh = (j: Int) => s"array_min(transform(hs, h -> h ^ ${seedConsts(j)}L))"
-    (0 until 4).map { b =>
-      s"concat('$b:', ${mh(2 * b)}, '-', ${mh(2 * b + 1)})"
-    }.mkString("array(", ", ", ")")
-  }
+  private def bandArray(mh: org.apache.spark.sql.Column) =
+    array((0 until 4).map { b =>
+      concat(lit(s"$b:"), element_at(mh, 2 * b + 1).cast("string"),
+             lit("-"), element_at(mh, 2 * b + 2).cast("string"))
+    }: _*)
 
   /** (doc_id, band) rows: 4 bands × 2 minhash rows per doc. */
   private def bandTable(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("hs", expr(baseHashes))
-      .select(col("doc_id"), explode(expr(bandArrayExpr)).as("band"))
+      .select(col("doc_id"), explode(bandArray(
+        graft.functions.VectorFunctions.minHash8(col("sh"), seedConsts)))
+        .as("band"))
 
   /** Band-explode an arbitrary `text`-carrying DataFrame with the SAME
     * shingle/hash/band constants as d3/d9 — shared with the streaming
@@ -96,9 +108,9 @@ object Dedup {
   private[graft] def bandExploded(df: DataFrame): DataFrame =
     df.withColumn("ws", expr("split(trim(text), '\\\\s+')"))
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("hs", expr(baseHashes))
-      .withColumn("band", explode(expr(bandArrayExpr)))
-      .drop("ws", "sh", "hs", "text")
+      .withColumn("band", explode(bandArray(
+        graft.functions.VectorFunctions.minHash8(col("sh"), seedConsts))))
+      .drop("ws", "sh", "text")
 
   /** MinHash LSH banding: 4 bands × 2 rows; docs sharing any band are
     * candidate near-dups. groupBy(band) — no all-pairs join; shuffle
@@ -584,9 +596,8 @@ object Dedup {
     val t = docs(s, d).select(
       col("doc_id"), col("lang"), col("source"),
       (col("n_chars") - col("n_chars") % 100).as("len_band"),
-      expr("""array_sort(array_distinct(transform(ws,
-             |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10)
-             |       as bigint))))""".stripMargin).as("toks"))
+      array_sort(array_distinct(transform(col("ws"),
+        x => graft.functions.VectorFunctions.md5Prefix(x, 15)))).as("toks"))
     val a = t.select(col("doc_id").as("a_id"), col("lang"), col("source"),
                      col("len_band"), col("toks").as("a_toks"))
     val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -647,8 +658,12 @@ object Dedup {
     documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
               expr("shingles(text, 3)").as("shingle"))
-      .select(col("doc_id"), col("lang"), col("source"), expr(
-        "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("tok"))
+      // r14: the hex-substring-parse chain became the one-digest
+      // md5_prefix kernel (Md5PrefixSpec pins value identity; the
+      // oracle twin sqlHash60 is unchanged)
+      .select(col("doc_id"), col("lang"), col("source"),
+              graft.functions.VectorFunctions.md5Prefix(col("shingle"), 15)
+                .as("tok"))
   }
 
   val d11Decontaminate: Q = (s, d) => {
@@ -1094,9 +1109,6 @@ object Dedup {
     * (match counts, basis points), so the rollup is order-proof.
     */
   val d16MinhashCalibration: Q = (s, d) => {
-    val mhArr = (0 until 8)
-      .map(j => s"array_min(transform(hs, h -> h ^ ${seedConsts(j)}L))")
-      .mkString("array(", ", ", ")")
     // r14 optimization (guide §2.3/§2.4 + the d8-verify discipline):
     // the exact per-pair intersection used to be an (id, shingle)
     // EXPLODE joined twice against the candidate pairs and re-counted
@@ -1115,11 +1127,12 @@ object Dedup {
     // scale), the same no-collision argument d8 gates on at sf30.
     val base = docs(s, d)
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("hs", expr(baseHashes))
-      .select(col("doc_id"), expr(mhArr).as("mh"),
-              expr("""array_sort(array_distinct(transform(sh,
-                     |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10)
-                     |       as bigint))))""".stripMargin).as("st"))
+      .select(col("doc_id"),
+              graft.functions.VectorFunctions.minHash8(col("sh"), seedConsts)
+                .as("mh"),
+              array_sort(array_distinct(transform(col("sh"),
+                x => graft.functions.VectorFunctions.md5Prefix(x, 15))))
+                .as("st"))
       // two consumers (both sides of the pair join) of the expensive
       // shingle/md5/minhash map pass — materialize it once (the
       // d8-build lesson; one row per doc, but array-heavy → serialized)
@@ -1352,9 +1365,10 @@ object Dedup {
     val corpus = base.unionByName(variants)
     val bands = corpus
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("hs", expr(baseHashes))
       .select(col("doc_id"), col("is_var"),
-              explode(expr(bandArrayExpr)).as("band"))
+              explode(bandArray(
+                graft.functions.VectorFunctions.minHash8(col("sh"), seedConsts)))
+                .as("band"))
     val origBands = bands
       .filter(!col("is_var") && col("doc_id") % 4 === 0)
       .select(col("doc_id").as("a"), col("band"))
