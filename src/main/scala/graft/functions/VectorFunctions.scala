@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, Md5PrefixLong, MinHash8, NearestSeed, SimHash16, SortedIntersectSize}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, Md5PrefixLong, MinHash8, NearestSeed, SimHash16, SortedIntersectSize, TokenStats}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -49,6 +49,14 @@ object VectorFunctions {
     */
   def minHash8(sh: Column, seeds: Seq[Long]): Column =
     Bridge.column(MinHash8(Bridge.expression(sh), seeds))
+
+  /** Column API: one-pass per-document token statistics
+    * (struct(top_cnt, dup2_distinct, distinct_cnt, coll) — the
+    * t11/t14/t16 quality-gate metrics; see
+    * [[org.apache.spark.sql.graftnative.TokenStats]]).
+    */
+  def tokenStats(ws: Column): Column =
+    Bridge.column(TokenStats(Bridge.expression(ws)))
 
   /** Column API: the repo's deterministic md5-prefix token hash
     * (`conv(substring(md5(x), 1, nibbles), 16, 10)`) in one digest

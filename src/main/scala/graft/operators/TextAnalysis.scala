@@ -254,14 +254,20 @@ object TextAnalysis {
   // so a k-reference form gets its (interpreted) lambda inlined k-fold
   // (measured 18 s vs 2 s at sf0.1). The n<2 guard covers single-token
   // docs, where Spark's sequence(1, 0) would auto-reverse and throw.
-  private val topPctExpr =
+  // Composed (pre-r14) HOF forms, kept verbatim for TokenStatsSpec's
+  // reference computation; the queries now read the native
+  // token_stats kernel's fields through the same arithmetic tails.
+  private[operators] val topPctExpr =
     "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) * 100 DIV n"
-  private val dup2PctExpr =
+  private[operators] val dup2PctExpr =
     """if(n < 2, 0L,
       |   ((n - 1) - size(array_distinct(
       |        transform(sequence(1, n - 1),
       |                  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1))))))
       |     * 100 DIV (n - 1))""".stripMargin
+  private val topPctFromStats = "ts.top_cnt * 100 DIV n"
+  private val dup2PctFromStats =
+    "if(n < 2, 0L, ((n - 1) - ts.dup2_distinct) * 100 DIV (n - 1))"
   private val TopPctMax = 12
   private val Dup2PctMax = 5
 
@@ -284,10 +290,17 @@ object TextAnalysis {
     * K-row per-source rollup.
     */
   val t11Repetition: Q = (s, d) =>
+    // r14 (guide §4, the d4/SimHash16 lesson): both metrics come from
+    // the one-pass native token_stats kernel instead of the
+    // O(distinct × n) interpreted HOF forms; the arithmetic on top of
+    // the kernel fields is the composed expressions' verbatim tail,
+    // so values (and the DuckDB oracle) are unchanged — TokenStatsSpec
+    // pins kernel ≡ composed on the real corpus.
     docs(s, d)
       .withColumn("n", size(col("ws")))
-      .withColumn("top_pct", expr(topPctExpr))
-      .withColumn("dup2_pct", expr(dup2PctExpr))
+      .withColumn("ts", graft.functions.VectorFunctions.tokenStats(col("ws")))
+      .withColumn("top_pct", expr(topPctFromStats))
+      .withColumn("dup2_pct", expr(dup2PctFromStats))
       .withColumn("flagged",
         (col("top_pct") >= TopPctMax || col("dup2_pct") >= Dup2PctMax).cast("int"))
       .groupBy(col("source"))
@@ -364,10 +377,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val metered = docs(s, d)
       .withColumn("n", size(col("ws")))
-      .withColumn("top_pct", expr(topPctExpr))
-      .withColumn("dup2_pct", expr(dup2PctExpr))
+      // r14: all three gate metrics from ONE token_stats kernel pass
+      // (see t11); previously top/dup2 were O(distinct × n)
+      // interpreted HOFs and diversity a separate array_distinct pass
+      .withColumn("ts", graft.functions.VectorFunctions.tokenStats(col("ws")))
+      .withColumn("top_pct", expr(topPctFromStats))
+      .withColumn("dup2_pct", expr(dup2PctFromStats))
       .withColumn("diversity_pct",
-        floor(size(array_distinct(col("ws"))) * 100.0 / col("n")).cast("long"))
+        floor(col("ts.distinct_cnt") * 100.0 / col("n")).cast("long"))
       .select(col("doc_id"), col("source"), col("n_chars"), col("n"),
               col("top_pct"), col("dup2_pct"), col("diversity_pct"),
               md5(col("text")).as("h"))
@@ -432,11 +449,12 @@ object TextAnalysis {
   val t16Concentration: Q = (s, d) =>
     docs(s, d)
       .withColumn("n", size(col("ws")).cast("long"))
-      .withColumn("coll", expr(
-        """aggregate(
-          |  transform(array_distinct(ws),
-          |            w -> cast(size(filter(ws, x -> x = w)) as bigint)),
-          |  0L, (a, c) -> a + c * c)""".stripMargin))
+      // r14: Σ cnt² from the one-pass token_stats kernel instead of
+      // the O(distinct × n) interpreted HOF (see t11; values
+      // identical, TokenStatsSpec pins it)
+      .withColumn("coll",
+        graft.functions.VectorFunctions.tokenStats(col("ws"))
+          .getField("coll"))
       .withColumn("conc_bp", expr("coll * 10000 DIV (n * n)"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
