@@ -176,8 +176,15 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // blocking unpersist (r14): removal runs OUTSIDE every timed
+        // region either way (dt is already captured, the next t0 not
+        // yet taken), but the async form let block-removal work bleed
+        // into the NEXT query's measured window — on a steal-prone
+        // host the r14 baseline showed write-heavy queries paying for
+        // the previous checkpoint-heavy query's cleanup. Blocking
+        // serializes the cleanup into the untimed gap.
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!keep.contains(id)) rdd.unpersist(blocking = false)
+          if (!keep.contains(id)) rdd.unpersist(blocking = true)
         }
         if (ok) perRun(i) += dt else failedRunSec += dt
         if (ok) dt else Double.NaN

@@ -165,8 +165,12 @@ object TextAnalysis {
       .select(col("doc_id"), expr("shingles(lower(text), 1)").as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // r14 (guide §2.3): document frequency is a ROLLUP of the tf
+    // grain — distinct (doc_id, term) ≡ one tf row — so it derives
+    // from tf instead of a second full explode + corpus-token
+    // distinct (one corpus pass fewer; the tf exchange is reused at
+    // runtime). Values identical.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
@@ -589,9 +593,10 @@ object TextAnalysis {
     val tf = toks.filter(col("term").isin(qTerms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.filter(col("term").isin(qTerms: _*))
-      .select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // r14 (guide §2.3, the t8 rollup): df ≡ tf rows per term, so it
+    // derives from the (already query-term-filtered) tf table instead
+    // of a third full corpus explode. Values identical.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
