@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, Md5PrefixLong, MinHash8, NearestSeed, SimHash16, SortedIntersectSize, TokenStats}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, Md5PrefixLong, MinHash8, NearestSeed, SimHash16, SortedIntersectSize, SqDistList, TokenStats}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -49,6 +49,15 @@ object VectorFunctions {
     */
   def minHash8(sh: Column, seeds: Seq[Long]): Column =
     Bridge.column(MinHash8(Bridge.expression(sh), seeds))
+
+  /** Column API: squared-L2 distance list of a vector subspace
+    * (starting at 0-based `start`) against a driver-held literal
+    * codebook — the IVF/PQ encode primitive, one generated call per
+    * row with the codebook as a compact reference object (see
+    * [[org.apache.spark.sql.graftnative.SqDistList]]).
+    */
+  def sqDistList(vec: Column, book: Seq[Seq[Double]], start: Int): Column =
+    Bridge.column(SqDistList(Bridge.expression(vec), book, start))
 
   /** Column API: one-pass per-document token statistics
     * (struct(top_cnt, dup2_distinct, distinct_cnt, coll) — the

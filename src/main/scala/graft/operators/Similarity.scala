@@ -329,16 +329,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    // squared L2 of subspace m against seed k's subvector
-    def sq(m: Int, k: Int): Column =
-      aggregate(
-        zip_with(slice(col("embedding"), m * 8 + 1, 8),
-                 lit(seeds(k).slice(m * 8, m * 8 + 8).toArray),
-                 (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-        lit(0.0), (acc, v) => acc + v)
+    // squared-L2 lists of subspace m against the 4 seed subvectors —
+    // the native sq_dist_list kernel (r14; was 8×4 separate
+    // interpreted zip_with/aggregate folds with the codebook inlined
+    // as literals — see n10). Same arithmetic, same array order.
     var df = e
     for (m <- 0 until 8) {
-      df = df.withColumn(s"dl_$m", array(sq(m, 0), sq(m, 1), sq(m, 2), sq(m, 3)))
+      df = df.withColumn(s"dl_$m", graft.functions.VectorFunctions
+          .sqDistList(col("embedding"),
+                      (0 until 4).map(k => seeds(k).slice(m * 8, m * 8 + 8)),
+                      m * 8))
         .withColumn(s"code_$m",
           array_position(col(s"dl_$m"), array_min(col(s"dl_$m"))) - 1)
         .withColumn(s"err6_$m",
@@ -431,24 +431,23 @@ object Similarity {
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    // distance LISTS as nested higher-order folds over LITERAL
-    // array-of-array codebooks — one expression per list instead of
-    // one fold per (codebook entry): the flat form (16 + 8×4 separate
-    // folds) measured ~1.5 s of pure plan/codegen-compile weight at
-    // ANY corpus size; this tree is ~6× smaller and arithmetic-
-    // identical (same left folds, same element order)
-    def sqListVs(c: Column, book: Seq[Seq[Double]]): Column =
-      transform(typedLit(book), ref =>
-        aggregate(
-          zip_with(c, ref,
-                   (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-          lit(0.0), (acc, v) => acc + v))
+    // distance lists through the native sq_dist_list kernel (r14):
+    // the r13 nested-HOF form already collapsed the flat 16 + 8×4
+    // separate folds into one expression per list (~6× plan weight);
+    // the kernel goes the rest of the way — the codebook rides as a
+    // compact reference object instead of literal arrays in the tree,
+    // and the K×dim fold runs as two generated loops instead of
+    // interpreted transform/zip_with/aggregate lambdas per row.
+    // Arithmetic identical (float→double widening, left-to-right
+    // accumulation in index order; SqDistListSpec pins bit equality
+    // against the composed fold).
     // per-subspace 4-entry distance list of `c` against the PQ seeds
     def dlOf(c: String, m: Int): Column =
-      sqListVs(slice(col(c), m * 8 + 1, 8),
-               seeds.map(_.slice(m * 8, m * 8 + 8)))
+      graft.functions.VectorFunctions.sqDistList(
+        col(c), seeds.map(_.slice(m * 8, m * 8 + 8)), m * 8)
     // 16-entry full-dim distance list against the coarse centroids
-    def cdlOf(c: String): Column = sqListVs(col(c), cents)
+    def cdlOf(c: String): Column =
+      graft.functions.VectorFunctions.sqDistList(col(c), cents, 0)
 
     // corpus: cell + 8 PQ codes, one map pass (first-index argmin ≡
     // lowest cell/code on ties, matching the oracle's list_position)
