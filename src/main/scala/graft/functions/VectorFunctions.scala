@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, MaxSim, Md5PrefixLong, MinHash8, NearestSeed, SimHash16, SortedIntersectSize, SqDistList, TokenStats}
+import org.apache.spark.sql.graftnative.{Bridge, CdcChunkHashes, CosineSimilarity, DotProduct, LongDotProduct, MaxSim, Md5PrefixLong, MinHash8, NearestSeed, SimHash16, SortedIntersectSize, SqDistance, SqDistList, TokenStats}
 
 /** User-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -80,6 +80,28 @@ object VectorFunctions {
     */
   def maxSim(q: Column, c: Column, tokDim: Int): Column =
     Bridge.column(MaxSim(Bridge.expression(q), Bridge.expression(c), tokDim))
+
+  /** Column API: native dot product Σ double(aᵢ)·double(bᵢ) — the
+    * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0.0,
+    * +)` idiom as one generated loop (see
+    * [[org.apache.spark.sql.graftnative.DotProduct]]).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: native integer dot product over array<bigint> — n11's
+    * quantized-code scoring fold (see
+    * [[org.apache.spark.sql.graftnative.LongDotProduct]]).
+    */
+  def longDotProduct(a: Column, b: Column): Column =
+    Bridge.column(LongDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: native squared L2 distance Σ (aᵢ−bᵢ)² — n12's
+    * retriever-B fold (see
+    * [[org.apache.spark.sql.graftnative.SqDistance]]).
+    */
+  def sqDistance(a: Column, b: Column): Column =
+    Bridge.column(SqDistance(Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL registration: SELECT cosine_sim(a, b) ... (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -1148,8 +1148,19 @@ object Dedup {
                         col("st").as("sb")), "b")
       .withColumn("ni", graft.functions.VectorFunctions
         .sortedIntersectSize(col("sa"), col("sb")).cast("long"))
-      .withColumn("est_matches", expr(
-        "aggregate(zip_with(ma, mb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      // r14 (guide §4): the 8-slot signature agreement as eight
+      // codegen'd element comparisons instead of the interpreted
+      // zip_with/aggregate fold (2 lambdas × 8 elements + an
+      // intermediate array PER CANDIDATE PAIR — the hot grain here).
+      // Semantics identical per element: `if(x = y, 1, 0)` counts a
+      // null comparison as 0, exactly what WHEN(cond, 1).OTHERWISE(0)
+      // does; the oracle replays the composed list_transform form
+      // unchanged.
+      .withColumn("est_matches",
+        (1 to 8).map(i =>
+          when(element_at(col("ma"), i) === element_at(col("mb"), i), 1)
+            .otherwise(0))
+          .reduce(_ + _))
       .withColumn("true_bp",
         expr("(ni * 10000) DIV (size(sa) + size(sb) - ni)"))
       .groupBy(col("est_matches"))

@@ -25,7 +25,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes via the shared md5-prefix
     * hash — reproducible in SQL, no RNG.
     */
-  private[operators] def plane(j: Int, dims: Int): Seq[Double] =
+  private[graft] def plane(j: Int, dims: Int): Seq[Double] =
     (0 until dims).map(i => (h32Local(s"$j:$i") % 2001 - 1000) / 1000.0)
 
   private val dims = 64
@@ -39,10 +39,16 @@ object Similarity {
     * side is a double-array literal (and runs once per vector, not per
     * pair).
     */
+  // r14 (guide §4): the composed fold
+  //   aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0.0, +)
+  // evaluated TWO interpreted lambdas per element and materialized the
+  // product array per pair — and n9 runs it per JOINED ROW (|Q| × N
+  // candidate stream). The native dot_product kernel is one generated
+  // loop with the identical left-to-right double fold (PairFoldSpec
+  // pins bit equality against the composed form; the oracle replays
+  // the composed SQL unchanged).
   private def dotCol(a: String, b: String): Column =
-    aggregate(
-      zip_with(col(a), col(b), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotProduct(col(a), col(b))
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 8). */
   val n1BruteTopK: Q = (s, d) => {
@@ -68,9 +74,11 @@ object Similarity {
     */
   private def bucketCol: Column = (0 until nPlanes).map { j =>
     val p = typedLit(plane(j, dims))
-    when(aggregate(zip_with(col("embedding"), p,
-                            (x, y) => x.cast(DoubleType) * y),
-                   lit(0.0), (acc, x) => acc + x) > 0,
+    // r14: native dot_product kernel per plane instead of the
+    // interpreted zip_with/aggregate fold — same float→double widening
+    // and left fold, so the sign (and hence every bucket id) is
+    // bit-identical to n2/n3/n16's oracle SQL (sqlBucket, unchanged)
+    when(graft.functions.VectorFunctions.dotProduct(col("embedding"), p) > 0,
          lit(1 << j)).otherwise(lit(0))
   }.reduce(_ + _)
 
@@ -168,9 +176,6 @@ object Similarity {
   val n5IvfKmeans: Q = (s, d) => {
     val e = graft.sources.Tables.embeddings(s, d)
     import org.apache.spark.sql.types.DecimalType
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-                lit(0.0), (acc, x) => acc + x)
 
     // driver-held centroids (cell id → double vector); norms use the
     // same left-fold-of-squares as the oracle's list_sum
@@ -521,9 +526,13 @@ object Similarity {
     val c = e.select(col("vec_id").as("cid"), codes.as("cc"))
     val w1 = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("cid"))
     val shortlist = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("qdot", expr(
-        """aggregate(zip_with(qc, cc, (a, b) -> a * b),
-          |          cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+      // r14: native long_dot_product kernel — the composed
+      // aggregate(zip_with(qc, cc, *), 0L, +) fold ran interpreted per
+      // candidate pair (8 × N evaluations, two lambdas + an
+      // intermediate array each); same integer sum, bit-identical
+      // (PairFoldSpec), oracle SQL unchanged
+      .withColumn("qdot",
+        graft.functions.VectorFunctions.longDotProduct(col("qc"), col("cc")))
       .withColumn("rnk_approx", row_number().over(w1))
       .filter(col("rnk_approx") <= 8)
       .select(col("qid"), col("cid"), col("qdot"), col("rnk_approx"))
@@ -571,11 +580,13 @@ object Similarity {
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("sim",
         round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
-      .withColumn("d2", expr(
-        """round(aggregate(zip_with(cast(qe as array<double>),
-          |                         cast(ce as array<double>),
-          |                         (x, y) -> (x - y) * (x - y)),
-          |                0D, (acc, v) -> acc + v), 6)""".stripMargin))
+      // r14: native sq_distance kernel — the composed cast-both-arrays
+      // + zip_with((x-y)²) + fold chain ran interpreted per candidate
+      // pair; the kernel widens per element and accumulates in the
+      // same index order, so every partial sum (and the round) is
+      // bit-identical (PairFoldSpec); oracle SQL unchanged
+      .withColumn("d2", round(
+        graft.functions.VectorFunctions.sqDistance(col("qe"), col("ce")), 6))
       .withColumn("rnk_cos", row_number().over(wCos))
       .withColumn("rnk_l2", row_number().over(wL2))
       .withColumn("rrf_ppm",
