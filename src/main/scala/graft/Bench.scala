@@ -69,6 +69,32 @@ object Bench {
   def shiftSuspect(hostShift: Double): Boolean =
     hostShift > 1.5 || hostShift < 1.0 / 1.5
 
+  /** The bench's FINAL stdout line — the driver contract. Every field
+    * is a bounded scalar except `failed` (bounded by real breakage,
+    * and a pass with failures exits 1 anyway); the unbounded
+    * per-query/regression/ratchet detail lives in `per_query_file`.
+    * Pure (and the flag detail reduced to counts) so GateArtifactsSpec
+    * can pin both parseability and the tail-capture length bound
+    * without booting Spark: the r14 driver capture kept only the last
+    * 2000 chars of stdout, and the previous final line embedded the
+    * full 28-entry regression array — the metric line overflowed the
+    * capture entirely and the round's PERF comparison came back empty.
+    */
+  def compactLine(total: Double, nQueries: Int, runs: Int,
+                  spreadPct: Double, failedRunSec: Double,
+                  failed: Seq[String], hostShift: Double,
+                  suspect: Boolean, nRegressions: Int, nRatchets: Int,
+                  perQueryFile: String, sfDir: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":$nQueries,"runs":$runs,""" +
+      s""""spread_pct":${f"$spreadPct%.1f"},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""failed_run_sec":${f"$failedRunSec%.1f"},""" +
+      s""""host_shift":${f"$hostShift%.3f"},""" +
+      s""""host_shift_suspect":$suspect,""" +
+      s""""n_regressions":$nRegressions,"n_ratchets":$nRatchets,""" +
+      s""""per_query_file":"$perQueryFile","sf":"$sfDir"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -315,9 +341,18 @@ object Bench {
     }
     // per-query detail first, compact total LAST: a single long line
     // gets its head truncated by the tail capture — the final short
-    // line always survives
+    // line always survives. The compact line must stay parseable in a
+    // 2000-char tail capture even on a flagged-heavy pass (r14: the 28
+    // inline regression entries overflowed the capture and the driver
+    // read NO metric line at all — PERF_r14.json came back empty), so
+    // it carries only bounded scalars + the failed list + a pointer to
+    // the full per-query map; the unbounded regressions/ratchets
+    // arrays live in `full` (printed above) and in the map file.
+    // GateArtifactsSpec pins the shape and the length bound.
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$meta,"per_query_file":"BENCH_PER_QUERY.json","sf":"$sfDir"}""")
+    println(Bench.compactLine(total, results.size, runs, spreadPct,
+      failedRunSec, failed.toSeq, hostShift, shiftSuspect(hostShift),
+      flagged.size, ratcheted.size, mapFile, sfDir))
     spark.stop()
     // A query that failed every run is filtered out of `results`, so
     // it would vanish from BOTH regression comparators (they iterate

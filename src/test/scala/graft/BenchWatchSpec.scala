@@ -123,4 +123,32 @@ class BenchWatchSpec extends AnyFunSuite {
     assert(!Bench.shiftSuspect(1.16)) // the r10 judge-pass host mode
     assert(!Bench.shiftSuspect(0.91)) // the r10 builder-pass host mode
   }
+
+  test("the final stdout line stays parseable inside a 2000-char tail " +
+       "capture even on a flagged-heavy pass (the r14 empty-PERF bug)") {
+    // worst realistic case: several failures AND a large flag count —
+    // the r14 pass carried 28 regressions inline and the metric line
+    // overflowed the driver's 2000-char capture; the compact line
+    // reduces flags to counts so its length is bounded
+    val line = Bench.compactLine(
+      total = 1234.567890123, nQueries = 237, runs = 3,
+      spreadPct = 14.812, failedRunSec = 120.34,
+      failed = Seq("d8_prefix_join", "t20_bpe_pairs", "x23_tpch_q2"),
+      hostShift = 2.034, suspect = true, nRegressions = 28,
+      nRatchets = 53, perQueryFile = "BENCH_PER_QUERY.json",
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length < 600, s"compact line too long (${line.length})")
+    assert(!line.contains("\n"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(math.abs(node.get("value").asDouble - 1234.567890123) < 1e-9)
+    assert(node.get("n_queries").asInt == 237)
+    assert(node.get("runs").asInt == 3)
+    assert(node.get("failed").size == 3)
+    assert(node.get("host_shift_suspect").asBoolean)
+    assert(node.get("n_regressions").asInt == 28)
+    assert(node.get("per_query_file").asText == "BENCH_PER_QUERY.json")
+    assert(node.get("sf").asText.endsWith("sf0.1"))
+  }
 }
