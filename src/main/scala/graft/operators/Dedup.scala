@@ -406,54 +406,65 @@ object Dedup {
     //   and, since both engines hash identically, oracle-invisible.
     val raw = hashedShingleToks(s, d).select(col("doc_id"), col("lang"), col("tok"))
     val parts = scaleParts(s, d)
-    // ONE exchange on tok feeds the whole build: hash-partitioning on
-    // tok alone satisfies the clustering of the per-doc-distinct
-    // aggregate (tok ⊆ its grouping keys), of the freq aggregate AND of
-    // the freq join, so distinct → freq → join all run with ZERO further
-    // exchanges. Width scales with corpus bytes (see scaleParts).
-    val byTok = raw.repartition(parts, col("tok"))
-    // per-doc distinct token set, MATERIALIZED: it has three consumers
-    // (the freq aggregate, the freq join, and the token-set build), and
-    // exchange reuse only dedupes the exchange subtree below the final
-    // distinct — without the cut the corpus-sized hash-distinct runs
-    // once per consumer. LogicalRDD keeps the tok hash-partitioning,
-    // so freq and the join still consume it exchange-free.
-    val exploded = matSer(byTok.distinct())
-    // freq is one row per distinct shingle — it grows with the corpus,
-    // and the join is co-partitioned on tok (no shuffle either side)
-    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // TWO corpus-token exchanges feed the whole build (r15; was three
+    // plus a freq aggregate and a join):
+    //  - EXCHANGE 1 on tok: hash-partitioning on tok alone satisfies
+    //    the clustering of the per-doc-distinct aggregate (tok ⊆ its
+    //    grouping keys) AND of the freq window below it. The global
+    //    token frequency is a count(*) OVER (PARTITION BY tok) on the
+    //    distinct stream — the same integer the old groupBy(tok)
+    //    aggregate produced, but computed in-partition for one local
+    //    sort by tok instead of a second corpus-stream hash aggregate
+    //    plus a join back onto the stream it came from (guide §2.3/
+    //    §2.4: two operations keyed the same way share one exchange).
+    //  - EXCHANGE 2 on doc_id: satisfies both per-doc windows' (and,
+    //    downstream, the token-set aggregate's) required distribution
+    //    and keeps each reducer's sort inside execution memory at
+    //    deep scales. Width scales with corpus bytes (see scaleParts).
+    val wTok = Window.partitionBy(col("tok"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("freq"), col("tok"))
     val wAll = Window.partitionBy(col("doc_id"))
-    // Slim prefix-token table: (doc_id, set size n, 0-based prefix
-    // position, token). One exchange on doc_id + one in-partition sort
-    // (both over ~32-byte rows); a token is a prefix token iff its
-    // rare-first rank is within plen = n - ceil(0.7 n) + 1 (integer
-    // arithmetic). MATERIALIZED because both sides of the candidate
-    // self-join consume it above its exchange.
-    val prefix = exploded.join(freq, "tok")
-      // explicit doc_id exchange at scaled width: it satisfies both
-      // windows' required distribution (no second exchange) and keeps
-      // the per-reducer sort inside execution memory at deep scales
+    // The ranked per-doc distinct token stream, MATERIALIZED once: it
+    // has two consumers (the prefix filter and the token-set build),
+    // both of which consume it ABOVE its doc_id exchange — without
+    // the cut the distinct + both windows run once per consumer.
+    // LogicalRDD keeps the doc_id hash-partitioning, so the set
+    // aggregate below still runs exchange-free. (Previously the
+    // UNRANKED distinct stream was materialized and `sets` paid its
+    // own corpus-sized doc_id exchange; sharing the ranked stream
+    // deletes that third exchange. The extra rnk/n ints per row are
+    // noise next to the removed shuffle+aggregate+join.)
+    val ranked = raw.repartition(parts, col("tok"))
+      .distinct()
+      .withColumn("freq", count(lit(1)).over(wTok))
       .repartition(parts, col("doc_id"))
-      .select(col("doc_id"), col("tok"),
+      .select(col("doc_id"), col("lang"), col("tok"),
               row_number().over(wOrd).as("rnk"),
               count(lit(1)).over(wAll).as("n"))
+      .transform(matSer)
+    // Slim prefix-token table: (doc_id, set size n, 0-based prefix
+    // position, token); a token is a prefix token iff its rare-first
+    // rank is within plen = n - ceil(0.7 n) + 1 (integer arithmetic).
+    // Rank semantics are IDENTICAL to the old freq-join form:
+    // row_number over (freq, tok) with freq = the global distinct-doc
+    // count of the token, and (freq, tok) unique within a doc, so the
+    // rank — and therefore the published output — is deterministic.
+    // MATERIALIZED because both sides of the candidate self-join
+    // consume it above `ranked`'s blocks.
+    val prefix = ranked
       .filter(col("rnk") <= col("n") - expr("(n * 7 + 9) DIV 10") + 1)
       .select(col("doc_id"), col("n"), (col("rnk") - 1).as("pos"), col("tok"))
       .transform(matSer)
     // st = the VALUE-sorted token set for the verify stage's
-    // two-pointer intersect — the only array in the plan, built
-    // directly from `exploded` (value order needs no freq), so the
-    // collect_list buffers bare longs. MATERIALIZED once; both verify
-    // sides (and d22's) fan out above its doc_id exchange. Blocks go
-    // serialized MEMORY_AND_DISK and Bench's per-query sweep
+    // two-pointer intersect — the only array in the plan, built from
+    // `ranked` exchange-free (value order needs no freq, so the
+    // window order underneath is irrelevant: array_sort re-sorts),
+    // and the collect_list buffers bare longs. MATERIALIZED once;
+    // both verify sides (and d22's) fan out above its blocks. Blocks
+    // go serialized MEMORY_AND_DISK and Bench's per-query sweep
     // unpersists them.
-    val sets = exploded
-      // scaled-width doc_id exchange; clustering satisfied, so the
-      // list-building aggregate runs single-phase on slim partitions
-      // (collect_list has no useful partial combine to lose)
-      .repartition(parts, col("doc_id"))
+    val sets = ranked
       .groupBy(col("doc_id"))
       .agg(first(col("lang")).as("lang"),
            array_sort(collect_list(col("tok"))).as("st"))
