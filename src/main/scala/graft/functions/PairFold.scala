@@ -22,10 +22,16 @@ import org.apache.spark.sql.types.{
   * shorter side with NULLs, `f` of a NULL is NULL, and `acc + NULL`
   * poisons the whole fold — so a length mismatch returns NULL here
   * too (n-family arrays are all 64-dim, so this is an edge contract,
-  * not a live path; PairFoldSpec pins it). Element nulls cannot occur
-  * (inputs are parquet float arrays or transforms of them) but would
-  * equally have poisoned the composed fold; containsNull inputs are
-  * handled by the same NULL-result rule.
+  * not a live path; PairFoldSpec pins it). Element NULLS are NOT
+  * handled: like CosineSimilarity, these kernels read elements
+  * unchecked and rely on the non-null-element invariant of every live
+  * input (parquet float arrays and arithmetic transforms of them —
+  * none can contain null elements). A containsNull=true array passes
+  * the inputTypes check (acceptsType ignores nullability) but feeding
+  * one with an actual null element through the public VectorFunctions
+  * API is unspecified here, where the composed zip_with fold would
+  * have returned NULL — don't route such columns through these
+  * kernels without adding an isNullAt guard first.
   */
 trait PairFoldBase extends BinaryExpression with ExpectsInputTypes {
   // nullable beyond the children's nullability: a length mismatch
@@ -75,15 +81,20 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val aAt = genGet(a, isDouble(left), i)
       val bAt = genGet(b, isDouble(right), i)
+      // numElements() hoisted into a local (the CosineSimilarity
+      // pattern): these loops run once per joined pair on the |Q|×N
+      // candidate stream, so don't bet on the JIT doing it
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  for (int $i = 0; $i < $n; $i++) {
          |    $dot += $aAt * $bAt;
          |  }
          |  ${ev.value} = $dot;
@@ -126,13 +137,15 @@ case class LongDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $dot = 0L;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  for (int $i = 0; $i < $n; $i++) {
          |    $dot += $a.getLong($i) * $b.getLong($i);
          |  }
          |  ${ev.value} = $dot;
@@ -183,16 +196,18 @@ case class SqDistance(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val dv = ctx.freshName("d")
       val aAt = genGet(a, isDouble(left), i)
       val bAt = genGet(b, isDouble(right), i)
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  for (int $i = 0; $i < $n; $i++) {
          |    double $dv = $aAt - $bAt;
          |    $acc += $dv * $dv;
          |  }

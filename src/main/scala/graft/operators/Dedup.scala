@@ -1166,7 +1166,13 @@ object Dedup {
       // Semantics identical per element: `if(x = y, 1, 0)` counts a
       // null comparison as 0, exactly what WHEN(cond, 1).OTHERWISE(0)
       // does; the oracle replays the composed list_transform form
-      // unchanged.
+      // unchanged. ASSUMES minHash8's exactly-8-slot, never-NULL
+      // signature arrays (r14 advice): a wider signature would be
+      // silently under-counted by this fixed unroll (the composed
+      // fold summed every slot), and a NULL array would yield
+      // est_matches = 0 here where the composed fold propagated NULL
+      // into its own group — revisit both if the signature width ever
+      // changes.
       .withColumn("est_matches",
         (1 to 8).map(i =>
           when(element_at(col("ma"), i) === element_at(col("mb"), i), 1)

@@ -83,7 +83,7 @@ def bench_total_line(capture_path):
         tail = raw
     lines = [l for l in tail.split("\n") if '"metric"' in l]
     if not lines:
-        sys.exit(f"no bench total line found in {capture_path}")
+        return None
     return json.loads(re.sub(r"^\[info\] ", "", lines[-1].strip()))
 
 
@@ -182,7 +182,18 @@ def main():
                     help="comma list to adjudicate instead of the capture's flags")
     args = ap.parse_args()
 
+    # A capture can arrive with NO parseable metric line at all: the
+    # r14 driver tail was truncated MID-LINE (the pre-r15 bench put
+    # the unbounded flag arrays on the final line), leaving only flag
+    # fragments. --queries is the operator-supplied recovery path —
+    # flag names regex'd out of the fragments — so only an explicit
+    # flag list may proceed without a total line.
     total = bench_total_line(args.capture)
+    if total is None:
+        if not args.queries:
+            sys.exit(f"no bench total line found in {args.capture} "
+                     "(truncated capture? pass --queries explicitly)")
+        total = {}
     qs = args.queries.split(",") if args.queries else flagged_queries(total)
     if not qs:
         print("no regressions or ratchets flagged — nothing to adjudicate")
@@ -193,7 +204,8 @@ def main():
     flags = {f["q"]: f for f in
              (total.get("regressions") or []) + (total.get("ratchets") or [])}
 
-    print(f"driver pass: total={total.get('value'):.2f} "
+    tv = total.get("value")
+    print(f"driver pass: total={tv if tv is None else format(tv, '.2f')} "
           f"host_shift={total.get('host_shift')} flags={qs}\n")
     if not args.run:
         for q in qs:
